@@ -1,0 +1,236 @@
+"""DVB-T2 modulator (transmit fixture): TS bytes -> baseband IQ.
+
+A complete EN 302 755 modulator used as the framework's closed-loop test
+fixture and golden-vector generator (the reference receiver has no TX; its
+pilot/address/LDPC tables mirror the TX spec, see SURVEY.md section 4).
+Covers: BB framing/scrambling -> BCH -> LDPC -> bit interleaving -> (rotated)
+QAM mapping -> cyclic Q delay + cell/time interleaving -> L1 generation/FEC
+-> frame building with pilots + frequency interleaving -> OFDM IFFT + guard
+insertion -> P1 preamble.
+
+Pure NumPy: runs at test/fixture time; the receive path is the TPU side.
+"""
+from __future__ import annotations
+
+import dataclasses
+import numpy as np
+
+from ..io.bbframe import BBFramePacker
+from ..params import (bch, bit_interleaver, freq_interleaver, l1, l1_fec,
+                      ldpc, modes, p1, pilots, qam, time_interleaver)
+from ..params.modes import (T2Mode, PlpConfig, Constellation, FecFrame,
+                            FftMode, GuardInterval, PilotPattern)
+
+
+@dataclasses.dataclass
+class TxConfig:
+    mode: T2Mode
+    plp: PlpConfig
+    hem: bool = True
+    l1_post_mod: int = 1          # QPSK
+    fec_blocks_per_frame: int = 9  # PLP_NUM_BLOCKS per interleaving frame
+    num_t2_frames: int = 2
+
+    def __post_init__(self):
+        assert self.fec_blocks_per_frame <= self.plp.num_blocks_max * max(1, self.plp.time_il_length)
+
+
+class Transmitter:
+    def __init__(self, cfg: TxConfig):
+        self.cfg = cfg
+        self.mode = cfg.mode.validate()
+        self.plp = cfg.plp
+        self.packer = BBFramePacker(k_bch=self.plp.k_bch, hem=cfg.hem)
+        self.code = ldpc.get_code(self.plp.ldpc_table_name)
+        self._bch_m = self.plp.bch_m
+        self._bch_t = self.plp.bch_t
+        self._frame_idx = 0
+        self._build_l1()
+
+    # ------------------------------------------------------------------
+    def _build_l1(self):
+        mode, plp, cfg = self.mode, self.plp, self.cfg
+        s2_map = {1024: 3, 2048: 0, 4096: 2, 8192: 1, 16384: 4, 32768: 5}
+        pre = l1.L1Pre(
+            s1=0,
+            s2_field1=s2_map[mode.fft_size],
+            s2_field2=0,
+            guard_interval=mode.guard.value,
+            papr=mode.papr.value,
+            l1_post_mod=cfg.l1_post_mod,
+            pilot_pattern=mode.pilot_pattern.value,
+            bwt_ext=int(mode.extended_carriers),
+            num_data_symbols=mode.n_data_symbols,
+            num_t2_frames=cfg.num_t2_frames,
+        )
+        post = l1.L1Post()
+        post.num_plp = 1
+        p = post.plp[0]
+        p.id = plp.plp_id
+        p.plp_cod = plp.code_rate.value
+        p.plp_mod = plp.constellation.value
+        p.plp_rotation = int(plp.rotation)
+        p.plp_fec_type = plp.fec_frame.value
+        p.plp_num_blocks_max = plp.num_blocks_max
+        p.time_il_length = plp.time_il_length
+        p.time_il_type = plp.time_il_type
+        p.plp_mode = 2 if cfg.hem else 1
+        post.dyn.plp = [l1.L1DynPlp(id=plp.plp_id, start=0,
+                                    num_blocks=cfg.fec_blocks_per_frame)]
+        # size the L1-post: build once with zero sizes to learn K_sig
+        tmp = l1.build_l1_post_info(post, pre)
+        k_sig = len(tmp)
+        n_post, _ = l1_fec.l1_post_sizes(k_sig, cfg.l1_post_mod, mode.n_p2)
+        pre.l1_post_info_size = k_sig - 32
+        pre.l1_post_size = n_post // l1_fec.ETA_L1[cfg.l1_post_mod]
+        self.l1_pre, self.l1_post = pre, post
+
+    # ------------------------------------------------------------------
+    def fec_encode(self, bb_frames: list[np.ndarray]) -> np.ndarray:
+        """BB frames (scrambled K_bch bits each) -> LDPC codewords [n, N]."""
+        plp = self.plp
+        out = np.empty((len(bb_frames), plp.fec_size), dtype=np.uint8)
+        for i, frame in enumerate(bb_frames):
+            bch_cw = bch.encode(frame, self._bch_m, self._bch_t)
+            assert len(bch_cw) == plp.k_ldpc
+            out[i] = self.code.encode(bch_cw)
+        return out
+
+    def map_cells(self, codewords: np.ndarray) -> np.ndarray:
+        """LDPC codewords [n, N] -> rotated cells [n, cells_per_fec]."""
+        plp = self.plp
+        tx = bit_interleaver.tx_map(plp.constellation, plp.fec_frame,
+                                    plp.code_rate)
+        stream = codewords[:, tx]
+        return qam.map_bits(stream, plp.constellation, rotated=plp.rotation)
+
+    def interleave_frame_cells(self, cells: np.ndarray) -> np.ndarray:
+        """[n_fec, cells] -> PLP cell sequence for one T2 frame (TI applied)."""
+        plp, n_fec = self.plp, len(cells)
+        n_ti = max(1, plp.time_il_length if plp.time_il_type == 0 else 1)
+        per_ti = n_fec // n_ti
+        extra = n_fec % n_ti
+        blocks, start = [], 0
+        for j in range(n_ti):
+            f = per_ti + (1 if j >= n_ti - extra else 0)
+            blk = cells[start:start + f]
+            start += f
+            blocks.append(time_interleaver.tx_interleave(blk, f))
+        return np.concatenate(blocks)
+
+    # ------------------------------------------------------------------
+    def l1_cells(self) -> np.ndarray:
+        """L1-pre + L1-post cells for the current frame."""
+        pre_bits = l1.build_l1_pre(self.l1_pre)
+        coded_pre = l1_fec.encode_l1_pre(pre_bits)
+        pre_cells = (1.0 - 2.0 * coded_pre.astype(np.float32)).astype(np.complex64)
+
+        self.l1_post.dyn.frame_idx = self._frame_idx
+        post_bits = l1.build_l1_post_info(self.l1_post, self.l1_pre)
+        coded_post = l1_fec.encode_l1_post(post_bits, self.cfg.l1_post_mod,
+                                           self.mode.n_p2)
+        mod = self.cfg.l1_post_mod
+        if mod == 0:
+            post_cells = (1.0 - 2.0 * coded_post.astype(np.float32)).astype(np.complex64)
+        else:
+            const = {1: Constellation.QPSK, 2: Constellation.QAM16,
+                     3: Constellation.QAM64}[mod]
+            post_cells = qam.map_bits(coded_post, const, rotated=False)
+        return np.concatenate([pre_cells, post_cells])
+
+    def build_frame(self, plp_cells: np.ndarray, rng=None) -> np.ndarray:
+        """Assemble one T2 frame of OFDM symbols -> time-domain samples.
+
+        plp_cells: interleaved PLP cell sequence (starts at dyn start 0).
+        """
+        mode = self.mode
+        rng = rng or np.random.default_rng(self._frame_idx)
+        l1c = self.l1_cells()
+        total = mode.frame_cells
+        payload = np.zeros(total, dtype=np.complex64)
+        payload[:len(l1c)] = l1c
+        end = len(l1c) + len(plp_cells)
+        assert end <= total, (end, total)
+        payload[len(l1c):end] = plp_cells
+        # dummy cells: scrambled pseudo-random QPSK (clause 8.3.6.2 analogue)
+        n_dummy = total - end
+        if n_dummy:
+            payload[end:] = ((1 - 2 * rng.integers(0, 2, n_dummy))
+                             + 1j * (1 - 2 * rng.integers(0, 2, n_dummy))
+                             ).astype(np.complex64) / np.sqrt(2)
+
+        # slice payload into per-symbol cell groups
+        sym_samples = []
+        pos = 0
+        ref = pilots.reference_frame(mode)
+        for sym in range(mode.frame_symbols):
+            if sym < mode.n_p2:
+                n_cells = mode.c_p2
+            elif mode.has_fc and sym == mode.frame_symbols - 1:
+                # FC symbol maps N_FC cells of which only C_FC are payload;
+                # the rest are bias-balancing cells (zeros here)
+                n_cells = mode.n_fc
+                cells = np.zeros(n_cells, dtype=np.complex64)
+                cells[:mode.c_fc] = payload[pos:pos + mode.c_fc]
+                pos += mode.c_fc
+                h = freq_interleaver.tx_permutation(mode, n_cells, sym)
+                interleaved = np.zeros(n_cells, dtype=np.complex64)
+                interleaved[h] = cells
+                carriers = ref[sym].astype(np.complex64)
+                didx = pilots.data_cell_indices(mode, sym)
+                carriers[didx] = interleaved
+                sym_samples.append(self._ofdm_symbol(carriers))
+                continue
+            else:
+                n_cells = mode.c_data
+            cells = payload[pos:pos + n_cells]
+            pos += n_cells
+            h = freq_interleaver.tx_permutation(mode, n_cells, sym)
+            interleaved = np.zeros(n_cells, dtype=np.complex64)
+            interleaved[h] = cells
+            carriers = ref[sym].astype(np.complex64)
+            didx = pilots.data_cell_indices(mode, sym)
+            carriers[didx] = interleaved
+            sym_samples.append(self._ofdm_symbol(carriers))
+        assert pos == total
+        self._frame_idx += 1
+        return np.concatenate([p1.generate(self.l1_pre.s1,
+                                           self.l1_pre.s2_field1 * 2
+                                           + self.l1_pre.s2_field2)]
+                              + sym_samples)
+
+    def _ofdm_symbol(self, carriers: np.ndarray) -> np.ndarray:
+        mode = self.mode
+        spec = np.zeros(mode.fft_size, dtype=np.complex64)
+        bins = np.mod(mode.left_nulls + np.arange(mode.k_total)
+                      - mode.fft_size // 2, mode.fft_size)
+        spec[bins] = carriers
+        x = np.fft.ifft(spec).astype(np.complex64)
+        x *= mode.fft_size / np.sqrt(mode.k_total)
+        return np.concatenate([x[-mode.guard_size:], x])
+
+    # ------------------------------------------------------------------
+    def modulate(self, ts_bytes: np.ndarray) -> np.ndarray:
+        """TS stream -> IQ for as many complete T2 frames as data allows."""
+        frames_iq = []
+        bb = self.packer.pack(ts_bytes)
+        per_frame = self.cfg.fec_blocks_per_frame
+        n_frames = len(bb) // per_frame
+        for f in range(n_frames):
+            cw = self.fec_encode(bb[f * per_frame:(f + 1) * per_frame])
+            cells = self.map_cells(cw)
+            plp_cells = self.interleave_frame_cells(cells)
+            frames_iq.append(self.build_frame(plp_cells))
+        return np.concatenate(frames_iq) if frames_iq else np.empty(0, np.complex64)
+
+
+def random_ts_stream(n_packets: int, seed: int = 0) -> np.ndarray:
+    """Synthetic TS packets: sync byte + PID header-ish + random payload."""
+    rng = np.random.default_rng(seed)
+    pkts = rng.integers(0, 256, size=(n_packets, 188), dtype=np.uint8)
+    pkts[:, 0] = 0x47
+    cc = np.arange(n_packets) % 16
+    pkts[:, 1] = 0x00
+    pkts[:, 2] = 0x64
+    pkts[:, 3] = (0x10 | cc).astype(np.uint8)
+    return pkts.reshape(-1)

@@ -22,7 +22,7 @@ import functools
 import numpy as np
 
 _PRIM_POLY = {16: (16, 5, 3, 2, 0), 14: (14, 5, 3, 1, 0)}
-T_ERRORS = 12
+DEFAULT_T = 12
 
 
 class GF2m:
@@ -89,25 +89,25 @@ def _minimal_poly(gf: GF2m, e: int) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
-def generator_poly(m: int) -> np.ndarray:
-    """Generator polynomial coefficients (low->high), degree 12*m."""
+def generator_poly(m: int, t: int = DEFAULT_T) -> np.ndarray:
+    """Generator polynomial coefficients (low->high), degree t*m."""
     gf = field(m)
     g = np.array([1], dtype=np.uint8)
-    for i in range(1, 2 * T_ERRORS, 2):
+    for i in range(1, 2 * t, 2):
         mp = _minimal_poly(gf, i)
         conv = np.zeros(len(g) + len(mp) - 1, dtype=np.int64)
         for k, c in enumerate(mp):
             if c:
                 conv[k:k + len(g)] ^= g
         g = (conv & 1).astype(np.uint8)
-    assert len(g) - 1 == T_ERRORS * m
+    assert len(g) - 1 == t * m
     return g
 
 
 @functools.lru_cache(maxsize=None)
-def _remainder_rows(k: int, m: int) -> np.ndarray:
-    """R[i] = x^(n-1-i) mod g(x) as bits [k, 12*m] (parity high power first)."""
-    g = generator_poly(m)
+def _remainder_rows(k: int, m: int, t: int = DEFAULT_T) -> np.ndarray:
+    """R[i] = x^(n-1-i) mod g(x) as bits [k, t*m] (parity high power first)."""
+    g = generator_poly(m, t)
     nk = len(g) - 1
     gbits = g[:nk][::-1].astype(np.uint8)        # x^(nk-1) .. x^0 coefficients
     # state = current power's remainder, coefficients high->low
@@ -133,48 +133,48 @@ def _shift_mod(state: np.ndarray, gbits: np.ndarray) -> np.ndarray:
     return out
 
 
-def encode(msg_bits: np.ndarray, m: int) -> np.ndarray:
-    """[..., k] -> [..., k + 12*m] systematic BCH codeword(s)."""
+def encode(msg_bits: np.ndarray, m: int, t: int = DEFAULT_T) -> np.ndarray:
+    """[..., k] -> [..., k + t*m] systematic BCH codeword(s)."""
     msg_bits = np.asarray(msg_bits, dtype=np.uint8)
     k = msg_bits.shape[-1]
-    rows = _remainder_rows(k, m)
+    rows = _remainder_rows(k, m, t)
     parity = np.mod(msg_bits.astype(np.int64) @ rows.astype(np.int64), 2)
     return np.concatenate([msg_bits, parity.astype(np.uint8)], axis=-1)
 
 
-def parity_check_matrix(k: int, m: int) -> np.ndarray:
-    """[k + 12m, 12m] uint8 H^T such that codeword @ H^T == 0 (mod 2)."""
-    rows = _remainder_rows(k, m)
-    eye = np.eye(T_ERRORS * m, dtype=np.uint8)
+def parity_check_matrix(k: int, m: int, t: int = DEFAULT_T) -> np.ndarray:
+    """[k + t*m, t*m] uint8 H^T such that codeword @ H^T == 0 (mod 2)."""
+    rows = _remainder_rows(k, m, t)
+    eye = np.eye(t * m, dtype=np.uint8)
     return np.concatenate([rows, eye], axis=0)
 
 
-def syndromes(cw: np.ndarray, m: int) -> np.ndarray:
+def syndromes(cw: np.ndarray, m: int, t: int = DEFAULT_T) -> np.ndarray:
     """S_j = r(alpha^j) for j = 1..2t; [2t] field elements."""
     gf = field(m)
     n = len(cw)
     pos = np.nonzero(np.asarray(cw, dtype=np.uint8))[0]
     e = (n - 1 - pos).astype(np.int64)            # exponents of set terms
-    j = np.arange(1, 2 * T_ERRORS + 1)[:, None]
+    j = np.arange(1, 2 * t + 1)[:, None]
     vals = gf.pow_alpha(j * e[None, :])
-    return np.bitwise_xor.reduce(vals, axis=1) if len(pos) else np.zeros(2 * T_ERRORS, dtype=np.int64)
+    return np.bitwise_xor.reduce(vals, axis=1) if len(pos) else np.zeros(2 * t, dtype=np.int64)
 
 
-def decode(cw: np.ndarray, m: int) -> tuple[np.ndarray, int]:
-    """Correct up to t=12 errors in place; returns (corrected, n_errors).
+def decode(cw: np.ndarray, m: int, t: int = DEFAULT_T) -> tuple[np.ndarray, int]:
+    """Correct up to t errors in place; returns (corrected, n_errors).
 
     n_errors = -1 signals decoding failure (uncorrectable).
     """
     cw = np.asarray(cw, dtype=np.uint8).copy()
-    s = syndromes(cw, m)
+    s = syndromes(cw, m, t)
     if not s.any():
         return cw, 0
     gf = field(m)
     # Berlekamp-Massey over GF(2^m)
-    C = np.zeros(2 * T_ERRORS + 1, dtype=np.int64); C[0] = 1
+    C = np.zeros(2 * t + 1, dtype=np.int64); C[0] = 1
     B = C.copy()
     L, mm, b = 0, 1, 1
-    for nn in range(2 * T_ERRORS):
+    for nn in range(2 * t):
         d = s[nn]
         for i in range(1, L + 1):
             d ^= gf.mul(C[i], s[nn - i])
@@ -193,7 +193,7 @@ def decode(cw: np.ndarray, m: int) -> tuple[np.ndarray, int]:
             shifted[mm:] = B[:len(B) - mm]
             C ^= gf.mul(coef, shifted)
             mm += 1
-    if L > T_ERRORS:
+    if L > t:
         return cw, -1
     # Chien search: roots of C(x); error at position i iff C(alpha^-(n-1-i)) == 0
     n = len(cw)
@@ -208,6 +208,6 @@ def decode(cw: np.ndarray, m: int) -> tuple[np.ndarray, int]:
     if len(err_pos) != L:
         return cw, -1
     cw[err_pos] ^= 1
-    if syndromes(cw, m).any():
+    if syndromes(cw, m, t).any():
         return cw, -1
     return cw, int(L)

@@ -453,6 +453,17 @@ class PlpConfig:
         return self.n_bch
 
     @property
+    def bch_m(self) -> int:
+        """Galois field degree: GF(2^16) normal, GF(2^14) short."""
+        return 16 if self.fec_frame == FecFrame.NORMAL else 14
+
+    @property
+    def bch_t(self) -> int:
+        """Error-correcting capability (12 for most rates, 10 for normal
+        2/3 and 5/6 whose parity field is 160 bits; EN 302 755 table 6a)."""
+        return (self.n_bch - self.k_bch) // self.bch_m
+
+    @property
     def ldpc_table_name(self) -> str:
         return LDPC_TABLE_NAME[(self.fec_frame, self.code_rate)]
 
