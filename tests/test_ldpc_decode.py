@@ -1,0 +1,49 @@
+"""LDPC decoder tests (CPU, small codes/batches for speed)."""
+import numpy as np
+import pytest
+
+from sdr_receiver_dvb_t2_tpu.params import ldpc
+from sdr_receiver_dvb_t2_tpu.ops.ldpc_decode import make_decoder
+
+
+def _noisy_llr(code, B, snr_db, seed=0):
+    rng = np.random.default_rng(seed)
+    bits = rng.integers(0, 2, size=(B, code.k), dtype=np.uint8)
+    cw = code.encode(bits)
+    sigma = 10 ** (-snr_db / 20)
+    x = 1.0 - 2.0 * cw.astype(np.float32)
+    y = x + sigma * rng.standard_normal(cw.shape).astype(np.float32)
+    llr = np.clip(np.round(4 * y / sigma ** 2), -127, 127).astype(np.float32)
+    return cw, llr
+
+
+@pytest.mark.parametrize("name,snr", [("SHORT_C1_2", 1.5), ("SHORT_C3_4", 5.0)])
+def test_decode_corrects_awgn(name, snr):
+    code = ldpc.get_code(name)
+    cw, llr = _noisy_llr(code, B=4, snr_db=snr)
+    dec = make_decoder(name, max_iters=40)
+    hard, ok, iters = dec(llr)
+    assert np.array(ok).all()
+    assert (np.array(hard) == cw).all()
+    assert int(iters) > 0
+
+
+def test_decode_clean_zero_iters():
+    code = ldpc.get_code("SHORT_C1_2")
+    cw, _ = _noisy_llr(code, B=2, snr_db=50)
+    llr = (1.0 - 2.0 * cw.astype(np.float32)) * 32
+    dec = make_decoder("SHORT_C1_2", max_iters=40)
+    hard, ok, iters = dec(llr)
+    assert np.array(ok).all()
+    assert int(iters) == 0
+    assert (np.array(hard) == cw).all()
+
+
+def test_decode_reports_failure_on_garbage():
+    code = ldpc.get_code("SHORT_C1_2")
+    rng = np.random.default_rng(3)
+    llr = rng.integers(-20, 20, size=(2, code.n)).astype(np.float32)
+    dec = make_decoder("SHORT_C1_2", max_iters=8)
+    _, ok, iters = dec(llr)
+    assert not np.array(ok).any()
+    assert int(iters) == 8
