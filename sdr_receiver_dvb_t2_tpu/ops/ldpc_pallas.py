@@ -1,0 +1,280 @@
+"""Pallas TPU kernel: layered offset-min-sum LDPC decoder.
+
+The speed-of-light layout for DVB-T2's quasi-cyclic codes on TPU:
+
+* the 360-lane cyclic group dimension lives on *sublanes* (360 = 45 x 8),
+  so every Tanner edge is a hardware `tpu.dynamic_rotate` of a [360, B]
+  tile; the codeword batch B = 128 fills the lane dimension exactly;
+* posterior LLRs (lambda) stay resident in VMEM as bfloat16 for the whole
+  decode (integral values <= 256, so bf16 is exact);
+* per-layer check-to-variable messages (int8, |m| <= 32) stream from HBM
+  through a VMEM bounce buffer layer by layer;
+* layered scheduling: each check row (q rows of 360 checks) updates the
+  posteriors in place, halving the iterations a flooding schedule needs.
+
+Message algebra matches the reference AVX2 decoder (offset-min-sum beta=1,
+clamp [-32,31]; /root/reference/src/DVB_T2/LDPC/algorithms.hh:250-291,
+layered update layered_decoder.hh:83-110) but batches 128 codewords per
+kernel invocation instead of 32 SIMD lanes.
+
+Early exit: a lax.while_loop leaves once an iteration observes all parity
+checks of all 128 codewords satisfied (pre-update, like the reference's
+bad()); per-codeword success flags are returned.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..params import ldpc
+from .ldpc_decode import get_plan
+
+M = 360
+_BIG = 3.0e4
+
+
+def _build_tables(plan):
+    q, cnl = plan.q, plan.cnl
+    g_tab = np.zeros((q, cnl), dtype=np.int32)
+    s_tab = np.zeros((q, cnl), dtype=np.int32)
+    cnt = np.zeros((q,), dtype=np.int32)
+    for i, es in enumerate(plan.edges_by_row):
+        cnt[i] = len(es)
+        for slot, (g, s, _) in enumerate(es):
+            g_tab[i, slot] = g
+            s_tab[i, slot] = s
+    return g_tab, s_tab, cnt
+
+
+def make_pallas_decoder(table_name: str, batch: int = 128,
+                        max_iters: int = 15, beta: float = 1.0,
+                        n_tiles: int = 1, interpret: bool = False):
+    """Returns decode(llr[B, N]) -> (hard[B, N] int8, ok[B] bool, iters).
+
+    B must equal ``batch * n_tiles`` (pad externally); each 128-codeword
+    tile is one grid step with its own early-exit while_loop, so the fixed
+    kernel dispatch overhead amortizes across tiles.  LLRs should be
+    integral-valued (int8-scale); convention: positive = bit 0.
+    """
+    plan = get_plan(table_name)
+    k, r, q, cnl, g_data = plan.k, plan.r, plan.q, plan.cnl, plan.g_data
+    c_tot = cnl + 2
+    B = batch
+    g_tab_np, s_tab_np, cnt_np = _build_tables(plan)
+
+    def kernel(g_tab, s_tab, cnt_tab, ch_data, ch_par, c2v_hbm,
+               lam_ref, par_ref, ok_ref, c2v_out,
+               tbuf, cbuf, unsat_ref, sem):
+        sub_iota = jax.lax.broadcasted_iota(jnp.int32, (M, B), 0)
+        sub0_mask = sub_iota == 0
+        sub_last_mask = sub_iota == M - 1
+        # initialize posteriors from channel LLRs
+        lam_ref[...] = ch_data[...]
+        par_ref[...] = ch_par[...]
+
+        tile = pl.program_id(0)
+
+        def load_layer(i):
+            cp = pltpu.make_async_copy(c2v_hbm.at[tile, i], cbuf, sem)
+            cp.start()
+            cp.wait()
+
+        def store_layer(i):
+            cp = pltpu.make_async_copy(cbuf, c2v_out.at[tile, i], sem)
+            cp.start()
+            cp.wait()
+
+        def layer_body(i, _):
+            load_layer(i)
+            m1 = jnp.full((M, B), _BIG, jnp.float32)
+            m2 = jnp.full((M, B), _BIG, jnp.float32)
+            idx = jnp.zeros((M, B), jnp.int32)
+            par_acc = jnp.zeros((M, B), jnp.int32)      # sign parity
+            syn_acc = jnp.zeros((M, B), jnp.int32)      # syndrome parity
+            cnt_i = cnt_tab[i]
+
+            def slab_for(slot):
+                g = g_tab[i, slot]
+                s = s_tab[i, slot]
+                lam_g = lam_ref[0, pl.ds(g, 1)].reshape(M, B).astype(jnp.float32)
+                return pltpu.roll(lam_g, s, axis=0)
+
+            # ---------------- pass 1: gather, mins, signs ----------------
+            for slot in range(cnl):
+                valid = slot < cnt_i
+                slab = jnp.where(valid, slab_for(slot), _BIG)
+                old = cbuf[slot].astype(jnp.float32)
+                t = jnp.where(valid, slab - old, _BIG)
+                tbuf[slot] = t.astype(jnp.bfloat16)
+                syn_acc = syn_acc + jnp.logical_and(valid, slab < 0).astype(jnp.int32)
+                mag = jnp.maximum(jnp.abs(t) - beta, 0.0)
+                mag = jnp.where(valid, mag, _BIG)
+                par_acc = par_acc + jnp.logical_and(valid, t < 0).astype(jnp.int32)
+                better = mag < m1
+                m2 = jnp.where(better, m1, jnp.minimum(m2, mag))
+                idx = jnp.where(better, slot, idx)
+                m1 = jnp.minimum(m1, mag)
+
+            # parity self slot (index cnl)
+            p_self = par_ref[0, pl.ds(i, 1)].reshape(M, B).astype(jnp.float32)
+            old_self = cbuf[cnl].astype(jnp.float32)
+            t = p_self - old_self
+            tbuf[cnl] = t.astype(jnp.bfloat16)
+            syn_acc = syn_acc + (p_self < 0).astype(jnp.int32)
+            mag = jnp.maximum(jnp.abs(t) - beta, 0.0)
+            par_acc = par_acc + (t < 0).astype(jnp.int32)
+            better = mag < m1
+            m2 = jnp.where(better, m1, jnp.minimum(m2, mag))
+            idx = jnp.where(better, cnl, idx)
+            m1 = jnp.minimum(m1, mag)
+
+            # parity prev slot (index cnl+1)
+            ip = jnp.where(i > 0, i - 1, q - 1)
+            p_prev_raw = par_ref[0, pl.ds(ip, 1)].reshape(M, B).astype(jnp.float32)
+            p_prev = jnp.where(
+                i > 0, p_prev_raw,
+                jnp.where(sub0_mask, _BIG, pltpu.roll(p_prev_raw, 1, axis=0)))
+            old_prev = cbuf[cnl + 1].astype(jnp.float32)
+            t = jnp.where(p_prev >= _BIG, _BIG, p_prev - old_prev)
+            tbuf[cnl + 1] = t.astype(jnp.bfloat16)
+            valid_prev = p_prev < _BIG
+            syn_acc = syn_acc + jnp.logical_and(valid_prev, p_prev < 0).astype(jnp.int32)
+            mag = jnp.where(valid_prev, jnp.maximum(jnp.abs(t) - beta, 0.0), _BIG)
+            par_acc = par_acc + jnp.logical_and(valid_prev, t < 0).astype(jnp.int32)
+            better = mag < m1
+            m2 = jnp.where(better, m1, jnp.minimum(m2, mag))
+            idx = jnp.where(better, cnl + 1, idx)
+            m1 = jnp.minimum(m1, mag)
+
+            unsat_ref[0] = unsat_ref[0] + jnp.sum(
+                (syn_acc % 2).astype(jnp.float32), axis=0, keepdims=True)
+            sign_par = (par_acc % 2) == 1                 # [M, B] bool
+
+            # ---------------- pass 2: emit messages, update -------------
+            def emit(slot):
+                t = tbuf[slot].astype(jnp.float32)
+                old = cbuf[slot].astype(jnp.float32)
+                mag_out = jnp.where(idx == slot, m2, m1)
+                t_neg = t < 0
+                out_neg = jnp.logical_xor(sign_par, t_neg)
+                msg = jnp.clip(jnp.where(out_neg, -mag_out, mag_out), -32.0, 31.0)
+                delta = msg - old
+                return msg, delta
+
+            for slot in range(cnl):
+                valid = slot < cnt_i
+
+                @pl.when(valid)
+                def _():
+                    msg, delta = emit(slot)
+                    g = g_tab[i, slot]
+                    s = s_tab[i, slot]
+                    lam_g = lam_ref[0, pl.ds(g, 1)].reshape(M, B).astype(jnp.float32)
+                    upd = lam_g + pltpu.roll(delta, jnp.mod(M - s, M), axis=0)
+                    upd = jnp.clip(upd, -127.0, 127.0)
+                    lam_ref[0, pl.ds(g, 1)] = upd.astype(jnp.bfloat16).reshape(1, M, B)
+                    cbuf[slot] = msg.astype(jnp.int8)
+
+            msg, delta = emit(cnl)
+            p_self = par_ref[0, pl.ds(i, 1)].reshape(M, B).astype(jnp.float32)
+            par_ref[0, pl.ds(i, 1)] = jnp.clip(p_self + delta, -127.0, 127.0
+                                               ).astype(jnp.bfloat16).reshape(1, M, B)
+            cbuf[cnl] = msg.astype(jnp.int8)
+
+            msg, delta = emit(cnl + 1)
+            delta = jnp.where(valid_prev, delta, 0.0)
+            delta_b = jnp.where(
+                i > 0, delta,
+                jnp.where(sub_last_mask, 0.0, pltpu.roll(delta, M - 1, axis=0)))
+            p_tgt = par_ref[0, pl.ds(ip, 1)].reshape(M, B).astype(jnp.float32)
+            par_ref[0, pl.ds(ip, 1)] = jnp.clip(p_tgt + delta_b, -127.0, 127.0
+                                                ).astype(jnp.bfloat16).reshape(1, M, B)
+            cbuf[cnl + 1] = jnp.where(valid_prev, msg, 0.0).astype(jnp.int8)
+
+            store_layer(i)
+            return 0
+
+        def iter_cond(state):
+            it, done = state
+            return jnp.logical_and(it < max_iters, jnp.logical_not(done))
+
+        def iter_body(state):
+            it, _ = state
+            unsat_ref[0] = jnp.zeros((1, B), jnp.float32)
+            jax.lax.fori_loop(0, q, layer_body, 0)
+            done = jnp.sum(unsat_ref[0]) == 0.0
+            return it + 1, done
+
+        it, _ = jax.lax.while_loop(iter_cond, iter_body, (0, False))
+        ok = jnp.broadcast_to((unsat_ref[0] == 0.0), (1, 1, B)).astype(jnp.int8)
+        itv = jnp.full((1, 7, B), it, jnp.int8)
+        ok_ref[...] = jnp.concatenate([ok, itv], axis=1)
+
+    g_tab = jnp.asarray(g_tab_np)
+    s_tab = jnp.asarray(s_tab_np)
+    cnt_tab = jnp.asarray(cnt_np)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, g_data, M, B), lambda i, *_: (i, 0, 0, 0)),
+            pl.BlockSpec((1, q, M, B), lambda i, *_: (i, 0, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, g_data, M, B), lambda i, *_: (i, 0, 0, 0)),
+            pl.BlockSpec((1, q, M, B), lambda i, *_: (i, 0, 0, 0)),
+            pl.BlockSpec((1, 8, B), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((c_tot, M, B), jnp.bfloat16),     # tbuf
+            pltpu.VMEM((c_tot, M, B), jnp.int8),         # cbuf
+            pltpu.VMEM((1, 1, B), jnp.float32),          # unsat
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+
+    T = n_tiles
+    pallas_fn = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((T, g_data, M, B), jnp.bfloat16),
+            jax.ShapeDtypeStruct((T, q, M, B), jnp.bfloat16),
+            jax.ShapeDtypeStruct((T, 8, B), jnp.int8),
+            jax.ShapeDtypeStruct((T, q, c_tot, M, B), jnp.int8),
+        ],
+        input_output_aliases={5: 3},     # c2v scratch aliased in-place
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )
+
+    @jax.jit
+    def decode(llr):
+        assert llr.shape == (T * B, plan.n), (llr.shape, (T * B, plan.n))
+        llr = jnp.clip(llr.astype(jnp.float32), -127, 127)
+        # data part: [T*B, K] -> [T, G, 360, B]
+        ch_data = llr[:, :k].reshape(T, B, g_data, M).transpose(0, 2, 3, 1)
+        # parity part permuted: P[i, j] = p[q*j + i] -> [T, q, 360, B]
+        ch_par = llr[:, k:].reshape(T, B, M, q).transpose(0, 3, 2, 1)
+        c2v0 = jnp.zeros((T, q, c_tot, M, B), jnp.int8)
+        lam, par, stats, _ = pallas_fn(
+            g_tab, s_tab, cnt_tab,
+            ch_data.astype(jnp.bfloat16), ch_par.astype(jnp.bfloat16), c2v0)
+        hard_data = (lam < 0).transpose(0, 3, 1, 2).reshape(T * B, k)
+        hard_par = (par < 0).transpose(0, 3, 2, 1).reshape(T * B, r)
+        hard = jnp.concatenate([hard_data, hard_par], axis=1).astype(jnp.int8)
+        ok = stats[:, 0, :].reshape(T * B).astype(bool)
+        iters = jnp.max(stats[:, 1, :].astype(jnp.int32))
+        return hard, ok, iters
+
+    return decode
