@@ -1,0 +1,203 @@
+"""TPU receiver: the device data plane + host control plane.
+
+Replaces the reference's 7-QThread pipeline (SURVEY.md section 1) with a
+single fused, jitted frame processor on the device and a thin host control
+loop:
+
+  device (one jit per frame batch):
+      symbol framing -> batched FFT -> pilot equalization + frequency
+      deinterleave -> time/cell/bit deinterleave + rotated-QAM soft demap
+      -> int8 LLR codewords                                  [ops/*]
+  device (Pallas):
+      layered min-sum LDPC over 128-codeword lanes           [ops/ldpc_pallas]
+  device:
+      BCH syndrome screen (MXU GF(2) matmul)                 [ops/bch_ops]
+  host:
+      L1 parsing (once per config change), rare BCH corrections, BB frame
+      de-encapsulation to TS bytes, tracking-loop state.
+
+Feedback loops (CFO / common phase / sampling rate) are block-recurrent:
+estimates measured on frame batch N are applied to batch N+1 by the
+streaming front-end (ops/resampler.py), instead of the reference's
+per-sample IIR loops (dvbt2_demodulator.cpp:151-192).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..io.bbframe import BBFrameParser
+from ..ops import bch_ops, equalizer, llr as llr_ops, ofdm
+from ..params import l1 as l1_mod
+from ..params.modes import (T2Mode, PlpConfig, Constellation, CodeRate,
+                            FecFrame, PilotPattern, GuardInterval, FftMode)
+from . import receiver_ref
+
+
+@dataclasses.dataclass
+class RxConfig:
+    mode: T2Mode
+    plp: PlpConfig
+    n_fec_per_frame: int
+    n_ti: int
+    ldpc_max_iters: int = 15
+    use_pallas: bool | None = None      # None = auto (TPU only)
+
+
+@dataclasses.dataclass
+class FrameBatchResult:
+    ts_bytes: np.ndarray
+    ldpc_ok: np.ndarray
+    bch_clean: np.ndarray
+    bch_corrected: np.ndarray
+    snr_db: float
+    ldpc_iters: int
+    diag: dict
+
+
+def config_from_l1(mode_hint: T2Mode, pre: l1_mod.L1Pre,
+                   post: l1_mod.L1Post, plp_idx: int = 0) -> RxConfig:
+    """Build the receiver configuration from decoded L1 signalling."""
+    p = post.plp[plp_idx]
+    mode = T2Mode(
+        fft_mode=mode_hint.fft_mode,
+        guard=GuardInterval(pre.guard_interval),
+        pilot_pattern=PilotPattern(pre.pilot_pattern),
+        extended_carriers=bool(pre.bwt_ext),
+        n_data_symbols=pre.num_data_symbols,
+    )
+    plp = PlpConfig(
+        plp_id=p.id,
+        constellation=Constellation(p.plp_mod),
+        rotation=bool(p.plp_rotation),
+        code_rate=CodeRate(p.plp_cod),
+        fec_frame=FecFrame(p.plp_fec_type),
+        num_blocks_max=p.plp_num_blocks_max,
+        time_il_length=p.time_il_length,
+        time_il_type=p.time_il_type,
+    )
+    n_fec = post.dyn.plp[plp_idx].num_blocks
+    n_ti = max(1, p.time_il_length if p.time_il_type == 0 else 1)
+    return RxConfig(mode=mode, plp=plp, n_fec_per_frame=n_fec, n_ti=n_ti)
+
+
+class TpuReceiver:
+    """Steady-state frame-batch receiver for one PLP."""
+
+    def __init__(self, cfg: RxConfig, ldpc_batch: int | None = None):
+        self.cfg = cfg
+        self.mode = cfg.mode.validate()
+        self.plp = cfg.plp
+        self.eq_plan = equalizer.get_plan(self.mode)
+        self.demap_plan = llr_ops.get_plan(cfg.plp, cfg.n_fec_per_frame,
+                                           cfg.n_ti)
+        self.oracle = receiver_ref.ReferenceReceiver(self.mode)
+        self.bb = BBFrameParser()
+        on_tpu = any(d.platform == "tpu" for d in jax.devices())
+        self.use_pallas = cfg.use_pallas if cfg.use_pallas is not None else on_tpu
+
+        self._frame_fn = jax.jit(self._frames_to_llr)
+        self._ldpc_batch = ldpc_batch
+        self._decoder = None
+
+    # ------------------------------------------------------------------
+    def _frames_to_llr(self, frames_iq: jnp.ndarray):
+        """[F, frame_samples] -> (llr [F*n_fec, N], diag pytree)."""
+        mode, cfg = self.mode, self.cfg
+
+        def one(frame):
+            carriers, gi_cfo = ofdm.demod_frame(frame, mode)
+            payload, diag = equalizer.equalize_frame(carriers, self.eq_plan)
+            start = l1_mod.L1_PRE_CELLS + self._l1_post_cells
+            plp_cells = jax.lax.dynamic_slice(
+                payload, (start,),
+                (cfg.n_fec_per_frame * self.plp.cells_per_fec_block,))
+            llr, snr = llr_ops.demap_frame(plp_cells, self.demap_plan)
+            diag["gi_cfo"] = gi_cfo
+            diag["snr_db"] = snr
+            return llr, diag
+
+        llrs, diags = jax.vmap(one)(frames_iq)
+        n = llrs.shape[0] * llrs.shape[1]
+        return llrs.reshape(n, -1), diags
+
+    # ------------------------------------------------------------------
+    def acquire_l1(self, frame_iq: np.ndarray):
+        """Host path: demodulate one frame and decode L1 (oracle logic)."""
+        carriers = self.oracle.demod_symbols(np.asarray(frame_iq))
+        payload = self.oracle.equalize_deinterleave(carriers)
+        pre, post, _ = self.oracle.decode_l1(payload)
+        return pre, post
+
+    @functools.cached_property
+    def _l1_post_cells(self) -> int:
+        pre, _post = self.acquire_l1(self._first_frame)
+        assert pre is not None, "L1-pre CRC failed during acquisition"
+        return pre.l1_post_size
+
+    def prime(self, first_frame_iq: np.ndarray):
+        """Provide one frame for L1 acquisition before streaming."""
+        self._first_frame = np.asarray(first_frame_iq)
+        _ = self._l1_post_cells
+        return self
+
+    # ------------------------------------------------------------------
+    def _get_decoder(self, n_codewords: int):
+        from ..ops import ldpc_decode, ldpc_pallas
+        if self._decoder is not None:
+            return self._decoder
+        if self.use_pallas:
+            tiles = max(1, -(-n_codewords // 128))
+            self._ldpc_batch = tiles * 128
+            self._decoder = ldpc_pallas.make_pallas_decoder(
+                self.plp.ldpc_table_name, batch=128, n_tiles=tiles,
+                max_iters=self.cfg.ldpc_max_iters)
+        else:
+            self._ldpc_batch = n_codewords
+            self._decoder = ldpc_decode.make_decoder(
+                self.plp.ldpc_table_name, max_iters=self.cfg.ldpc_max_iters)
+        return self._decoder
+
+    # ------------------------------------------------------------------
+    def receive(self, frames_iq: np.ndarray) -> FrameBatchResult:
+        """[F, frame_samples] -> decoded TS bytes + statistics."""
+        frames_iq = jnp.asarray(frames_iq)
+        llr, diags = self._frame_fn(frames_iq)
+        n_cw = llr.shape[0]
+        decoder = self._get_decoder(n_cw)
+        if self._ldpc_batch > n_cw:
+            pad = jnp.zeros((self._ldpc_batch - n_cw, llr.shape[1]), llr.dtype)
+            llr_in = jnp.concatenate([llr, pad], axis=0)
+        else:
+            llr_in = llr
+        hard, ok, iters = decoder(llr_in)
+        hard, ok = hard[:n_cw], ok[:n_cw]
+        clean = bch_ops.syndrome_flags(hard[:, :self.plp.n_bch], self.plp)
+
+        hard_np = np.asarray(hard[:, :self.plp.n_bch], dtype=np.uint8)
+        clean_np = np.asarray(clean)
+        corrected = np.zeros(n_cw, dtype=np.int64)
+        bb_frames = []
+        for i in range(n_cw):
+            if clean_np[i]:
+                bb_frames.append(hard_np[i, :self.plp.k_bch])
+            else:
+                bits, nerr = bch_ops.correct_host(hard_np[i], self.plp)
+                corrected[i] = nerr
+                bb_frames.append(bits)
+        ts = [self.bb.parse(f) for f in bb_frames]
+        ts_bytes = (np.concatenate([t for t in ts if len(t)])
+                    if any(len(t) for t in ts) else np.empty(0, np.uint8))
+        return FrameBatchResult(
+            ts_bytes=ts_bytes,
+            ldpc_ok=np.asarray(ok),
+            bch_clean=clean_np,
+            bch_corrected=corrected,
+            snr_db=float(np.mean(np.asarray(diags["snr_db"]))),
+            ldpc_iters=int(iters),
+            diag={k: np.asarray(v) for k, v in diags.items()},
+        )

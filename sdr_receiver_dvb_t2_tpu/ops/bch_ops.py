@@ -1,0 +1,40 @@
+"""Device-side BCH syndrome screening (MXU GF(2) matmul).
+
+The all-but-certain case after a successful LDPC decode is "no residual
+errors"; checking that is a GF(2) inner product of the codeword with the
+parity-check matrix — a dense f32 matmul on the MXU followed by mod-2.
+Only flagged codewords take the host Berlekamp-Massey path
+(params/bch.py), which the reference never implemented at all
+(/root/reference/src/DVB_T2/bch_decoder.cpp:130).
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..params import bch
+from ..params.modes import PlpConfig
+
+
+@functools.lru_cache(maxsize=None)
+def _h_matrix(k_bch: int, m: int, t: int):
+    h = bch.parity_check_matrix(k_bch, m, t).astype(np.float32)
+    return np.asarray(h)
+
+
+def syndrome_flags(cw_bits: jnp.ndarray, plp: PlpConfig) -> jnp.ndarray:
+    """[B, n_bch] hard bits (0/1) -> [B] bool, True = syndrome clean."""
+    h = _h_matrix(plp.k_bch, plp.bch_m, plp.bch_t)
+    s = jnp.dot(cw_bits.astype(jnp.float32), h,
+                preferred_element_type=jnp.float32)
+    s = jnp.mod(s, 2.0)
+    return jnp.logical_not(jnp.any(s > 0.5, axis=1))
+
+
+def correct_host(cw_bits: np.ndarray, plp: PlpConfig):
+    """Host-side BM/Chien correction; [n_bch] -> (k_bch bits, n_err)."""
+    fixed, nerr = bch.decode(cw_bits, plp.bch_m, plp.bch_t)
+    return fixed[:plp.k_bch], nerr

@@ -1,0 +1,168 @@
+"""Pilot-referenced channel estimation, equalization and frequency
+deinterleaving as one fused, fully vectorized JAX stage.
+
+The reference walks each symbol's carriers serially, linearly interpolating
+pilot angle/amplitude between consecutive pilots and scattering equalized
+cells through the frequency deinterleaver LUT
+(/root/reference/src/DVB_T2/data_symbol.cpp:98-318, p2_symbol.cpp:76-280).
+Here the same math runs as batched tensor ops over a whole frame:
+
+* pilot gathers via per-symbol padded index tables,
+* phase interpolation in the angle domain with wrap handling (like the
+  reference), amplitude linear,
+* equalize + frequency-deinterleave + payload assembly as one static gather.
+
+Per-symbol diagnostics mirror the reference's tracking discriminators:
+common phase offset (sum of pilot phasors per half-spectrum,
+data_symbol.cpp:300-303) and a sample-rate-offset discriminator from
+continual-pilot phase drift between consecutive symbols
+(data_symbol.cpp:165,263-265; restricted here to always-present pilots so
+the whole frame vectorizes).
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..params import freq_interleaver, pilots
+from ..params.modes import T2Mode
+from ..params import l1 as l1_mod
+
+
+class EqualizerPlan:
+    """Precomputed per-frame index tables (NumPy -> device constants)."""
+
+    def __init__(self, mode: T2Mode):
+        self.mode = mode
+        L, K = mode.frame_symbols, mode.k_total
+        pilot_idx, ref_vals, amp_vals = [], [], []
+        data_idx, left_ord, frac = [], [], []
+        n_pilots, n_data = [], []
+        always_pilot = None
+
+        for l in range(L):
+            cmap = pilots.carrier_map_for_symbol(mode, l)
+            ref = pilots.reference_symbol(mode, l)
+            is_pilot = ref != 0
+            pidx = np.nonzero(is_pilot)[0]
+            didx = np.nonzero(cmap == pilots.DATA)[0]
+            n_pilots.append(len(pidx))
+            n_data.append(len(didx))
+            pilot_idx.append(pidx)
+            ref_vals.append(np.sign(ref[pidx]).astype(np.float32))
+            amp_vals.append(np.abs(ref[pidx]).astype(np.float32))
+            # left pilot ordinal & fraction for each data carrier
+            lo = np.searchsorted(pidx, didx) - 1
+            lo = np.clip(lo, 0, len(pidx) - 2)
+            pl_, pr = pidx[lo], pidx[lo + 1]
+            fr = (didx - pl_) / np.maximum(pr - pl_, 1)
+            data_idx.append(didx)
+            left_ord.append(lo)
+            frac.append(fr.astype(np.float32))
+            ap = is_pilot if always_pilot is None else (always_pilot & is_pilot)
+            always_pilot = ap
+
+        self.p_max = max(n_pilots)
+        self.d_max = max(n_data)
+        self.n_pilots = np.array(n_pilots)
+        self.n_data = np.array(n_data)
+
+        def pad(rows, width, fill):
+            out = np.full((L, width), fill, dtype=rows[0].dtype)
+            for i, r in enumerate(rows):
+                out[i, :len(r)] = r
+            return out
+
+        self.pilot_idx = np.asarray(pad(pilot_idx, self.p_max, 0).astype(np.int32))
+        self.ref_vals = np.asarray(pad(ref_vals, self.p_max, np.float32(1)))
+        self.amp_vals = np.asarray(pad(amp_vals, self.p_max, np.float32(1)))
+        self.data_idx = np.asarray(pad(data_idx, self.d_max, 0).astype(np.int32))
+        self.left_ord = np.asarray(pad(left_ord, self.d_max, 0).astype(np.int32))
+        self.frac = np.asarray(pad(frac, self.d_max, np.float32(0)))
+        # mask of pilots valid per symbol
+        self.pilot_valid = np.asarray(
+            np.arange(self.p_max)[None, :] < self.n_pilots[:, None])
+        # first/second spectrum half membership of each pilot
+        half = K // 2
+        self.pilot_first_half = np.asarray(
+            pad([(p < half) for p in pilot_idx], self.p_max, False))
+
+        # continual pilots present in every symbol, for the SRO discriminator
+        ap_idx = np.nonzero(always_pilot)[0]
+        self.sro_idx = np.asarray(ap_idx.astype(np.int32))
+        self.sro_first_half = np.asarray(ap_idx < half)
+        # dense reference values at those carriers per symbol
+        sro_ref = np.stack([pilots.reference_symbol(mode, l)[ap_idx]
+                            for l in range(L)])
+        self.sro_ref = np.asarray(np.sign(sro_ref).astype(np.float32))
+
+        # payload assembly: stream position -> flat (l * d_max + d) index
+        stream = []
+        for l in range(L):
+            n_cells = n_data[l]
+            h = freq_interleaver.tx_permutation(mode, n_cells, l)
+            take = n_cells
+            if mode.has_fc and l == L - 1:
+                take = mode.c_fc
+            stream.append(l * self.d_max + h[:take])
+        self.payload_gather = np.asarray(
+            np.concatenate(stream).astype(np.int32))
+        self.total_cells = int(sum(self.n_data)) - (
+            (mode.n_fc - mode.c_fc) if mode.has_fc else 0)
+        assert len(np.asarray(self.payload_gather)) == self.total_cells
+
+
+@functools.lru_cache(maxsize=None)
+def get_plan(mode: T2Mode) -> EqualizerPlan:
+    return EqualizerPlan(mode)
+
+
+def _wrap(x):
+    return jnp.mod(x + jnp.pi, 2 * jnp.pi) - jnp.pi
+
+
+def equalize_frame(carriers: jnp.ndarray, plan: EqualizerPlan):
+    """[L, K] carriers -> (payload [total_cells] c64, diag dict).
+
+    diag: phase_offset [L], sro [L] per-symbol discriminators, snr-ish pilot
+    error power.
+    """
+    L = carriers.shape[0]
+    pil = jnp.take_along_axis(carriers, plan.pilot_idx, axis=1)   # [L, P]
+    est = pil * plan.ref_vals                                      # BPSK removed
+    phi = jnp.arctan2(est.imag, est.real)
+    amp = jnp.abs(pil) / plan.amp_vals
+
+    phi_l = jnp.take_along_axis(phi, plan.left_ord, axis=1)
+    phi_r = jnp.take_along_axis(phi, plan.left_ord + 1, axis=1)
+    amp_l = jnp.take_along_axis(amp, plan.left_ord, axis=1)
+    amp_r = jnp.take_along_axis(amp, plan.left_ord + 1, axis=1)
+    phi_d = phi_l + plan.frac * _wrap(phi_r - phi_l)
+    amp_d = amp_l + plan.frac * (amp_r - amp_l)
+    amp_d = jnp.maximum(amp_d, 1e-9)
+
+    data = jnp.take_along_axis(carriers, plan.data_idx, axis=1)    # [L, D]
+    eq = data * jnp.exp(-1j * phi_d) / amp_d
+
+    payload = eq.reshape(-1)[plan.payload_gather]
+
+    # diagnostics
+    vmask = plan.pilot_valid
+    fh = jnp.logical_and(vmask, plan.pilot_first_half)
+    sh = jnp.logical_and(vmask, jnp.logical_not(plan.pilot_first_half))
+    sum1 = jnp.sum(jnp.where(fh, est, 0), axis=1)
+    sum2 = jnp.sum(jnp.where(sh, est, 0), axis=1)
+    phase_offset = jnp.angle(sum1) + jnp.angle(sum2)
+
+    sro_pil = carriers[:, plan.sro_idx] * plan.sro_ref             # [L, C]
+    drift = (sro_pil[1:] * jnp.conj(sro_pil[:-1])).imag
+    d1 = jnp.sum(jnp.where(plan.sro_first_half[None], drift, 0), axis=1)
+    d2 = jnp.sum(jnp.where(plan.sro_first_half[None], 0, drift), axis=1)
+    pwr = jnp.mean(jnp.abs(sro_pil) ** 2, axis=1)
+    sro = jnp.concatenate([jnp.zeros((1,)), (d2 - d1)
+                           / jnp.maximum(pwr[1:] * sro_pil.shape[1], 1e-9)])
+    diag = dict(phase_offset=phase_offset, sro=sro)
+    return payload, diag

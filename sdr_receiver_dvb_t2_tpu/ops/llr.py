@@ -1,0 +1,99 @@
+"""Soft demapper + deinterleaver front-end for the FEC chain (JAX).
+
+Turns the PLP cell sequence of one or more T2 frames into int8-scaled LLR
+codewords ready for the LDPC decoder:
+
+1. time + cell deinterleave (one static gather per TI block layout),
+2. cyclic Q-delay removal (roll of the imaginary part within FEC blocks),
+3. constellation derotation,
+4. SNR estimate from hard-decision error power -> adaptive LLR scale
+   ("precision"), exactly like the reference
+   (/root/reference/src/DVB_T2/llr_demapper.cpp:178-192,241-281),
+5. per-bit LLRs via the iterated |x|-fold (llr_demapper.cpp:296-352 uses
+   the same geometry in AVX2),
+6. bit deinterleave straight into LDPC codeword order (one gather).
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..params import bit_interleaver, time_interleaver
+from ..params.modes import PlpConfig, Constellation
+
+
+class DemapPlan:
+    def __init__(self, plp: PlpConfig, n_fec: int, n_ti: int):
+        self.plp = plp
+        self.n_fec = n_fec
+        n_cells = plp.cells_per_fec_block
+        self.n_cells = n_cells
+        per_ti, extra = divmod(n_fec, n_ti)
+        gathers, base = [], 0
+        for j in range(n_ti):
+            f = per_ti + (1 if j >= n_ti - extra else 0)
+            plan = time_interleaver.ti_block_plan(n_cells, f)
+            gathers.append(base + plan["rx_gather"])
+            base += f * n_cells
+        self.ti_gather = np.asarray(np.concatenate(gathers, axis=0))  # [n_fec, n_cells]
+        self.bit_gather = np.asarray(bit_interleaver.rx_gather(
+            plp.constellation, plp.fec_frame, plp.code_rate))
+        self.derot = np.exp(-1j * plp.rotation_angle).astype(np.complex64)
+        self.eta = plp.bits_per_cell
+        self.norm = plp.norm_factor
+        self.levels_max = (1 << (self.eta // 2)) - 1
+
+
+@functools.lru_cache(maxsize=None)
+def get_plan(plp: PlpConfig, n_fec: int, n_ti: int) -> DemapPlan:
+    return DemapPlan(plp, n_fec, n_ti)
+
+
+def _axis_llrs(v, per_axis, norm, precision):
+    """LLRs of the bits carried by one axis value v [..,]: list of arrays."""
+    out = []
+    x = v
+    t = (1 << (per_axis - 1)) * norm
+    for _ in range(per_axis):
+        out.append(jnp.round(x * precision))
+        x = jnp.abs(x) - t
+        t = t / 2
+    return out
+
+
+def demap_frame(plp_cells: jnp.ndarray, plan: DemapPlan):
+    """PLP cells [n_fec * n_cells] -> (llr [n_fec, N] f32, snr_db scalar)."""
+    cells = plp_cells[plan.ti_gather]                      # [n_fec, n_cells]
+    # undo cyclic Q delay
+    cells = cells.real + 1j * jnp.roll(cells.imag, -1, axis=1)
+    cells = cells * plan.derot
+
+    per_axis = plan.eta // 2
+    # hard decision error power for SNR / precision estimate
+    step = 2 * plan.norm
+    hard_i = jnp.clip(jnp.round((cells.real - plan.norm) / step) * step
+                      + plan.norm, -plan.levels_max * plan.norm,
+                      plan.levels_max * plan.norm)
+    hard_q = jnp.clip(jnp.round((cells.imag - plan.norm) / step) * step
+                      + plan.norm, -plan.levels_max * plan.norm,
+                      plan.levels_max * plan.norm)
+    err = (cells.real - hard_i) ** 2 + (cells.imag - hard_q) ** 2
+    sig = hard_i ** 2 + hard_q ** 2
+    sum_s = jnp.sum(sig)
+    sum_e = jnp.maximum(jnp.sum(err), 1e-12)
+    snr_db = 10.0 * jnp.log10(sum_s / sum_e)
+    precision = jnp.clip(8.0 * plan.norm * sum_s / sum_e, 0.0, 512.0)
+
+    i_llrs = _axis_llrs(cells.real, per_axis, plan.norm, precision)
+    q_llrs = _axis_llrs(cells.imag, per_axis, plan.norm, precision)
+    bits = []
+    for a, b in zip(i_llrs, q_llrs):
+        bits.append(a)
+        bits.append(b)
+    stream = jnp.stack(bits, axis=-1).reshape(cells.shape[0], -1)
+    stream = jnp.clip(stream, -127, 127)
+    llr = stream[:, plan.bit_gather]
+    return llr, snr_db

@@ -1,0 +1,83 @@
+"""End-to-end device-pipeline tests: TX fixture -> JAX receiver -> TS."""
+import numpy as np
+import pytest
+
+from sdr_receiver_dvb_t2_tpu.models.transmitter import (
+    Transmitter, TxConfig, random_ts_stream)
+from sdr_receiver_dvb_t2_tpu.models.receiver import (
+    TpuReceiver, RxConfig, config_from_l1)
+from sdr_receiver_dvb_t2_tpu.params.modes import (
+    T2Mode, PlpConfig, FftMode, GuardInterval, PilotPattern, Constellation,
+    CodeRate, FecFrame)
+
+
+MODE = T2Mode(FftMode.FFT_8K, GuardInterval.G1_32, PilotPattern.PP3, True,
+              n_data_symbols=20)
+PLP = PlpConfig(constellation=Constellation.QAM64, code_rate=CodeRate.C2_3,
+                fec_frame=FecFrame.SHORT, num_blocks_max=10, time_il_length=3)
+
+
+def _make_frames(n_packets=400, seed=7, snr_db=None, phase=0.0):
+    tx = Transmitter(TxConfig(mode=MODE, plp=PLP, fec_blocks_per_frame=6))
+    ts_in = random_ts_stream(n_packets)
+    iq = tx.modulate(ts_in)
+    F = len(iq) // MODE.frame_samples
+    frames = iq[:F * MODE.frame_samples].reshape(F, MODE.frame_samples)
+    if phase:
+        frames = frames * np.exp(1j * phase).astype(np.complex64)
+    if snr_db is not None:
+        rng = np.random.default_rng(seed)
+        sigma = np.sqrt(np.mean(np.abs(frames) ** 2)
+                        / 10 ** (snr_db / 10) / 2)
+        frames = frames + sigma * (rng.standard_normal(frames.shape)
+                                   + 1j * rng.standard_normal(frames.shape))
+    return frames.astype(np.complex64), ts_in
+
+
+def test_receiver_clean_channel_bit_exact():
+    frames, ts_in = _make_frames(snr_db=None)
+    rx = TpuReceiver(RxConfig(mode=MODE, plp=PLP, n_fec_per_frame=6, n_ti=3,
+                              use_pallas=False)).prime(frames[0])
+    res = rx.receive(frames)
+    assert res.ldpc_ok.all()
+    assert res.bch_clean.all()
+    assert np.array_equal(res.ts_bytes, ts_in[:len(res.ts_bytes)])
+    assert len(res.ts_bytes) > 50000
+
+
+def test_receiver_awgn_and_phase():
+    # 25 dB SNR plus a constant 30-degree channel phase: the pilot-based
+    # equalizer must absorb the rotation, LDPC must converge.
+    frames, ts_in = _make_frames(snr_db=25.0, phase=np.pi / 6)
+    rx = TpuReceiver(RxConfig(mode=MODE, plp=PLP, n_fec_per_frame=6, n_ti=3,
+                              use_pallas=False)).prime(frames[0])
+    res = rx.receive(frames)
+    assert res.ldpc_ok.all()
+    assert res.bch_clean.all()
+    assert np.array_equal(res.ts_bytes, ts_in[:len(res.ts_bytes)])
+    assert 20.0 < res.snr_db < 30.0
+
+
+def test_receiver_flat_fade_amplitude():
+    # 0.5x amplitude: amplitude interpolation must normalize it out.
+    frames, ts_in = _make_frames(snr_db=30.0)
+    rx = TpuReceiver(RxConfig(mode=MODE, plp=PLP, n_fec_per_frame=6, n_ti=3,
+                              use_pallas=False)).prime(frames[0] * 0.5)
+    res = rx.receive(frames * 0.5)
+    assert res.ldpc_ok.all()
+    assert np.array_equal(res.ts_bytes, ts_in[:len(res.ts_bytes)])
+
+
+def test_config_from_l1_roundtrip():
+    frames, _ = _make_frames()
+    rx0 = TpuReceiver(RxConfig(mode=MODE, plp=PLP, n_fec_per_frame=6,
+                               n_ti=3, use_pallas=False))
+    pre, post = rx0.acquire_l1(frames[0])
+    assert pre is not None and post is not None
+    cfg = config_from_l1(MODE, pre, post)
+    assert cfg.mode.guard == MODE.guard
+    assert cfg.mode.pilot_pattern == MODE.pilot_pattern
+    assert cfg.plp.constellation == PLP.constellation
+    assert cfg.plp.code_rate == PLP.code_rate
+    assert cfg.n_fec_per_frame == 6
+    assert cfg.n_ti == 3
