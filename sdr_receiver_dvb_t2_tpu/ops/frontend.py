@@ -1,0 +1,259 @@
+"""Streaming front-end DSP (JAX): IQ conditioning, NCO, resampler, FIR.
+
+The reference front-end is sample-serial with per-sample IIR feedback
+(/root/reference/src/DVB_T2/dvbt2_demodulator.h:59-155 ``convert_iq``,
+dvbt2_demodulator.cpp:151-192 NCO + Farrow + FIR chain).  Here every stage
+is a *block* operator with explicit carried state, so a whole ingest block
+(hundreds of thousands of samples) runs as one fused XLA program:
+
+  raw ints -> complex64 -> DC / IQ-imbalance correction (estimates from
+  block N-1 applied to block N) -> NCO derotation (closed-form phase ramp,
+  no recurrence) -> cubic Farrow fractional resampler (closed-form output
+  positions -> a single gather, no phase-accumulator loop) -> polyphase
+  anti-alias FIR decimator (XLA convolution, stride 2).
+
+All outputs have static shapes: the resampler produces a fixed ``n_out``
+per block and the host carries the fractional phase between blocks
+(SURVEY.md section 7 "hard parts": variable-rate resampling vs XLA).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# raw sample conversion (reference: convert_iq<T>, dvbt2_demodulator.h:68-115)
+# ---------------------------------------------------------------------------
+
+def raw_to_complex(block: jnp.ndarray, fmt: str) -> jnp.ndarray:
+    """Interleaved raw IQ -> complex64, normalized to roughly unit scale.
+
+    fmt: 'u8' (offset-binary bytes), 's8', 's16', 'f32'.
+    """
+    if fmt == "u8":
+        x = block.astype(jnp.float32) - 127.5
+        scale = 1.0 / 128.0
+    elif fmt == "s8":
+        x = block.astype(jnp.float32)
+        scale = 1.0 / 128.0
+    elif fmt == "s16":
+        x = block.astype(jnp.float32)
+        scale = 1.0 / 32768.0
+    elif fmt == "f32":
+        x = block.astype(jnp.float32)
+        scale = 1.0
+    else:
+        raise ValueError(f"unknown IQ format {fmt!r}")
+    x = x.reshape(-1, 2) * scale
+    return jax.lax.complex(x[:, 0], x[:, 1])
+
+
+@dataclasses.dataclass
+class IqCondState:
+    """Carried conditioning state (all python floats; updated per block)."""
+    dc: complex = 0.0 + 0.0j
+    c1: float = 0.0          # quadrature leakage I->Q
+    c2: float = 1.0          # Q amplitude correction
+    level: float = 0.0       # mean |I| + |Q| (AGC observable)
+
+
+def iq_condition(x: jnp.ndarray, dc: jnp.ndarray, c1: jnp.ndarray,
+                 c2: jnp.ndarray):
+    """Apply DC + IQ-imbalance correction; measure fresh estimates.
+
+    Correction uses *previous-block* estimates (block-recurrent replacement
+    for the reference's per-sample exponential loops,
+    dvbt2_demodulator.h:89-153).  Returns (y, stats) where stats holds this
+    block's raw measurements for the host to smooth into the next state:
+    (dc_mean, theta1, theta2, theta3, level).
+    """
+    y = x - dc
+    i, q = y.real, y.imag
+    q = (q - c1 * i) / c2
+    y = jax.lax.complex(i, q)
+
+    dc_mean = jnp.mean(x)
+    # Moseley & Slump blind IQ-imbalance estimators (the reference uses the
+    # 1-bit-quantized variant, dvbt2_demodulator.h:89-98)
+    sgn_i = jnp.sign(i)
+    theta1 = jnp.mean(sgn_i * q)
+    theta2 = jnp.mean(sgn_i * i)
+    theta3 = jnp.mean(jnp.sign(q) * q)
+    level = jnp.mean(jnp.abs(i) + jnp.abs(q))
+    return y, (dc_mean, theta1, theta2, theta3, level)
+
+
+def fold_iq_stats(state: IqCondState, stats, alpha: float = 0.05
+                  ) -> IqCondState:
+    """Host-side exponential smoothing of per-block measurements.
+
+    The theta estimators are measured on the *corrected* output, so they are
+    residuals; the new absolute correction composes them with the currently
+    applied one: Q'' = ((Q - c1 I)/c2 - r1 I)/r2 = (Q - (c1 + c2 r1) I)/(c2 r2).
+    """
+    dc_mean, t1, t2, t3, level = (complex(stats[0]),) + tuple(
+        float(s) for s in stats[1:])
+    t2 = max(t2, 1e-12)
+    r1 = t1 / t2
+    r2 = float(np.sqrt(max(t3 * t3 - t1 * t1, 1e-24))) / t2
+    c1_comp = state.c1 + state.c2 * r1
+    c2_comp = state.c2 * r2
+    mix = lambda old, new: old + alpha * (new - old)
+    return IqCondState(
+        dc=mix(state.dc, dc_mean),
+        c1=mix(state.c1, c1_comp),
+        c2=mix(state.c2, c2_comp),
+        level=mix(state.level, level),
+    )
+
+
+# ---------------------------------------------------------------------------
+# NCO derotation (reference: dvbt2_demodulator.cpp:165-174)
+# ---------------------------------------------------------------------------
+
+def nco_derotate(x: jnp.ndarray, phase0: jnp.ndarray, freq: jnp.ndarray):
+    """y[n] = x[n] * exp(-j(phase0 + freq*n)); returns (y, phase_end).
+
+    ``freq`` is radians/sample.  The phase ramp is closed-form (no
+    recurrence), so the whole block vectorizes; phase_end is carried to the
+    next block by the host.
+    """
+    n = jnp.arange(x.shape[0], dtype=jnp.float32)
+    ph = phase0 + freq * n
+    y = x * jnp.exp(jax.lax.complex(jnp.float32(0), -ph))
+    phase_end = jnp.mod(phase0 + freq * x.shape[0], 2 * jnp.pi)
+    return y, phase_end
+
+
+# ---------------------------------------------------------------------------
+# cubic Farrow fractional resampler
+# (reference: DSP/interpolator_farrow.hh:41-68, sample-serial accumulator)
+# ---------------------------------------------------------------------------
+
+def split_step(step: float) -> tuple[np.float32, np.float32]:
+    """Split a host double into hi + lo float32 parts (Dekker split).
+
+    TPUs have no float64; the resampler reconstructs exact sample positions
+    from this two-float representation, so the step scalar can be a traced
+    device value (no recompile when the SRO trim changes it per block).
+    """
+    hi = np.float32(step)
+    lo = np.float32(step - float(hi))
+    return hi, lo
+
+
+_FARROW_CHUNK = 1024
+
+
+def farrow_resample(x: jnp.ndarray, mu0: jnp.ndarray, step_hi: jnp.ndarray,
+                    step_lo: jnp.ndarray, n_out: int) -> jnp.ndarray:
+    """Cubic (4-tap Lagrange) fractional resampler with static output size.
+
+    Output i interpolates input position p_i = mu0 + step*i with
+    step = step_hi + step_lo (see :func:`split_step`).  The caller
+    guarantees ceil(mu0 + step*(n_out-1)) + 2 < len(x) and carries the
+    fractional phase between blocks.
+
+    Numerics: positions are computed per 1024-output chunk from an exact
+    int32 base plus a small float32 offset, keeping the fractional-delay
+    error < 1e-4 samples over arbitrarily long blocks (float32 alone loses
+    the fraction entirely beyond ~1e5 samples).  One gather + polynomial —
+    no recurrence anywhere.
+    """
+    chunk = _FARROW_CHUNK
+    assert n_out % chunk == 0, f"n_out must be a multiple of {chunk}"
+    n_chunks = n_out // chunk
+    mu0 = mu0.astype(jnp.float32)
+    step_hi = step_hi.astype(jnp.float32)
+    step_lo = step_lo.astype(jnp.float32)
+
+    # exact per-chunk advance: chunk * step_hi is exact in f32 (chunk = 2^10)
+    a_hi = chunk * step_hi
+    i_adv = jnp.floor(a_hi)
+    f_adv = (a_hi - i_adv) + chunk * step_lo          # small, ~exact
+    c = jnp.arange(n_chunks, dtype=jnp.float32)
+    g = mu0 + c * f_adv                                # < n_chunks * 2
+    idx_base = (c * i_adv + jnp.floor(g)).astype(jnp.int32)   # exact int
+    frac_base = g - jnp.floor(g)
+
+    i = jnp.arange(chunk, dtype=jnp.float32)
+    p = frac_base[:, None] + i[None, :] * step_hi      # [C, chunk], < ~1200
+    pf = jnp.floor(p)
+    idx = (idx_base[:, None] + pf.astype(jnp.int32)).reshape(-1)
+    d = (p - pf).reshape(-1)
+
+    xm1 = jnp.take(x, idx - 1, mode="clip")
+    x0 = jnp.take(x, idx, mode="clip")
+    x1 = jnp.take(x, idx + 1, mode="clip")
+    x2 = jnp.take(x, idx + 2, mode="clip")
+
+    dm1, dp1, dm2 = d - 1.0, d + 1.0, d - 2.0
+    cm1 = -d * dm1 * dm2 / 6.0
+    c0 = dp1 * dm1 * dm2 / 2.0
+    c1 = -dp1 * d * dm2 / 2.0
+    c2 = dp1 * d * dm1 / 6.0
+    return (xm1 * cm1 + x0 * c0 + x1 * c1 + x2 * c2).astype(x.dtype)
+
+
+def farrow_advance(mu0: float, step: float, n_out: int) -> tuple[int, float]:
+    """Host bookkeeping (python float64): (input samples consumed, next mu0).
+
+    Keeps one sample of left history for the -1 tap.
+    """
+    p_next = mu0 + step * n_out
+    consumed = int(np.floor(p_next)) - 1
+    return consumed, p_next - consumed
+
+
+# ---------------------------------------------------------------------------
+# anti-alias FIR + decimate-by-2
+# (reference: DSP/filter_decimator.h — AVX MAC loops over 16/32/64 taps)
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def design_lowpass(n_taps: int, cutoff: float, beta: float) -> tuple:
+    """Kaiser-windowed-sinc lowpass; cutoff in cycles/sample (0..0.5)."""
+    n = np.arange(n_taps) - (n_taps - 1) / 2.0
+    h = 2 * cutoff * np.sinc(2 * cutoff * n)
+    h *= np.kaiser(n_taps, beta)
+    h /= h.sum()
+    return tuple(h.astype(np.float32))
+
+
+# GUI-selectable filter tiers analogous to the reference's
+# Soft/Medium/Sharp/Test presets (filter_decimator.h:29-120): the stream into
+# the FIR runs at 2x elementary rate (128/7 ~ 18.29 Msps); the 8 MHz T2
+# signal occupies +-3.81 MHz ~ +-0.21 fs, aliases fold in above 0.29 fs.
+FIR_PRESETS = {
+    "soft": (16, 0.25, 3.0),
+    "medium": (32, 0.25, 5.0),
+    "sharp": (64, 0.25, 7.0),
+}
+
+
+def fir_taps(preset: str = "medium") -> np.ndarray:
+    n, cut, beta = FIR_PRESETS[preset]
+    return np.asarray(design_lowpass(n, cut, beta), dtype=np.float32)
+
+
+def fir_decimate2(x: jnp.ndarray, history: jnp.ndarray, taps: jnp.ndarray):
+    """Overlap-save FIR + decimate by 2.
+
+    x: [N] complex (N even); history: [len(taps)-1] complex tail of the
+    previous block.  Returns (y [N//2], new_history).  Runs as one strided
+    XLA convolution over stacked real/imag channels.
+    """
+    t = taps.shape[0]
+    xp = jnp.concatenate([history, x])
+    ri = jnp.stack([xp.real, xp.imag])[None]          # [1, 2, N + t - 1]
+    k = jnp.broadcast_to(taps[::-1][None, None], (2, 1, t))
+    y = jax.lax.conv_general_dilated(
+        ri, k, window_strides=(2,), padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        feature_group_count=2)[0]
+    return jax.lax.complex(y[0], y[1]), xp[-(t - 1):]
