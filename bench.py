@@ -1,0 +1,143 @@
+"""Headline benchmark: 32K-FFT DVB-T2 receive throughput per chip.
+
+Measures the steady-state device pipeline on the flagship configuration
+(32K FFT, GI 1/128, PP7 extended, 256QAM rotated, LDPC 64800 r2/3 — the
+reference's tested HEM mode, /root/reference/README:29-41): OFDM demod ->
+pilot equalization + frequency deinterleave -> time/cell/bit deinterleave +
+soft demap -> LDPC decode (Pallas on TPU) -> BCH syndrome screen.
+
+Prints ONE JSON line:
+  {"metric": "iq_msps_per_chip_32k", "value": <IQ Msamples/s>,
+   "unit": "Msps", "vs_baseline": <real-time factor at 64/7 Msps>}
+
+vs_baseline: the reference runs this pipeline at ~1x real time (8 MHz,
+64/7 Msps) on an i5-8600 (BASELINE.md); value / 9.142857 is therefore the
+speedup over the reference's implied headline number.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+CACHE = Path(__file__).resolve().parent / ".bench_cache_32k.npz"
+ELEM_RATE = 64e6 / 7.0
+
+
+def _config():
+    from sdr_receiver_dvb_t2_tpu.params.modes import (
+        T2Mode, PlpConfig, FftMode, GuardInterval, PilotPattern,
+        Constellation, CodeRate, FecFrame)
+    mode = T2Mode(fft_mode=FftMode.FFT_32K, guard=GuardInterval.G1_128,
+                  pilot_pattern=PilotPattern.PP7, extended_carriers=True,
+                  n_data_symbols=59)
+    plp = PlpConfig(constellation=Constellation.QAM256, rotation=True,
+                    code_rate=CodeRate.C2_3, fec_frame=FecFrame.NORMAL,
+                    time_il_length=1, num_blocks_max=254)
+    return mode, plp
+
+
+def _make_signal(mode, plp, n_frames=2, snr_db=27.0):
+    """Real modulated frames + AWGN at elementary rate (cached on disk)."""
+    if CACHE.exists():
+        z = np.load(CACHE)
+        if int(z["n_frames"]) == n_frames:
+            return z["frames"], int(z["n_fec"]), int(z["l1_post_cells"])
+    from sdr_receiver_dvb_t2_tpu.models.transmitter import (
+        Transmitter, TxConfig, random_ts_stream)
+    from sdr_receiver_dvb_t2_tpu.params import l1 as l1_mod
+    # fill the frame: capacity in FEC blocks
+    tmp = Transmitter(TxConfig(mode=mode, plp=plp, fec_blocks_per_frame=1,
+                               num_t2_frames=n_frames))
+    l1_cells = l1_mod.L1_PRE_CELLS + tmp.l1_pre.l1_post_size
+    n_fec = (mode.frame_cells - l1_cells) // plp.cells_per_fec_block
+    tx = Transmitter(TxConfig(mode=mode, plp=plp,
+                              fec_blocks_per_frame=n_fec,
+                              num_t2_frames=n_frames))
+    bytes_needed = (n_frames + 1) * n_fec * (plp.k_bch // 8)
+    ts = random_ts_stream(bytes_needed // 188, seed=7)
+    iq = tx.modulate(ts)[:n_frames * mode.frame_samples]
+    iq = iq.reshape(n_frames, mode.frame_samples)
+    rng = np.random.default_rng(11)
+    npow = np.mean(np.abs(iq) ** 2) / 10 ** (snr_db / 10)
+    iq = iq + ((rng.standard_normal(iq.shape) + 1j * rng.standard_normal(iq.shape))
+               * np.sqrt(npow / 2)).astype(np.complex64)
+    frames = iq.astype(np.complex64)
+    np.savez(CACHE, frames=frames, n_fec=n_fec,
+             l1_post_cells=tmp.l1_pre.l1_post_size, n_frames=n_frames)
+    return frames, n_fec, tmp.l1_pre.l1_post_size
+
+
+def main():
+    from sdr_receiver_dvb_t2_tpu.ops import (ofdm, equalizer, llr as llr_ops,
+                                             ldpc_decode, ldpc_pallas, bch_ops)
+    from sdr_receiver_dvb_t2_tpu.params import l1 as l1_mod
+
+    mode, plp = _config()
+    on_tpu = jax.devices()[0].platform == "tpu"
+    n_frames = 2
+    frames, n_fec, l1_post_cells = _make_signal(mode, plp, n_frames)
+
+    eq_plan = equalizer.get_plan(mode)
+    demap_plan = llr_ops.get_plan(plp, n_fec, 1)
+    n_cw = n_frames * n_fec
+    if on_tpu:
+        tiles = -(-n_cw // 128)
+        decoder = ldpc_pallas.make_pallas_decoder(
+            plp.ldpc_table_name, batch=128, n_tiles=tiles, max_iters=15)
+        n_pad = tiles * 128
+    else:
+        decoder = ldpc_decode.make_decoder(plp.ldpc_table_name, max_iters=15)
+        n_pad = n_cw
+    l1_cells = l1_mod.L1_PRE_CELLS + l1_post_cells
+    fec_cells = n_fec * plp.cells_per_fec_block
+
+    @jax.jit
+    def pipeline(frames_iq):
+        def one(frame):
+            carriers, _ = ofdm.demod_frame(frame, mode)
+            payload, _ = equalizer.equalize_frame(carriers, eq_plan)
+            cells = jax.lax.dynamic_slice(payload, (l1_cells,), (fec_cells,))
+            return llr_ops.demap_frame(cells, demap_plan)
+        llr, snr = jax.vmap(one)(frames_iq)
+        llr = llr.reshape(-1, llr.shape[-1])
+        if n_pad > llr.shape[0]:
+            llr = jnp.concatenate(
+                [llr, jnp.zeros((n_pad - llr.shape[0], llr.shape[1]),
+                                llr.dtype)])
+        hard, ok, iters = decoder(llr)
+        clean = bch_ops.syndrome_flags(hard[:n_cw, :plp.n_bch], plp)
+        return ok[:n_cw], clean, iters, jnp.mean(snr)
+
+    dev_frames = jnp.asarray(frames)
+    ok, clean, iters, snr = jax.block_until_ready(pipeline(dev_frames))
+    n_ok = int(np.sum(np.asarray(ok)))
+    sys.stderr.write(
+        f"bench sanity: platform={jax.devices()[0].platform} n_cw={n_cw} "
+        f"ldpc_ok={n_ok}/{n_cw} bch_clean={int(np.sum(np.asarray(clean)))} "
+        f"iters={int(iters)} snr={float(snr):.1f} dB\n")
+
+    # timed steady-state loop
+    reps = 10 if on_tpu else 1
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = pipeline(dev_frames)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    samples = n_frames * mode.frame_samples * reps
+    msps = samples / dt / 1e6
+    rtf = msps * 1e6 / ELEM_RATE
+    print(json.dumps({"metric": "iq_msps_per_chip_32k",
+                      "value": round(msps, 3), "unit": "Msps",
+                      "vs_baseline": round(rtf, 3)}))
+
+
+if __name__ == "__main__":
+    main()

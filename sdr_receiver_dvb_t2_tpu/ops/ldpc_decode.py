@@ -117,7 +117,7 @@ def make_decoder(table_name: str, max_iters: int = 15, beta: float = 1.0):
     # prev-parity slot invalid only for check (row 0, lane 0) = natural check 0
     mask_j = np.broadcast_to(full_mask[None, :, :, None], (1, q, c_total, M)).copy()
     mask_j[0, 0, cnl + 1, 0] = False
-    _mask = jnp.asarray(mask_j)
+    _mask = mask_j
 
     def back(c2v, ch_data, ch_par):
         """c2v [B, q, C, 360] -> lam_data [B, G, 360], lam_par [B, R]."""

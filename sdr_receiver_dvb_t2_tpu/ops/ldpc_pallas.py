@@ -215,9 +215,9 @@ def make_pallas_decoder(table_name: str, batch: int = 128,
         itv = jnp.full((1, 7, B), it, jnp.int8)
         ok_ref[...] = jnp.concatenate([ok, itv], axis=1)
 
-    g_tab = jnp.asarray(g_tab_np)
-    s_tab = jnp.asarray(s_tab_np)
-    cnt_tab = jnp.asarray(cnt_np)
+    g_tab = g_tab_np
+    s_tab = s_tab_np
+    cnt_tab = cnt_np
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,

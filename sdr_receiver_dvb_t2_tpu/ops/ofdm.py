@@ -13,6 +13,7 @@ import jax.numpy as jnp
 
 from ..params.modes import T2Mode
 from ..params import p1 as p1_mod
+from . import fft as fft_ops
 
 
 def frame_to_symbols(frame_iq: jnp.ndarray, mode: T2Mode) -> jnp.ndarray:
@@ -39,7 +40,7 @@ def gi_cfo_estimate(symbols: jnp.ndarray, mode: T2Mode) -> jnp.ndarray:
 def symbols_to_carriers(symbols: jnp.ndarray, mode: T2Mode) -> jnp.ndarray:
     """[L, symbol_size] -> [L, k_total] active carriers (fft + shift + crop)."""
     x = symbols[:, mode.guard_size:]
-    spec = jnp.fft.fft(x, axis=1)
+    spec = fft_ops.fft(x)
     spec = spec * (jnp.sqrt(mode.k_total).astype(jnp.float32) / mode.fft_size)
     half = mode.fft_size // 2
     shifted = jnp.concatenate([spec[:, half:], spec[:, :half]], axis=1)

@@ -1,0 +1,230 @@
+"""Device-mesh sharding of the receive pipeline (shard_map + collectives).
+
+The reference is a single-process 8-thread pipeline with no distributed
+story (SURVEY.md section 2 "Parallelism & communication").  The TPU-native
+scale-out maps the stream onto a 2-D mesh:
+
+* **"ch" axis — RF-channel sharding**: independent 8 MHz channels are
+  embarrassingly parallel (the pod-scale 64-channel configuration in
+  BASELINE.md); every per-channel tensor shards its leading axis.
+* **"time" axis — time-block sharding**: the continuous IQ stream of one
+  channel splits into consecutive blocks across devices.  Convolutional
+  front-end elements (Farrow resampler, FIR decimator) need history across
+  block boundaries, provided by a **halo exchange** (`ppermute` over ICI)
+  instead of the reference's circular double-write buffers
+  (/root/reference/src/DSP/buffers.hh:59-101).
+
+Inside a shard everything is the same fused single-chip code path
+(ops/frontend, ops/ofdm, ops/equalizer, ops/llr, ops/ldpc_decode); global
+statistics (SNR, LDPC failures) reduce with `psum`.
+
+Alignment contract (host-managed, like the single-chip streaming runtime):
+each step consumes ``n_time * raw_block`` raw samples and produces
+``n_time * frames_per_shard`` full T2 frames per channel; the host keeps
+the stream phase-aligned by feeding the right number of raw samples and
+carrying the resampler's fractional position between steps (exact float64
+bookkeeping on host, float32 + int32 on device).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+try:
+    from jax import shard_map          # jax >= 0.8
+except ImportError:                    # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from ..ops import frontend as fe
+from ..ops import ofdm, equalizer, llr as llr_ops, ldpc_decode, bch_ops
+from ..params import l1 as l1_mod
+from ..params.modes import T2Mode, PlpConfig
+
+
+def make_mesh(n_ch: int, n_time: int, devices=None) -> Mesh:
+    """2-D (channel x time-block) device mesh."""
+    if devices is None:
+        devices = jax.devices()
+    assert len(devices) >= n_ch * n_time, (len(devices), n_ch, n_time)
+    devs = np.array(devices[:n_ch * n_time]).reshape(n_ch, n_time)
+    return Mesh(devs, ("ch", "time"))
+
+
+def default_mesh(n_devices: int | None = None) -> Mesh:
+    """Factor the available devices into (ch, time)."""
+    n = n_devices if n_devices is not None else len(jax.devices())
+    n_ch = 2 if n % 2 == 0 and n > 1 else 1
+    return make_mesh(n_ch, n // n_ch)
+
+
+@dataclasses.dataclass
+class ShardedConfig:
+    mode: T2Mode
+    plp: PlpConfig
+    n_fec_per_frame: int
+    n_ti: int = 1
+    l1_post_cells: int = 0           # from decoded L1-pre (pre.l1_post_size)
+    frames_per_shard: int = 1
+    fir_preset: str = "medium"
+    halo: int = 1024                 # raw-sample left halo per time shard
+    ldpc_max_iters: int = 15
+
+
+class ShardedReceiver:
+    """Full receive step sharded over a (ch, time) mesh.
+
+    step(raw, idx0, frac0, phase0, freq, step_hi, step_lo) where
+      raw    [C, n_time * raw_block] complex64 — sharded (ch, time)
+      idx0   [n_time] int32   — per-time-shard resampler integer base
+                                (local to the shard's raw block, incl. halo)
+      frac0  [n_time] float32 — per-time-shard fractional position
+      phase0 [n_time] float32 — per-time-shard NCO start phase
+      freq   scalar float32   — NCO frequency (rad/raw-sample)
+      step_hi/lo              — resampler step (split_step of host float64)
+    returns (hard_bits [C, F_total, n_fec, n_bch], stats dict).
+
+    The host computes idx0/frac0/phase0 in float64 from the global stream
+    position (see runtime/stream.py) so device float32 never sees large
+    absolute sample indices.
+    """
+
+    def __init__(self, cfg: ShardedConfig, mesh: Mesh):
+        self.cfg = cfg
+        self.mesh = mesh
+        self.mode = cfg.mode.validate()
+        self.plp = cfg.plp
+        self.n_time = mesh.shape["time"]
+        self.n_ch = mesh.shape["ch"]
+        self.eq_plan = equalizer.get_plan(self.mode)
+        self.demap_plan = llr_ops.get_plan(cfg.plp, cfg.n_fec_per_frame,
+                                           cfg.n_ti)
+        self.taps = fe.fir_taps(cfg.fir_preset)
+        self.n_taps = len(self.taps)
+
+        # per-shard geometry
+        self.k_loc = cfg.frames_per_shard * self.mode.frame_samples
+        # farrow outputs per shard: 2x elementary + FIR warm-up, padded to
+        # the resampler's chunk granularity
+        need = 2 * self.k_loc + self.n_taps - 1
+        self.n_up = -(-need // 1024) * 1024
+        self.decoder = ldpc_decode.make_decoder(
+            cfg.plp.ldpc_table_name, max_iters=cfg.ldpc_max_iters)
+        self._step = self._build()
+
+    # ------------------------------------------------------------------
+    def raw_block_for(self, step: float) -> int:
+        """Raw samples consumed per time shard per step (host helper)."""
+        return int(np.ceil(2 * self.k_loc * step)) + 8
+
+    def _build(self):
+        cfg, mode, plp = self.cfg, self.mode, self.plp
+        taps = jnp.asarray(self.taps)
+        n_taps, halo, n_up, k_loc = self.n_taps, cfg.halo, self.n_up, self.k_loc
+        eq_plan, demap_plan = self.eq_plan, self.demap_plan
+        fec_cells = cfg.n_fec_per_frame * plp.cells_per_fec_block
+        l1_cells = l1_mod.L1_PRE_CELLS + cfg.l1_post_cells
+
+        def frames_to_llr(frames):
+            """[F, frame_samples] -> (llr [F*n_fec, N], snr scalar)."""
+            def one(frame):
+                carriers, _ = ofdm.demod_frame(frame, mode)
+                payload, _ = equalizer.equalize_frame(carriers, eq_plan)
+                cells = jax.lax.dynamic_slice(payload, (l1_cells,),
+                                              (fec_cells,))
+                return llr_ops.demap_frame(cells, demap_plan)
+            llr, snr = jax.vmap(one)(frames)
+            return llr.reshape(-1, llr.shape[-1]), jnp.mean(snr)
+
+        def shard_body(raw, idx0, frac0, phase0, freq, step_hi, step_lo):
+            # raw: [C_loc, raw_block]; idx0/frac0/phase0: [1] (this shard's)
+            t_idx = jax.lax.axis_index("time")
+            n_t = jax.lax.axis_size("time")
+
+            # ---- halo exchange: previous time-block's tail --------------
+            tail = raw[:, -halo:]
+            perm = [(i, (i + 1) % n_t) for i in range(n_t)]
+            left = jax.lax.ppermute(tail, "time", perm)
+            # shard 0 has no predecessor within the step; zeros are fine
+            left = jnp.where(t_idx == 0, 0, left)
+            x = jnp.concatenate([left, raw], axis=1)
+
+            # ---- NCO derotation (per-shard phase base from host) --------
+            nco = lambda row: fe.nco_derotate(row, phase0[0], freq)[0]
+            x = jax.vmap(nco)(x)
+
+            # ---- Farrow to 2x elementary rate ----------------------------
+            mu0 = frac0[0] + idx0[0].astype(jnp.float32)
+            up = jax.vmap(lambda row: fe.farrow_resample(
+                row, mu0, step_hi, step_lo, n_up))(x)
+            up = up[:, :2 * k_loc + n_taps - 1]
+
+            # ---- FIR decimate by 2 to elementary rate --------------------
+            hist = up[:, :n_taps - 1]
+            elem = jax.vmap(lambda h, row: fe.fir_decimate2(row, h, taps)[0]
+                            )(hist, up[:, n_taps - 1:])
+
+            # ---- frame batch -> LLR -> LDPC -> BCH ----------------------
+            frames = elem.reshape(-1, cfg.frames_per_shard, mode.frame_samples)
+            llr, snr = jax.vmap(frames_to_llr)(frames)   # [C_loc, n_cw, N]
+            c_loc, n_cw = llr.shape[0], llr.shape[1]
+            hard, ok, iters = self.decoder(llr.reshape(-1, llr.shape[-1]))
+            bch_clean = bch_ops.syndrome_flags(hard[:, :plp.n_bch], plp)
+
+            # ---- global statistics over the whole mesh ------------------
+            n_fail = jax.lax.psum(jnp.sum(~ok), ("ch", "time"))
+            n_dirty = jax.lax.psum(jnp.sum(~bch_clean), ("ch", "time"))
+            snr_mean = jax.lax.pmean(jnp.mean(snr), ("ch", "time"))
+
+            hard = hard.reshape(c_loc, cfg.frames_per_shard,
+                                cfg.n_fec_per_frame, -1)[..., :plp.n_bch]
+            stats = dict(ldpc_failures=n_fail, bch_dirty=n_dirty,
+                         snr_db=snr_mean,
+                         ldpc_iters=jax.lax.pmax(iters, ("ch", "time")))
+            return hard, stats
+
+        mesh = self.mesh
+        fn = shard_map(
+            shard_body, mesh=mesh,
+            in_specs=(P("ch", "time"), P("time"), P("time"), P("time"),
+                      P(), P(), P()),
+            out_specs=(P("ch", "time"), P()),
+            check_vma=False)
+        return jax.jit(fn)
+
+    # ------------------------------------------------------------------
+    def step(self, raw, idx0, frac0, phase0, freq, step_hi, step_lo):
+        return self._step(raw, jnp.asarray(idx0, jnp.int32),
+                          jnp.asarray(frac0, jnp.float32),
+                          jnp.asarray(phase0, jnp.float32),
+                          jnp.float32(freq), jnp.float32(step_hi),
+                          jnp.float32(step_lo))
+
+    # ------------------------------------------------------------------
+    def host_bases(self, mu_global: float, step: float, phase_global: float,
+                   freq: float, raw_block: int):
+        """float64 host bookkeeping -> per-shard device bases.
+
+        mu_global: resampler position (in raw samples) of this step's first
+        output, relative to the first raw sample fed this step.
+        Returns (idx0 [n_time], frac0 [n_time], phase0 [n_time]) local to
+        each shard's haloed raw block.
+        """
+        nt, halo = self.n_time, self.cfg.halo
+        idx0 = np.empty(nt, np.int32)
+        frac0 = np.empty(nt, np.float32)
+        phase0 = np.empty(nt, np.float32)
+        for t in range(nt):
+            # global raw-sample position of this shard's first farrow output;
+            # the FIR window looks back taps-1 upsampled samples, so each
+            # shard starts its farrow stream that much early (warm-up)
+            p = mu_global + step * (2 * self.k_loc * t - (self.n_taps - 1))
+            p_shard = p - t * raw_block + halo      # local incl. halo
+            idx0[t] = int(np.floor(p_shard))
+            frac0[t] = np.float32(p_shard - np.floor(p_shard))
+            phase0[t] = np.float32(
+                (phase_global + freq * (t * raw_block - halo)) % (2 * np.pi))
+        return idx0, frac0, phase0

@@ -1,0 +1,110 @@
+"""Sharded receive step on a virtual (ch x time) CPU mesh: end-to-end TS
+recovery with time-block halo exchange and channel sharding."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sdr_receiver_dvb_t2_tpu.models.transmitter import (Transmitter, TxConfig,
+                                                        random_ts_stream)
+from sdr_receiver_dvb_t2_tpu.models.channel import ChannelConfig, impair
+from sdr_receiver_dvb_t2_tpu.io.bbframe import BBFrameParser
+from sdr_receiver_dvb_t2_tpu.parallel import sharding
+from sdr_receiver_dvb_t2_tpu.params.modes import (
+    T2Mode, PlpConfig, FftMode, GuardInterval, PilotPattern, Constellation,
+    CodeRate, FecFrame, SAMPLE_RATE)
+
+
+def _tiny_setup(n_frames):
+    mode = T2Mode(fft_mode=FftMode.FFT_2K, guard=GuardInterval.G1_8,
+                  pilot_pattern=PilotPattern.PP7, extended_carriers=False,
+                  n_data_symbols=30)
+    plp = PlpConfig(constellation=Constellation.QAM16,
+                    code_rate=CodeRate.C1_2, fec_frame=FecFrame.SHORT,
+                    rotation=True, time_il_length=1)
+    tx = Transmitter(TxConfig(mode=mode, plp=plp, fec_blocks_per_frame=4,
+                              num_t2_frames=n_frames))
+    return mode, plp, tx
+
+
+@pytest.mark.slow
+def test_sharded_receive_ts_recovery():
+    n_ch, n_time = 2, 4
+    mode, plp, tx = _tiny_setup(n_time)
+
+    # one TS stream per channel, each filling n_time frames
+    bytes_per_frame = 4 * (plp.k_bch // 8 - 10)     # approx packer capacity
+    n_pkts = (n_time + 2) * bytes_per_frame // 188
+    ts_in, dev_iq = [], []
+    device_rate = 10e6
+    for c in range(n_ch):
+        ts = random_ts_stream(n_pkts, seed=100 + c)
+        tx_c = Transmitter(TxConfig(mode=mode, plp=plp,
+                                    fec_blocks_per_frame=4,
+                                    num_t2_frames=n_time))
+        iq = tx_c.modulate(ts)
+        assert len(iq) >= n_time * mode.frame_samples
+        dev_iq.append(impair(iq, ChannelConfig(device_rate=device_rate,
+                                               snr_db=30.0, seed=c)))
+        ts_in.append(ts)
+
+    mesh = sharding.make_mesh(n_ch, n_time)
+    cfg = sharding.ShardedConfig(
+        mode=mode, plp=plp, n_fec_per_frame=4, n_ti=1,
+        l1_post_cells=tx.l1_pre.l1_post_size, frames_per_shard=1)
+    rx = sharding.ShardedReceiver(cfg, mesh)
+
+    step = device_rate / (2 * SAMPLE_RATE)          # raw per upsampled sample
+    rb = rx.raw_block_for(step)
+    raw = np.zeros((n_ch, n_time * rb), dtype=np.complex64)
+    for c in range(n_ch):
+        n = min(len(dev_iq[c]), n_time * rb)
+        raw[c, :n] = dev_iq[c][:n]
+
+    # alignment: elementary sample k sits at impair position 1 + ratio*d;
+    # FIR group delay is (taps-1)/4 elementary samples (see sharding docs)
+    ratio = SAMPLE_RATE / device_rate
+    mu = ((rx.n_taps - 1) / 4.0 - 1.0) / ratio
+    hi, lo = np.float32(step), np.float32(step - np.float32(step))
+    idx0, frac0, phase0 = rx.host_bases(mu, step, 0.0, 0.0, rb)
+
+    hard, stats = rx.step(jnp.asarray(raw), idx0, frac0, phase0,
+                          0.0, hi, lo)
+    hard = np.asarray(hard)
+    assert hard.shape == (n_ch, n_time, 4, plp.n_bch)
+    assert int(stats["ldpc_failures"]) == 0, int(stats["ldpc_failures"])
+    assert int(stats["bch_dirty"]) == 0
+    assert float(stats["snr_db"]) > 20.0
+
+    # BB de-encapsulation per channel -> transmitted TS prefix
+    for c in range(n_ch):
+        bb = BBFrameParser()
+        chunks = [bb.parse(hard[c, f, i, :plp.k_bch].astype(np.uint8))
+                  for f in range(n_time) for i in range(4)]
+        ts_out = np.concatenate([x for x in chunks if len(x)])
+        n = min(len(ts_out), len(ts_in[c]))
+        assert n > 188 * 20
+        np.testing.assert_array_equal(ts_out[:n], ts_in[c][:n])
+
+
+def test_host_bases_consistency():
+    """Per-shard bases must describe one continuous global resampler grid."""
+    mode, plp, _tx = _tiny_setup(2)
+    mesh = sharding.make_mesh(1, 4)
+    cfg = sharding.ShardedConfig(mode=mode, plp=plp, n_fec_per_frame=4,
+                                 frames_per_shard=1)
+    rx = sharding.ShardedReceiver(cfg, mesh)
+    step = 0.546875 * (1 + 43e-6)
+    rb = rx.raw_block_for(step)
+    mu = 3.21
+    idx0, frac0, phase0 = rx.host_bases(mu, step, 1.0, 0.01, rb)
+    for t in range(4):
+        # reconstruct the global position of shard t's first farrow output
+        p_local = float(idx0[t]) + float(frac0[t])
+        p_global = p_local + t * rb - cfg.halo
+        expect = mu + step * (2 * rx.k_loc * t - (rx.n_taps - 1))
+        assert abs(p_global - expect) < 1e-3, t
+        # the farrow never reads before the haloed block or past its end
+        n_need = 2 * rx.k_loc + rx.n_taps - 1
+        assert p_local - 1 >= 0
+        assert p_local + step * n_need + 2 < cfg.halo + rb
