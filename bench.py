@@ -76,8 +76,9 @@ def _make_signal(mode, plp, n_frames=2, snr_db=27.0):
 
 
 def main():
-    from sdr_receiver_dvb_t2_tpu.ops import (ofdm, equalizer, llr as llr_ops,
-                                             ldpc_decode, ldpc_pallas, bch_ops)
+    from sdr_receiver_dvb_t2_tpu.ops import (cplx, ofdm, equalizer,
+                                             llr as llr_ops, ldpc_decode,
+                                             ldpc_pallas, bch_ops)
     from sdr_receiver_dvb_t2_tpu.params import l1 as l1_mod
 
     mode, plp = _config()
@@ -99,12 +100,17 @@ def main():
     l1_cells = l1_mod.L1_PRE_CELLS + l1_post_cells
     fec_cells = n_fec * plp.cells_per_fec_block
 
+    # Two chained jits (demod->LLR, then FEC): the tunnel runtime aborts on
+    # very long single-program compiles, and stage-level jits match how the
+    # streaming runtime dispatches anyway. No host round-trip in between.
     @jax.jit
-    def pipeline(frames_iq):
+    def to_llr(frames_iq):
         def one(frame):
             carriers, _ = ofdm.demod_frame(frame, mode)
             payload, _ = equalizer.equalize_frame(carriers, eq_plan)
-            cells = jax.lax.dynamic_slice(payload, (l1_cells,), (fec_cells,))
+            cells = cplx.C(
+                jax.lax.dynamic_slice(payload.re, (l1_cells,), (fec_cells,)),
+                jax.lax.dynamic_slice(payload.im, (l1_cells,), (fec_cells,)))
             return llr_ops.demap_frame(cells, demap_plan)
         llr, snr = jax.vmap(one)(frames_iq)
         llr = llr.reshape(-1, llr.shape[-1])
@@ -112,11 +118,20 @@ def main():
             llr = jnp.concatenate(
                 [llr, jnp.zeros((n_pad - llr.shape[0], llr.shape[1]),
                                 llr.dtype)])
+        return llr, jnp.mean(snr)
+
+    @jax.jit
+    def fec(llr):
         hard, ok, iters = decoder(llr)
         clean = bch_ops.syndrome_flags(hard[:n_cw, :plp.n_bch], plp)
-        return ok[:n_cw], clean, iters, jnp.mean(snr)
+        return ok[:n_cw], clean, iters
 
-    dev_frames = jnp.asarray(frames)
+    def pipeline(frames_iq):
+        llr, snr = to_llr(frames_iq)
+        ok, clean, iters = fec(llr)
+        return ok, clean, iters, snr
+
+    dev_frames = jax.device_put(cplx.from_np(frames))
     ok, clean, iters, snr = jax.block_until_ready(pipeline(dev_frames))
     n_ok = int(np.sum(np.asarray(ok)))
     sys.stderr.write(

@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from ..io.bbframe import BBFrameParser
-from ..ops import bch_ops, equalizer, llr as llr_ops, ofdm
+from ..ops import bch_ops, cplx, equalizer, llr as llr_ops, ofdm
 from ..params import l1 as l1_mod
 from ..params.modes import (T2Mode, PlpConfig, Constellation, CodeRate,
                             FecFrame, PilotPattern, GuardInterval, FftMode)
@@ -105,17 +105,18 @@ class TpuReceiver:
         self._decoder = None
 
     # ------------------------------------------------------------------
-    def _frames_to_llr(self, frames_iq: jnp.ndarray):
-        """[F, frame_samples] -> (llr [F*n_fec, N], diag pytree)."""
+    def _frames_to_llr(self, frames_iq: cplx.C):
+        """[F, frame_samples] real-pair -> (llr [F*n_fec, N], diag pytree)."""
         mode, cfg = self.mode, self.cfg
 
         def one(frame):
             carriers, gi_cfo = ofdm.demod_frame(frame, mode)
             payload, diag = equalizer.equalize_frame(carriers, self.eq_plan)
             start = l1_mod.L1_PRE_CELLS + self._l1_post_cells
-            plp_cells = jax.lax.dynamic_slice(
-                payload, (start,),
-                (cfg.n_fec_per_frame * self.plp.cells_per_fec_block,))
+            size = cfg.n_fec_per_frame * self.plp.cells_per_fec_block
+            plp_cells = cplx.C(
+                jax.lax.dynamic_slice(payload.re, (start,), (size,)),
+                jax.lax.dynamic_slice(payload.im, (start,), (size,)))
             llr, snr = llr_ops.demap_frame(plp_cells, self.demap_plan)
             diag["gi_cfo"] = gi_cfo
             diag["snr_db"] = snr
@@ -164,9 +165,8 @@ class TpuReceiver:
 
     # ------------------------------------------------------------------
     def receive(self, frames_iq: np.ndarray) -> FrameBatchResult:
-        """[F, frame_samples] -> decoded TS bytes + statistics."""
-        frames_iq = jnp.asarray(frames_iq)
-        llr, diags = self._frame_fn(frames_iq)
+        """[F, frame_samples] complex ndarray -> decoded TS + statistics."""
+        llr, diags = self._frame_fn(cplx.from_np(frames_iq))
         n_cw = llr.shape[0]
         decoder = self._get_decoder(n_cw)
         if self._ldpc_batch > n_cw:

@@ -30,6 +30,8 @@ import jax.numpy as jnp
 from ..params import freq_interleaver, pilots
 from ..params.modes import T2Mode
 from ..params import l1 as l1_mod
+from . import cplx
+from .cplx import C
 
 
 class EqualizerPlan:
@@ -124,17 +126,16 @@ def _wrap(x):
     return jnp.mod(x + jnp.pi, 2 * jnp.pi) - jnp.pi
 
 
-def equalize_frame(carriers: jnp.ndarray, plan: EqualizerPlan):
-    """[L, K] carriers -> (payload [total_cells] c64, diag dict).
+def equalize_frame(carriers: C, plan: EqualizerPlan):
+    """[L, K] carriers (real-pair) -> (payload [total_cells] C, diag dict).
 
     diag: phase_offset [L], sro [L] per-symbol discriminators, snr-ish pilot
     error power.
     """
-    L = carriers.shape[0]
-    pil = jnp.take_along_axis(carriers, plan.pilot_idx, axis=1)   # [L, P]
+    pil = cplx.take_along_axis(carriers, plan.pilot_idx, axis=1)   # [L, P]
     est = pil * plan.ref_vals                                      # BPSK removed
-    phi = jnp.arctan2(est.imag, est.real)
-    amp = jnp.abs(pil) / plan.amp_vals
+    phi = est.angle()
+    amp = pil.abs() / plan.amp_vals
 
     phi_l = jnp.take_along_axis(phi, plan.left_ord, axis=1)
     phi_r = jnp.take_along_axis(phi, plan.left_ord + 1, axis=1)
@@ -144,8 +145,8 @@ def equalize_frame(carriers: jnp.ndarray, plan: EqualizerPlan):
     amp_d = amp_l + plan.frac * (amp_r - amp_l)
     amp_d = jnp.maximum(amp_d, 1e-9)
 
-    data = jnp.take_along_axis(carriers, plan.data_idx, axis=1)    # [L, D]
-    eq = data * jnp.exp(-1j * phi_d) / amp_d
+    data = cplx.take_along_axis(carriers, plan.data_idx, axis=1)   # [L, D]
+    eq = data * cplx.cexp(-phi_d) * (1.0 / amp_d)
 
     payload = eq.reshape(-1)[plan.payload_gather]
 
@@ -153,15 +154,17 @@ def equalize_frame(carriers: jnp.ndarray, plan: EqualizerPlan):
     vmask = plan.pilot_valid
     fh = jnp.logical_and(vmask, plan.pilot_first_half)
     sh = jnp.logical_and(vmask, jnp.logical_not(plan.pilot_first_half))
-    sum1 = jnp.sum(jnp.where(fh, est, 0), axis=1)
-    sum2 = jnp.sum(jnp.where(sh, est, 0), axis=1)
-    phase_offset = jnp.angle(sum1) + jnp.angle(sum2)
+    sum1 = cplx.sum(cplx.where(fh, est, 0.0), axis=1)
+    sum2 = cplx.sum(cplx.where(sh, est, 0.0), axis=1)
+    phase_offset = sum1.angle() + sum2.angle()
 
     sro_pil = carriers[:, plan.sro_idx] * plan.sro_ref             # [L, C]
-    drift = (sro_pil[1:] * jnp.conj(sro_pil[:-1])).imag
+    # (a * conj(b)).imag without forming the full product
+    drift = (sro_pil.im[1:] * sro_pil.re[:-1]
+             - sro_pil.re[1:] * sro_pil.im[:-1])
     d1 = jnp.sum(jnp.where(plan.sro_first_half[None], drift, 0), axis=1)
     d2 = jnp.sum(jnp.where(plan.sro_first_half[None], 0, drift), axis=1)
-    pwr = jnp.mean(jnp.abs(sro_pil) ** 2, axis=1)
+    pwr = jnp.mean(sro_pil.abs2(), axis=1)
     sro = jnp.concatenate([jnp.zeros((1,)), (d2 - d1)
                            / jnp.maximum(pwr[1:] * sro_pil.shape[1], 1e-9)])
     diag = dict(phase_offset=phase_offset, sro=sro)

@@ -1,22 +1,22 @@
-"""Matmul-based four-step FFT: the MXU-native DFT for TPU.
+"""Matmul-based four-step FFT: the MXU-native DFT for TPU (real-pair I/O).
 
-XLA's FFT op is not implemented by every TPU runtime (and a direct DFT is
-O(N^2)); the four-step Cooley-Tukey factorization N = N1 * N2 computes the
-same transform as two *dense matmuls* of MXU-sized DFT matrices plus one
-twiddle multiply:
+XLA's FFT op is not implemented by this TPU runtime — and neither are
+complex dtypes — so the transform is expressed entirely in real arithmetic.
+The four-step Cooley-Tukey factorization N = N1 * N2 computes a DFT as two
+dense MXU matmuls plus a twiddle multiply:
 
     x[n1*N2 + n2] --(DFT_N1 over n1)--> C[k1, n2]
     C *= W_N^(k1*n2)
     C --(DFT_N2 over n2)--> X[k1, k2],   X_out[k1 + N1*k2] = X[k1, k2]
 
-Cost: N*(N1 + N2) complex MACs per transform — for 32K, 0.1% of the naive
-DFT — and 100% of the FLOPs land on the systolic array as [256,256]x[256,B]
-matmuls, which is exactly what the hardware wants.  Used for the 1K-32K
-OFDM sizes of DVB-T2 (replacing FFTW in the reference,
-/root/reference/src/DSP/fast_fourier_transform.h:54-70).
+Complex matmul F @ A splits into two real matmuls on *stacked* operands:
+Fr @ [Ar | Ai] and Fi @ [Ar | Ai] — same FLOPs as the 4-matmul expansion
+but only two MXU dispatches.  Cost: N*(N1+N2) MACs per transform (0.1% of
+the naive DFT at 32K), all on the systolic array.  Replaces FFTW in the
+reference (/root/reference/src/DSP/fast_fourier_transform.h:54-70).
 
-precision=HIGHEST keeps the f32 matmuls exact enough (~1e-6 relative) for
-the 35 dB+ MER this receiver needs.
+precision=HIGHEST keeps the f32 matmuls at ~1e-6 relative error — far
+below the 35 dB+ MER this receiver needs.
 """
 from __future__ import annotations
 
@@ -26,20 +26,24 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from .cplx import C
+
 
 @functools.lru_cache(maxsize=None)
-def _dft_matrix(n: int, inverse: bool = False) -> np.ndarray:
+def _dft_parts(n: int, inverse: bool) -> tuple[np.ndarray, np.ndarray]:
     k = np.arange(n)
     sign = 2j if inverse else -2j
-    return np.exp(sign * np.pi * np.outer(k, k) / n).astype(np.complex64)
+    f = np.exp(sign * np.pi * np.outer(k, k) / n)
+    return f.real.astype(np.float32), f.imag.astype(np.float32)
 
 
 @functools.lru_cache(maxsize=None)
-def _twiddle(n1: int, n2: int, inverse: bool = False) -> np.ndarray:
+def _twiddle_parts(n1: int, n2: int, inverse: bool):
     k1 = np.arange(n1)[:, None]
     n2r = np.arange(n2)[None, :]
     sign = 2j if inverse else -2j
-    return np.exp(sign * np.pi * k1 * n2r / (n1 * n2)).astype(np.complex64)
+    t = np.exp(sign * np.pi * k1 * n2r / (n1 * n2))
+    return t.real.astype(np.float32), t.imag.astype(np.float32)
 
 
 def _factors(n: int) -> tuple[int, int]:
@@ -49,35 +53,46 @@ def _factors(n: int) -> tuple[int, int]:
     return n1, n // n1
 
 
-def fft_mm(x: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
-    """DFT over the last axis via two MXU matmuls (any leading batch dims)."""
+def _cmatmul_left(fr, fi, a: C, sub: str) -> C:
+    """(Fr + j Fi) @ A via two stacked real einsums (contraction per sub)."""
+    hp = jax.lax.Precision.HIGHEST
+    ar_ai = jnp.concatenate([a.re, a.im], axis=-1)         # stack on cols
+    pr = jnp.einsum(sub, fr, ar_ai, precision=hp)
+    pi = jnp.einsum(sub, fi, ar_ai, precision=hp)
+    m = a.re.shape[-1]
+    return C(pr[..., :m] - pi[..., m:], pr[..., m:] + pi[..., :m])
+
+
+def fft_mm(x: C, inverse: bool = False) -> C:
+    """DFT over the last axis via MXU matmuls (any leading batch dims)."""
     n = x.shape[-1]
     n1, n2 = _factors(n)
-    f1 = _dft_matrix(n1, inverse)
-    f2 = _dft_matrix(n2, inverse)
-    tw = _twiddle(n1, n2, inverse)
+    f1r, f1i = _dft_parts(n1, inverse)
+    f2r, f2i = _dft_parts(n2, inverse)
+    twr, twi = _twiddle_parts(n1, n2, inverse)
+
     a = x.reshape(*x.shape[:-1], n1, n2)
-    # C[k1, n2] = sum_n1 F1[k1, n1] * A[n1, n2]
-    c = jnp.einsum("kn,...nm->...km", f1, a,
-                   precision=jax.lax.Precision.HIGHEST)
-    c = c * tw
-    # X[k1, k2] = sum_n2 C[k1, n2] * F2[n2, k2];  out[k1 + N1*k2]
-    out = jnp.einsum("...km,mj->...kj", c, f2,
-                     precision=jax.lax.Precision.HIGHEST)
-    out = jnp.swapaxes(out, -1, -2).reshape(*x.shape[:-1], n)
+    # C[k1, n2] = sum_n1 F1[k1, n1] * A[..., n1, n2]
+    c = _cmatmul_left(f1r, f1i, a, "kn,...nm->...km")
+    c = c * C(twr, twi)
+    # X[..., k1, k2] = sum_n2 C[..., k1, n2] * F2[n2, k2]
+    hp = jax.lax.Precision.HIGHEST
+    cr_ci = jnp.concatenate([c.re, c.im], axis=-2)         # stack on k1 rows
+    pr = jnp.einsum("...km,mj->...kj", cr_ci, f2r, precision=hp)
+    pi = jnp.einsum("...km,mj->...kj", cr_ci, f2i, precision=hp)
+    out = C(pr[..., :n1, :] - pi[..., n1:, :], pr[..., n1:, :] + pi[..., :n1, :])
+    # out[k1, k2] -> flat index k1 + N1*k2: swap then reshape
+    out = C(jnp.swapaxes(out.re, -1, -2), jnp.swapaxes(out.im, -1, -2))
+    out = out.reshape(*x.shape[:-1], n)
     if inverse:
-        out = out / n
+        out = out * (1.0 / n)
     return out
 
 
-def fft(x: jnp.ndarray) -> jnp.ndarray:
-    """Forward DFT over the last axis; jnp.fft on CPU, matmuls on TPU."""
-    if jax.default_backend() == "cpu":
-        return jnp.fft.fft(x, axis=-1)
+def fft(x: C) -> C:
+    """Forward DFT over the last axis of a real-pair array."""
     return fft_mm(x)
 
 
-def ifft(x: jnp.ndarray) -> jnp.ndarray:
-    if jax.default_backend() == "cpu":
-        return jnp.fft.ifft(x, axis=-1)
+def ifft(x: C) -> C:
     return fft_mm(x, inverse=True)

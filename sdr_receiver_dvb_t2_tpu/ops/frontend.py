@@ -6,14 +6,16 @@ dvbt2_demodulator.cpp:151-192 NCO + Farrow + FIR chain).  Here every stage
 is a *block* operator with explicit carried state, so a whole ingest block
 (hundreds of thousands of samples) runs as one fused XLA program:
 
-  raw ints -> complex64 -> DC / IQ-imbalance correction (estimates from
-  block N-1 applied to block N) -> NCO derotation (closed-form phase ramp,
-  no recurrence) -> cubic Farrow fractional resampler (closed-form output
-  positions -> a single gather, no phase-accumulator loop) -> polyphase
-  anti-alias FIR decimator (XLA convolution, stride 2).
+  raw ints -> real-pair float32 -> DC / IQ-imbalance correction (estimates
+  from block N-1 applied to block N) -> NCO derotation (closed-form phase
+  ramp, no recurrence) -> cubic Farrow fractional resampler (closed-form
+  output positions -> a single gather, no phase-accumulator loop) ->
+  polyphase anti-alias FIR decimator (XLA convolution, stride 2).
 
-All outputs have static shapes: the resampler produces a fixed ``n_out``
-per block and the host carries the fractional phase between blocks
+All IQ on device is real-pair (ops/cplx.C) — this TPU runtime has no
+complex dtypes, and split planes are the faster layout regardless.  All
+outputs have static shapes: the resampler produces a fixed ``n_out`` per
+block and the host carries the fractional phase between blocks
 (SURVEY.md section 7 "hard parts": variable-rate resampling vs XLA).
 """
 from __future__ import annotations
@@ -25,13 +27,16 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from . import cplx
+from .cplx import C
+
 
 # ---------------------------------------------------------------------------
 # raw sample conversion (reference: convert_iq<T>, dvbt2_demodulator.h:68-115)
 # ---------------------------------------------------------------------------
 
-def raw_to_complex(block: jnp.ndarray, fmt: str) -> jnp.ndarray:
-    """Interleaved raw IQ -> complex64, normalized to roughly unit scale.
+def raw_to_iq(block: jnp.ndarray, fmt: str) -> C:
+    """Interleaved raw IQ -> real-pair float32, roughly unit scale.
 
     fmt: 'u8' (offset-binary bytes), 's8', 's16', 'f32'.
     """
@@ -50,34 +55,35 @@ def raw_to_complex(block: jnp.ndarray, fmt: str) -> jnp.ndarray:
     else:
         raise ValueError(f"unknown IQ format {fmt!r}")
     x = x.reshape(-1, 2) * scale
-    return jax.lax.complex(x[:, 0], x[:, 1])
+    return C(x[:, 0], x[:, 1])
 
 
 @dataclasses.dataclass
 class IqCondState:
     """Carried conditioning state (all python floats; updated per block)."""
-    dc: complex = 0.0 + 0.0j
+    dc_re: float = 0.0
+    dc_im: float = 0.0
     c1: float = 0.0          # quadrature leakage I->Q
     c2: float = 1.0          # Q amplitude correction
     level: float = 0.0       # mean |I| + |Q| (AGC observable)
 
 
-def iq_condition(x: jnp.ndarray, dc: jnp.ndarray, c1: jnp.ndarray,
-                 c2: jnp.ndarray):
+def iq_condition(x: C, dc_re: jnp.ndarray, dc_im: jnp.ndarray,
+                 c1: jnp.ndarray, c2: jnp.ndarray):
     """Apply DC + IQ-imbalance correction; measure fresh estimates.
 
     Correction uses *previous-block* estimates (block-recurrent replacement
     for the reference's per-sample exponential loops,
     dvbt2_demodulator.h:89-153).  Returns (y, stats) where stats holds this
     block's raw measurements for the host to smooth into the next state:
-    (dc_mean, theta1, theta2, theta3, level).
+    (dc_re, dc_im, theta1, theta2, theta3, level).
     """
-    y = x - dc
-    i, q = y.real, y.imag
+    i = x.re - dc_re
+    q = x.im - dc_im
     q = (q - c1 * i) / c2
-    y = jax.lax.complex(i, q)
 
-    dc_mean = jnp.mean(x)
+    dc_mean_re = jnp.mean(x.re)
+    dc_mean_im = jnp.mean(x.im)
     # Moseley & Slump blind IQ-imbalance estimators (the reference uses the
     # 1-bit-quantized variant, dvbt2_demodulator.h:89-98)
     sgn_i = jnp.sign(i)
@@ -85,7 +91,7 @@ def iq_condition(x: jnp.ndarray, dc: jnp.ndarray, c1: jnp.ndarray,
     theta2 = jnp.mean(sgn_i * i)
     theta3 = jnp.mean(jnp.sign(q) * q)
     level = jnp.mean(jnp.abs(i) + jnp.abs(q))
-    return y, (dc_mean, theta1, theta2, theta3, level)
+    return C(i, q), (dc_mean_re, dc_mean_im, theta1, theta2, theta3, level)
 
 
 def fold_iq_stats(state: IqCondState, stats, alpha: float = 0.05
@@ -96,8 +102,7 @@ def fold_iq_stats(state: IqCondState, stats, alpha: float = 0.05
     residuals; the new absolute correction composes them with the currently
     applied one: Q'' = ((Q - c1 I)/c2 - r1 I)/r2 = (Q - (c1 + c2 r1) I)/(c2 r2).
     """
-    dc_mean, t1, t2, t3, level = (complex(stats[0]),) + tuple(
-        float(s) for s in stats[1:])
+    dc_re, dc_im, t1, t2, t3, level = (float(s) for s in stats)
     t2 = max(t2, 1e-12)
     r1 = t1 / t2
     r2 = float(np.sqrt(max(t3 * t3 - t1 * t1, 1e-24))) / t2
@@ -105,7 +110,8 @@ def fold_iq_stats(state: IqCondState, stats, alpha: float = 0.05
     c2_comp = state.c2 * r2
     mix = lambda old, new: old + alpha * (new - old)
     return IqCondState(
-        dc=mix(state.dc, dc_mean),
+        dc_re=mix(state.dc_re, dc_re),
+        dc_im=mix(state.dc_im, dc_im),
         c1=mix(state.c1, c1_comp),
         c2=mix(state.c2, c2_comp),
         level=mix(state.level, level),
@@ -116,17 +122,17 @@ def fold_iq_stats(state: IqCondState, stats, alpha: float = 0.05
 # NCO derotation (reference: dvbt2_demodulator.cpp:165-174)
 # ---------------------------------------------------------------------------
 
-def nco_derotate(x: jnp.ndarray, phase0: jnp.ndarray, freq: jnp.ndarray):
+def nco_derotate(x: C, phase0: jnp.ndarray, freq: jnp.ndarray):
     """y[n] = x[n] * exp(-j(phase0 + freq*n)); returns (y, phase_end).
 
     ``freq`` is radians/sample.  The phase ramp is closed-form (no
     recurrence), so the whole block vectorizes; phase_end is carried to the
     next block by the host.
     """
-    n = jnp.arange(x.shape[0], dtype=jnp.float32)
+    n = jnp.arange(x.shape[-1], dtype=jnp.float32)
     ph = phase0 + freq * n
-    y = x * jnp.exp(jax.lax.complex(jnp.float32(0), -ph))
-    phase_end = jnp.mod(phase0 + freq * x.shape[0], 2 * jnp.pi)
+    y = x * cplx.cexp(-ph)
+    phase_end = jnp.mod(phase0 + freq * x.shape[-1], 2 * jnp.pi)
     return y, phase_end
 
 
@@ -150,8 +156,8 @@ def split_step(step: float) -> tuple[np.float32, np.float32]:
 _FARROW_CHUNK = 1024
 
 
-def farrow_resample(x: jnp.ndarray, mu0: jnp.ndarray, step_hi: jnp.ndarray,
-                    step_lo: jnp.ndarray, n_out: int) -> jnp.ndarray:
+def farrow_resample(x: C, mu0: jnp.ndarray, step_hi: jnp.ndarray,
+                    step_lo: jnp.ndarray, n_out: int) -> C:
     """Cubic (4-tap Lagrange) fractional resampler with static output size.
 
     Output i interpolates input position p_i = mu0 + step*i with
@@ -187,17 +193,17 @@ def farrow_resample(x: jnp.ndarray, mu0: jnp.ndarray, step_hi: jnp.ndarray,
     idx = (idx_base[:, None] + pf.astype(jnp.int32)).reshape(-1)
     d = (p - pf).reshape(-1)
 
-    xm1 = jnp.take(x, idx - 1, mode="clip")
-    x0 = jnp.take(x, idx, mode="clip")
-    x1 = jnp.take(x, idx + 1, mode="clip")
-    x2 = jnp.take(x, idx + 2, mode="clip")
+    xm1 = cplx.take(x, idx - 1, mode="clip")
+    x0 = cplx.take(x, idx, mode="clip")
+    x1 = cplx.take(x, idx + 1, mode="clip")
+    x2 = cplx.take(x, idx + 2, mode="clip")
 
     dm1, dp1, dm2 = d - 1.0, d + 1.0, d - 2.0
     cm1 = -d * dm1 * dm2 / 6.0
     c0 = dp1 * dm1 * dm2 / 2.0
     c1 = -dp1 * d * dm2 / 2.0
     c2 = dp1 * d * dm1 / 6.0
-    return (xm1 * cm1 + x0 * c0 + x1 * c1 + x2 * c2).astype(x.dtype)
+    return xm1 * cm1 + x0 * c0 + x1 * c1 + x2 * c2
 
 
 def farrow_advance(mu0: float, step: float, n_out: int) -> tuple[int, float]:
@@ -241,19 +247,19 @@ def fir_taps(preset: str = "medium") -> np.ndarray:
     return np.asarray(design_lowpass(n, cut, beta), dtype=np.float32)
 
 
-def fir_decimate2(x: jnp.ndarray, history: jnp.ndarray, taps: jnp.ndarray):
+def fir_decimate2(x: C, history: C, taps: jnp.ndarray):
     """Overlap-save FIR + decimate by 2.
 
-    x: [N] complex (N even); history: [len(taps)-1] complex tail of the
-    previous block.  Returns (y [N//2], new_history).  Runs as one strided
-    XLA convolution over stacked real/imag channels.
+    x: [N] real-pair (N even); history: [len(taps)-1] tail of the previous
+    block.  Returns (y [N//2], new_history).  Runs as one strided XLA
+    convolution over stacked real/imag channels.
     """
     t = taps.shape[0]
-    xp = jnp.concatenate([history, x])
-    ri = jnp.stack([xp.real, xp.imag])[None]          # [1, 2, N + t - 1]
+    xp = cplx.concatenate([history, x])
+    ri = cplx.stack_ri(xp)[None]                      # [1, 2, N + t - 1]
     k = jnp.broadcast_to(taps[::-1][None, None], (2, 1, t))
     y = jax.lax.conv_general_dilated(
         ri, k, window_strides=(2,), padding="VALID",
         dimension_numbers=("NCH", "OIH", "NCH"),
         feature_group_count=2)[0]
-    return jax.lax.complex(y[0], y[1]), xp[-(t - 1):]
+    return C(y[0], y[1]), xp[-(t - 1):]

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 from ..params import bit_interleaver, time_interleaver
 from ..params.modes import PlpConfig, Constellation
+from .cplx import C
 
 
 class DemapPlan:
@@ -41,7 +42,8 @@ class DemapPlan:
         self.ti_gather = np.asarray(np.concatenate(gathers, axis=0))  # [n_fec, n_cells]
         self.bit_gather = np.asarray(bit_interleaver.rx_gather(
             plp.constellation, plp.fec_frame, plp.code_rate))
-        self.derot = np.exp(-1j * plp.rotation_angle).astype(np.complex64)
+        self.derot_re = np.float32(np.cos(plp.rotation_angle))
+        self.derot_im = np.float32(-np.sin(plp.rotation_angle))
         self.eta = plp.bits_per_cell
         self.norm = plp.norm_factor
         self.levels_max = (1 << (self.eta // 2)) - 1
@@ -64,31 +66,31 @@ def _axis_llrs(v, per_axis, norm, precision):
     return out
 
 
-def demap_frame(plp_cells: jnp.ndarray, plan: DemapPlan):
-    """PLP cells [n_fec * n_cells] -> (llr [n_fec, N] f32, snr_db scalar)."""
+def demap_frame(plp_cells: C, plan: DemapPlan):
+    """PLP cells [n_fec * n_cells] (real-pair) -> (llr [n_fec, N] f32, snr_db)."""
     cells = plp_cells[plan.ti_gather]                      # [n_fec, n_cells]
     # undo cyclic Q delay
-    cells = cells.real + 1j * jnp.roll(cells.imag, -1, axis=1)
-    cells = cells * plan.derot
+    cells = C(cells.re, jnp.roll(cells.im, -1, axis=1))
+    cells = cells * C(plan.derot_re, plan.derot_im)
 
     per_axis = plan.eta // 2
     # hard decision error power for SNR / precision estimate
     step = 2 * plan.norm
-    hard_i = jnp.clip(jnp.round((cells.real - plan.norm) / step) * step
+    hard_i = jnp.clip(jnp.round((cells.re - plan.norm) / step) * step
                       + plan.norm, -plan.levels_max * plan.norm,
                       plan.levels_max * plan.norm)
-    hard_q = jnp.clip(jnp.round((cells.imag - plan.norm) / step) * step
+    hard_q = jnp.clip(jnp.round((cells.im - plan.norm) / step) * step
                       + plan.norm, -plan.levels_max * plan.norm,
                       plan.levels_max * plan.norm)
-    err = (cells.real - hard_i) ** 2 + (cells.imag - hard_q) ** 2
+    err = (cells.re - hard_i) ** 2 + (cells.im - hard_q) ** 2
     sig = hard_i ** 2 + hard_q ** 2
     sum_s = jnp.sum(sig)
     sum_e = jnp.maximum(jnp.sum(err), 1e-12)
     snr_db = 10.0 * jnp.log10(sum_s / sum_e)
     precision = jnp.clip(8.0 * plan.norm * sum_s / sum_e, 0.0, 512.0)
 
-    i_llrs = _axis_llrs(cells.real, per_axis, plan.norm, precision)
-    q_llrs = _axis_llrs(cells.imag, per_axis, plan.norm, precision)
+    i_llrs = _axis_llrs(cells.re, per_axis, plan.norm, precision)
+    q_llrs = _axis_llrs(cells.im, per_axis, plan.norm, precision)
     bits = []
     for a, b in zip(i_llrs, q_llrs):
         bits.append(a)

@@ -40,7 +40,8 @@ except ImportError:                    # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
 from ..ops import frontend as fe
-from ..ops import ofdm, equalizer, llr as llr_ops, ldpc_decode, bch_ops
+from ..ops import cplx, ofdm, equalizer, llr as llr_ops, ldpc_decode, bch_ops
+from ..ops.cplx import C
 from ..params import l1 as l1_mod
 from ..params.modes import T2Mode, PlpConfig
 
@@ -129,28 +130,30 @@ class ShardedReceiver:
         l1_cells = l1_mod.L1_PRE_CELLS + cfg.l1_post_cells
 
         def frames_to_llr(frames):
-            """[F, frame_samples] -> (llr [F*n_fec, N], snr scalar)."""
+            """[F, frame_samples] real-pair -> (llr [F*n_fec, N], snr)."""
             def one(frame):
                 carriers, _ = ofdm.demod_frame(frame, mode)
                 payload, _ = equalizer.equalize_frame(carriers, eq_plan)
-                cells = jax.lax.dynamic_slice(payload, (l1_cells,),
-                                              (fec_cells,))
+                cells = C(
+                    jax.lax.dynamic_slice(payload.re, (l1_cells,), (fec_cells,)),
+                    jax.lax.dynamic_slice(payload.im, (l1_cells,), (fec_cells,)))
                 return llr_ops.demap_frame(cells, demap_plan)
             llr, snr = jax.vmap(one)(frames)
             return llr.reshape(-1, llr.shape[-1]), jnp.mean(snr)
 
         def shard_body(raw, idx0, frac0, phase0, freq, step_hi, step_lo):
-            # raw: [C_loc, raw_block]; idx0/frac0/phase0: [1] (this shard's)
+            # raw: C [C_loc, raw_block]; idx0/frac0/phase0: [1] (this shard's)
             t_idx = jax.lax.axis_index("time")
             n_t = jax.lax.axis_size("time")
 
             # ---- halo exchange: previous time-block's tail --------------
             tail = raw[:, -halo:]
             perm = [(i, (i + 1) % n_t) for i in range(n_t)]
-            left = jax.lax.ppermute(tail, "time", perm)
+            left = jax.tree.map(
+                lambda a: jax.lax.ppermute(a, "time", perm), tail)
             # shard 0 has no predecessor within the step; zeros are fine
-            left = jnp.where(t_idx == 0, 0, left)
-            x = jnp.concatenate([left, raw], axis=1)
+            left = cplx.where(t_idx == 0, 0.0, left)
+            x = cplx.concatenate([left, raw], axis=1)
 
             # ---- NCO derotation (per-shard phase base from host) --------
             nco = lambda row: fe.nco_derotate(row, phase0[0], freq)[0]
@@ -197,6 +200,8 @@ class ShardedReceiver:
 
     # ------------------------------------------------------------------
     def step(self, raw, idx0, frac0, phase0, freq, step_hi, step_lo):
+        if not isinstance(raw, C):
+            raw = cplx.from_np(raw)
         return self._step(raw, jnp.asarray(idx0, jnp.int32),
                           jnp.asarray(frac0, jnp.float32),
                           jnp.asarray(phase0, jnp.float32),

@@ -1,9 +1,10 @@
-"""Matmul four-step FFT vs numpy reference, all DVB-T2 sizes."""
+"""Matmul four-step FFT (real-pair) vs numpy reference, all DVB-T2 sizes."""
 import numpy as np
 import jax.numpy as jnp
 import pytest
 
 from sdr_receiver_dvb_t2_tpu.ops import fft as fft_ops
+from sdr_receiver_dvb_t2_tpu.ops import cplx
 
 
 @pytest.mark.parametrize("n", [256, 512, 1024, 2048, 4096, 8192, 16384, 32768])
@@ -11,7 +12,7 @@ def test_fft_mm_matches_numpy(n):
     rng = np.random.default_rng(n)
     x = (rng.standard_normal((3, n)) + 1j * rng.standard_normal((3, n))
          ).astype(np.complex64)
-    got = np.asarray(fft_ops.fft_mm(jnp.asarray(x)))
+    got = cplx.to_np(fft_ops.fft(cplx.from_np(x)))
     want = np.fft.fft(x.astype(np.complex128), axis=-1)
     rel = np.linalg.norm(got - want) / np.linalg.norm(want)
     assert rel < 2e-6, (n, rel)
@@ -21,6 +22,6 @@ def test_ifft_mm_roundtrip():
     rng = np.random.default_rng(1)
     x = (rng.standard_normal((2, 4096)) + 1j * rng.standard_normal((2, 4096))
          ).astype(np.complex64)
-    y = fft_ops.fft_mm(jnp.asarray(x))
-    back = np.asarray(fft_ops.fft_mm(y, inverse=True))
+    y = fft_ops.fft(cplx.from_np(x))
+    back = cplx.to_np(fft_ops.ifft(y))
     assert np.max(np.abs(back - x)) < 1e-4

@@ -1,11 +1,14 @@
-"""Front-end DSP ops: conversion, conditioning, NCO, Farrow, FIR, P1."""
+"""Front-end DSP ops: conversion, conditioning, NCO, Farrow, FIR, P1.
+
+All device IQ is real-pair (ops/cplx.C); host fixtures stay complex.
+"""
 import numpy as np
 import jax
 import jax.numpy as jnp
 import pytest
 
 from sdr_receiver_dvb_t2_tpu.ops import frontend as fe
-from sdr_receiver_dvb_t2_tpu.ops import p1_detect
+from sdr_receiver_dvb_t2_tpu.ops import p1_detect, cplx
 from sdr_receiver_dvb_t2_tpu.params import p1 as p1_mod
 from sdr_receiver_dvb_t2_tpu.models import channel
 
@@ -20,13 +23,13 @@ def _bandlimited(n, rng, bw=0.2):
 
 
 # ---------------------------------------------------------------------------
-def test_raw_to_complex_roundtrip():
+def test_raw_to_iq_roundtrip():
     rng = np.random.default_rng(0)
     iq = rng.standard_normal(256) + 1j * rng.standard_normal(256)
     iq = (iq / (np.max(np.abs(iq)) * 1.5)).astype(np.complex64)
     for fmt, tol in [("u8", 6e-3), ("s8", 6e-3), ("s16", 3e-5), ("f32", 1e-7)]:
         raw = channel.quantize(iq, fmt, scale=1.0)
-        back = np.asarray(fe.raw_to_complex(jnp.asarray(raw), fmt))
+        back = cplx.to_np(fe.raw_to_iq(jnp.asarray(raw), fmt))
         assert np.max(np.abs(back - iq)) < tol, fmt
 
 
@@ -41,33 +44,36 @@ def test_iq_condition_removes_impairments():
     phi = np.deg2rad(cfg.iq_phase_deg)
     x = clean.real + 1j * g * (clean.imag * np.cos(phi)
                                + clean.real * np.sin(phi)) + cfg.dc_offset
+    xc = cplx.from_np(x)
 
     state = fe.IqCondState()
     for _ in range(40):   # iterate: estimates converge over blocks
-        y, stats = fe.iq_condition(jnp.asarray(x), jnp.complex64(state.dc),
+        y, stats = fe.iq_condition(xc, jnp.float32(state.dc_re),
+                                   jnp.float32(state.dc_im),
                                    jnp.float32(state.c1), jnp.float32(state.c2))
         state = fe.fold_iq_stats(state, [np.asarray(s) for s in stats],
                                  alpha=0.5)
-    y = np.asarray(y)
+    yn = cplx.to_np(y)
     # residual DC and image rejection
-    assert abs(np.mean(y)) < 1e-3
-    corr = np.mean(y.real * y.imag)   # I/Q decorrelated after correction
+    assert abs(np.mean(yn)) < 1e-3
+    corr = np.mean(yn.real * yn.imag)   # I/Q decorrelated after correction
     assert abs(corr) < 1e-3
-    assert abs(np.mean(y.real ** 2) - np.mean(y.imag ** 2)) < 2e-3
+    assert abs(np.mean(yn.real ** 2) - np.mean(yn.imag ** 2)) < 2e-3
 
 
 def test_nco_derotate_continuity():
     rng = np.random.default_rng(2)
     x = (rng.standard_normal(4096) + 1j * rng.standard_normal(4096)
          ).astype(np.complex64)
+    xc = cplx.from_np(x)
     freq = np.float32(0.01)
     # one shot
-    y_all, _ = fe.nco_derotate(jnp.asarray(x), jnp.float32(0.5), freq)
+    y_all, _ = fe.nco_derotate(xc, jnp.float32(0.5), freq)
     # two blocks with carried phase
-    y1, ph = fe.nco_derotate(jnp.asarray(x[:2048]), jnp.float32(0.5), freq)
-    y2, _ = fe.nco_derotate(jnp.asarray(x[2048:]), ph, freq)
-    y_split = np.concatenate([np.asarray(y1), np.asarray(y2)])
-    assert np.max(np.abs(np.asarray(y_all) - y_split)) < 1e-4
+    y1, ph = fe.nco_derotate(xc[:2048], jnp.float32(0.5), freq)
+    y2, _ = fe.nco_derotate(xc[2048:], ph, freq)
+    y_split = np.concatenate([cplx.to_np(y1), cplx.to_np(y2)])
+    assert np.max(np.abs(cplx.to_np(y_all) - y_split)) < 1e-4
 
 
 def test_farrow_matches_float64_oracle():
@@ -79,7 +85,7 @@ def test_farrow_matches_float64_oracle():
     x = _bandlimited(n_in, rng, bw=0.42).astype(np.complex64)
 
     hi, lo = fe.split_step(step)
-    y = np.asarray(fe.farrow_resample(jnp.asarray(x), jnp.float32(mu0),
+    y = cplx.to_np(fe.farrow_resample(cplx.from_np(x), jnp.float32(mu0),
                                       jnp.float32(hi), jnp.float32(lo), n_out))
 
     p = mu0 + step * np.arange(n_out)
@@ -100,21 +106,21 @@ def test_fir_decimate2_oracle_and_streaming():
     t = len(taps)
     x = (rng.standard_normal(8192) + 1j * rng.standard_normal(8192)
          ).astype(np.complex64)
-    hist0 = np.zeros(t - 1, dtype=np.complex64)
+    xc = cplx.from_np(x)
+    hist0 = cplx.czeros(t - 1)
 
-    y, h1 = fe.fir_decimate2(jnp.asarray(x), jnp.asarray(hist0), jnp.asarray(taps))
-    y = np.asarray(y)
+    y, h1 = fe.fir_decimate2(xc, hist0, jnp.asarray(taps))
+    yn = cplx.to_np(y)
     # oracle
-    xp = np.concatenate([hist0, x]).astype(np.complex128)
+    xp = np.concatenate([np.zeros(t - 1, np.complex64), x]).astype(np.complex128)
     full = np.convolve(xp, taps.astype(np.float64), mode="valid")
-    assert np.max(np.abs(y - full[::2])) < 1e-4
+    assert np.max(np.abs(yn - full[::2])) < 1e-4
 
     # streaming in two chunks == one shot
-    ya, ha = fe.fir_decimate2(jnp.asarray(x[:4096]), jnp.asarray(hist0),
-                              jnp.asarray(taps))
-    yb, _ = fe.fir_decimate2(jnp.asarray(x[4096:]), ha, jnp.asarray(taps))
-    y_split = np.concatenate([np.asarray(ya), np.asarray(yb)])
-    assert np.max(np.abs(y - y_split)) < 1e-5
+    ya, ha = fe.fir_decimate2(xc[:4096], hist0, jnp.asarray(taps))
+    yb, _ = fe.fir_decimate2(xc[4096:], ha, jnp.asarray(taps))
+    y_split = np.concatenate([cplx.to_np(ya), cplx.to_np(yb)])
+    assert np.max(np.abs(yn - y_split)) < 1e-5
 
 
 def test_fir_stopband():
@@ -141,7 +147,7 @@ def test_p1_detect_and_decode(cfo_carriers):
     cfo_true = cfo_carriers * 2 * np.pi / 1024       # rad/sample
     x = x * np.exp(1j * cfo_true * np.arange(n)).astype(np.complex64)
 
-    t0, peak, cfo_frac = p1_detect.detect(jnp.asarray(x))
+    t0, peak, cfo_frac = p1_detect.detect(cplx.from_np(x))
     t0 = int(t0)
     assert abs(t0 - t0_true) <= 2, (t0, t0_true)
     assert float(peak) > 0.3
@@ -160,5 +166,5 @@ def test_p1_no_false_alarm_on_noise():
     rng = np.random.default_rng(6)
     x = (rng.standard_normal(8192) + 1j * rng.standard_normal(8192)
          ).astype(np.complex64)
-    _, peak, _ = p1_detect.detect(jnp.asarray(x))
+    _, peak, _ = p1_detect.detect(cplx.from_np(x))
     assert float(peak) < 0.2
