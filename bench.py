@@ -76,8 +76,7 @@ def _make_signal(mode, plp, n_frames=2, snr_db=27.0):
 
 
 def main():
-    from sdr_receiver_dvb_t2_tpu.ops import (cplx, ofdm, equalizer,
-                                             llr as llr_ops, ldpc_decode,
+    from sdr_receiver_dvb_t2_tpu.ops import (cplx, rx_chain, ldpc_decode,
                                              ldpc_pallas, bch_ops)
     from sdr_receiver_dvb_t2_tpu.params import l1 as l1_mod
 
@@ -86,8 +85,8 @@ def main():
     n_frames = 2
     frames, n_fec, l1_post_cells = _make_signal(mode, plp, n_frames)
 
-    eq_plan = equalizer.get_plan(mode)
-    demap_plan = llr_ops.get_plan(plp, n_fec, 1)
+    plan = rx_chain.get_plan(mode, plp, n_fec, 1,
+                             l1_mod.L1_PRE_CELLS + l1_post_cells)
     n_cw = n_frames * n_fec
     if on_tpu:
         tiles = -(-n_cw // 128)
@@ -97,28 +96,19 @@ def main():
     else:
         decoder = ldpc_decode.make_decoder(plp.ldpc_table_name, max_iters=15)
         n_pad = n_cw
-    l1_cells = l1_mod.L1_PRE_CELLS + l1_post_cells
-    fec_cells = n_fec * plp.cells_per_fec_block
-
     # Two chained jits (demod->LLR, then FEC): the tunnel runtime aborts on
     # very long single-program compiles, and stage-level jits match how the
     # streaming runtime dispatches anyway. No host round-trip in between.
+    consts = plan.device_consts()
+
     @jax.jit
-    def to_llr(frames_iq):
-        def one(frame):
-            carriers, _ = ofdm.demod_frame(frame, mode)
-            payload, _ = equalizer.equalize_frame(carriers, eq_plan)
-            cells = cplx.C(
-                jax.lax.dynamic_slice(payload.re, (l1_cells,), (fec_cells,)),
-                jax.lax.dynamic_slice(payload.im, (l1_cells,), (fec_cells,)))
-            return llr_ops.demap_frame(cells, demap_plan)
-        llr, snr = jax.vmap(one)(frames_iq)
-        llr = llr.reshape(-1, llr.shape[-1])
+    def to_llr(frames_iq, c):
+        llr, diag = rx_chain.frames_to_llr(frames_iq, plan, c)
         if n_pad > llr.shape[0]:
             llr = jnp.concatenate(
                 [llr, jnp.zeros((n_pad - llr.shape[0], llr.shape[1]),
                                 llr.dtype)])
-        return llr, jnp.mean(snr)
+        return llr, jnp.mean(diag["snr_db"])
 
     @jax.jit
     def fec(llr):
@@ -127,7 +117,7 @@ def main():
         return ok[:n_cw], clean, iters
 
     def pipeline(frames_iq):
-        llr, snr = to_llr(frames_iq)
+        llr, snr = to_llr(frames_iq, consts)
         ok, clean, iters = fec(llr)
         return ok, clean, iters, snr
 

@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from ..io.bbframe import BBFrameParser
-from ..ops import bch_ops, cplx, equalizer, llr as llr_ops, ofdm
+from ..ops import bch_ops, cplx, rx_chain
 from ..params import l1 as l1_mod
 from ..params.modes import (T2Mode, PlpConfig, Constellation, CodeRate,
                             FecFrame, PilotPattern, GuardInterval, FftMode)
@@ -92,39 +92,24 @@ class TpuReceiver:
         self.cfg = cfg
         self.mode = cfg.mode.validate()
         self.plp = cfg.plp
-        self.eq_plan = equalizer.get_plan(self.mode)
-        self.demap_plan = llr_ops.get_plan(cfg.plp, cfg.n_fec_per_frame,
-                                           cfg.n_ti)
         self.oracle = receiver_ref.ReferenceReceiver(self.mode)
         self.bb = BBFrameParser()
         on_tpu = any(d.platform == "tpu" for d in jax.devices())
         self.use_pallas = cfg.use_pallas if cfg.use_pallas is not None else on_tpu
 
-        self._frame_fn = jax.jit(self._frames_to_llr)
         self._ldpc_batch = ldpc_batch
         self._decoder = None
 
     # ------------------------------------------------------------------
-    def _frames_to_llr(self, frames_iq: cplx.C):
-        """[F, frame_samples] real-pair -> (llr [F*n_fec, N], diag pytree)."""
-        mode, cfg = self.mode, self.cfg
-
-        def one(frame):
-            carriers, gi_cfo = ofdm.demod_frame(frame, mode)
-            payload, diag = equalizer.equalize_frame(carriers, self.eq_plan)
-            start = l1_mod.L1_PRE_CELLS + self._l1_post_cells
-            size = cfg.n_fec_per_frame * self.plp.cells_per_fec_block
-            plp_cells = cplx.C(
-                jax.lax.dynamic_slice(payload.re, (start,), (size,)),
-                jax.lax.dynamic_slice(payload.im, (start,), (size,)))
-            llr, snr = llr_ops.demap_frame(plp_cells, self.demap_plan)
-            diag["gi_cfo"] = gi_cfo
-            diag["snr_db"] = snr
-            return llr, diag
-
-        llrs, diags = jax.vmap(one)(frames_iq)
-        n = llrs.shape[0] * llrs.shape[1]
-        return llrs.reshape(n, -1), diags
+    @functools.cached_property
+    def _frame_fn(self):
+        """Jitted fused frames->LLR chain (needs L1 for the PLP offset)."""
+        plan = rx_chain.get_plan(
+            self.mode, self.plp, self.cfg.n_fec_per_frame, self.cfg.n_ti,
+            l1_mod.L1_PRE_CELLS + self._l1_post_cells)
+        consts = plan.device_consts()
+        fn = jax.jit(lambda frames, c: rx_chain.frames_to_llr(frames, plan, c))
+        return lambda frames: fn(frames, consts)
 
     # ------------------------------------------------------------------
     def acquire_l1(self, frame_iq: np.ndarray):

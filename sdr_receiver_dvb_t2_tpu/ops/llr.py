@@ -69,6 +69,11 @@ def _axis_llrs(v, per_axis, norm, precision):
 def demap_frame(plp_cells: C, plan: DemapPlan):
     """PLP cells [n_fec * n_cells] (real-pair) -> (llr [n_fec, N] f32, snr_db)."""
     cells = plp_cells[plan.ti_gather]                      # [n_fec, n_cells]
+    return demap_cells(cells, plan)
+
+
+def demap_cells(cells: C, plan: DemapPlan):
+    """Time/cell-deinterleaved cells [n_fec, n_cells] -> (llr, snr_db)."""
     # undo cyclic Q delay
     cells = C(cells.re, jnp.roll(cells.im, -1, axis=1))
     cells = cells * C(plan.derot_re, plan.derot_im)

@@ -1,0 +1,188 @@
+"""Fused frame-batch receive chain: OFDM demod -> equalize -> demap -> LLR.
+
+TPU-optimized v2 of the per-frame pipeline.  Two structural changes versus
+the textbook formulation (and the reference's serial loops):
+
+1. **Channel interpolation as a matmul.**  Linear interpolation between
+   pilots is a linear operator; for each distinct pilot layout (P2 symbol,
+   the dy scattered-pilot phases, FC symbol) the pilot->carrier
+   interpolation matrix W [p_max, K] is precomputed with the interpolation
+   fractions folded in, and the per-symbol channel estimate becomes one
+   MXU matmul h_d = h_p @ W per layout group — replacing four large
+   take_along_axis gathers (которые dominate on TPU) and the angle-domain
+   trig (atan2/cos/sin) with complex-domain interpolation.
+2. **One composed gather.**  Frequency deinterleave, the L1/PLP slice and
+   the time+cell deinterleave are all static permutations; their
+   composition maps each FEC-block cell directly to a carrier of the
+   equalized [L, K] plane.  One gather instead of three, operating once
+   per cell instead of once per intermediate stream.
+
+The remaining per-cell work (cyclic-Q-delay roll, derotation, SNR/precision
+estimate, |x|-fold LLRs, bit deinterleave) reuses ops/llr.py machinery.
+
+Reference call path being replaced: data_symbol.cpp:98-318 (equalize+freq
+deint) -> time_deinterleaver.cpp:299-317 -> llr_demapper.cpp:296-352.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..params import freq_interleaver, pilots
+from ..params.modes import T2Mode, PlpConfig
+from . import cplx, ofdm
+from . import equalizer as eq_mod
+from . import llr as llr_mod
+from .cplx import C
+
+
+class ChainPlan:
+    """All device constants for frames -> LLR, one T2Mode + PLP config."""
+
+    def __init__(self, mode: T2Mode, plp: PlpConfig, n_fec: int, n_ti: int,
+                 l1_cells: int):
+        self.mode = mode
+        self.plp = plp
+        self.n_fec = n_fec
+        self.l1_cells = l1_cells
+        L, K = mode.frame_symbols, mode.k_total
+        self.eq_plan = eq_mod.get_plan(mode)       # pilot gather tables, diag
+        self.demap = llr_mod.get_plan(plp, n_fec, n_ti)
+
+        # ---- group symbols by pilot layout; build interp weight matmuls ----
+        ep = self.eq_plan
+        groups: dict[bytes, list[int]] = {}
+        for l in range(L):
+            key = ep.pilot_idx[l].tobytes()
+            groups.setdefault(key, []).append(l)
+        self.group_syms = [np.array(v, np.int32) for v in groups.values()]
+        order = np.concatenate(self.group_syms)
+        inv = np.empty(L, np.int64)
+        inv[order] = np.arange(L)
+        self.regroup = inv                          # undo group concat order
+
+        p_max = ep.p_max
+        self.weights = []
+        for syms in self.group_syms:
+            l = int(syms[0])
+            n_pil = int(ep.n_pilots[l])
+            pidx = np.asarray(ep.pilot_idx[l][:n_pil]).astype(np.int64)
+            k = np.arange(K)
+            lo = np.clip(np.searchsorted(pidx, k) - 1, 0, n_pil - 2)
+            span = np.maximum(pidx[lo + 1] - pidx[lo], 1)
+            frac = (k - pidx[lo]) / span
+            w = np.zeros((p_max, K), np.float32)
+            w[lo, k] = 1.0 - frac
+            w[lo + 1, k] = frac
+            self.weights.append(np.asarray(w, np.float32))
+
+        # pilot reference: h_p = pil * sign / amp (padded entries zeroed by W)
+        self.pil_sign = np.asarray(ep.ref_vals)          # [L, p_max] +-1
+        self.pil_inv_amp = np.asarray(1.0 / ep.amp_vals)
+
+        # ---- composed cell gather: FEC cell -> flat [L*K] position ----------
+        pay2carrier = []
+        for l in range(L):
+            didx = pilots.data_cell_indices(mode, l)
+            n_cells = len(didx)
+            take = n_cells
+            if mode.has_fc and l == L - 1:
+                take = mode.c_fc
+            h = freq_interleaver.tx_permutation(mode, n_cells, l)
+            pay2carrier.append(l * K + didx[h[:take]])
+        pay2carrier = np.concatenate(pay2carrier)
+        assert len(pay2carrier) == mode.frame_cells, (
+            len(pay2carrier), mode.frame_cells)
+        stream = pay2carrier[l1_cells:l1_cells
+                             + n_fec * plp.cells_per_fec_block]
+        self.cell_idx = np.asarray(stream[self.demap.ti_gather]
+                                   .astype(np.int32))   # [n_fec, n_cells]
+
+
+    def device_consts(self):
+        """Big tensors as a pytree to pass as jit ARGUMENTS.
+
+        They must not be closed over: closure constants are embedded in the
+        compile request (the interpolation weights alone are ~0.5 GB, which
+        overflows the remote-compile body limit and bloats every program).
+        """
+        import jax as _jax
+        return dict(
+            w=tuple(_jax.device_put(jnp.asarray(w).astype(jnp.bfloat16))
+                    for w in self.weights),
+            cell_idx=_jax.device_put(jnp.asarray(self.cell_idx)),
+        )
+
+
+@functools.lru_cache(maxsize=None)
+def get_plan(mode: T2Mode, plp: PlpConfig, n_fec: int, n_ti: int,
+             l1_cells: int) -> ChainPlan:
+    return ChainPlan(mode, plp, n_fec, n_ti, l1_cells)
+
+
+def equalize_plane(carriers: C, plan: ChainPlan, w_consts):
+    """[L, K] carriers -> ([L, K] equalized plane, diag dict)."""
+    ep = plan.eq_plan
+    pil = cplx.take_along_axis(carriers, ep.pilot_idx, axis=1)   # [L, P]
+    h_p = pil * (plan.pil_sign * plan.pil_inv_amp)
+
+    # grouped interpolation matmuls (bf16 on the MXU)
+    outs_re, outs_im = [], []
+    for syms, wb in zip(plan.group_syms, w_consts):
+        hr = h_p.re[syms].astype(jnp.bfloat16)
+        hi = h_p.im[syms].astype(jnp.bfloat16)
+        outs_re.append(jnp.dot(hr, wb, preferred_element_type=jnp.float32))
+        outs_im.append(jnp.dot(hi, wb, preferred_element_type=jnp.float32))
+    h_d = C(jnp.concatenate(outs_re)[plan.regroup],
+            jnp.concatenate(outs_im)[plan.regroup])               # [L, K]
+
+    denom = jnp.maximum(h_d.abs2(), 1e-9)
+    eq = carriers * h_d.conj() * (1.0 / denom)
+
+    # ---- diagnostics (same discriminators as equalizer.equalize_frame) ----
+    est = pil * ep.ref_vals
+    vmask = ep.pilot_valid
+    fh = jnp.logical_and(vmask, ep.pilot_first_half)
+    sh = jnp.logical_and(vmask, jnp.logical_not(ep.pilot_first_half))
+    sum1 = cplx.sum(cplx.where(fh, est, 0.0), axis=1)
+    sum2 = cplx.sum(cplx.where(sh, est, 0.0), axis=1)
+    phase_offset = sum1.angle() + sum2.angle()
+
+    sro_pil = cplx.take(carriers, ep.sro_idx, axis=1) * ep.sro_ref
+    drift = (sro_pil.im[1:] * sro_pil.re[:-1]
+             - sro_pil.re[1:] * sro_pil.im[:-1])
+    d1 = jnp.sum(jnp.where(ep.sro_first_half[None], drift, 0), axis=1)
+    d2 = jnp.sum(jnp.where(ep.sro_first_half[None], 0, drift), axis=1)
+    pwr = jnp.mean(sro_pil.abs2(), axis=1)
+    sro = jnp.concatenate([jnp.zeros((1,)), (d2 - d1)
+                           / jnp.maximum(pwr[1:] * sro_pil.shape[1], 1e-9)])
+    return eq, dict(phase_offset=phase_offset, sro=sro)
+
+
+def demap_plane(eq: C, plan: ChainPlan, cell_idx):
+    """Equalized [L, K] plane -> (llr [n_fec, N] f32, snr_db scalar)."""
+    cells = C(eq.re.reshape(-1)[cell_idx],
+              eq.im.reshape(-1)[cell_idx])             # [n_fec, n_cells]
+    return llr_mod.demap_cells(cells, plan.demap)
+
+
+def frame_to_llr(frame_iq: C, plan: ChainPlan, consts):
+    """One frame of IQ -> (llr [n_fec, N], diag dict)."""
+    carriers, gi_cfo = ofdm.demod_frame(frame_iq, plan.mode)
+    eq, diag = equalize_plane(carriers, plan, consts["w"])
+    llr, snr = demap_plane(eq, plan, consts["cell_idx"])
+    diag["gi_cfo"] = gi_cfo
+    diag["snr_db"] = snr
+    return llr, diag
+
+
+def frames_to_llr(frames_iq: C, plan: ChainPlan, consts):
+    """[F, frame_samples] -> (llr [F*n_fec, N], diag pytree of [F, ...]).
+
+    ``consts`` = plan.device_consts(), passed through jit as arguments.
+    """
+    llr, diag = jax.vmap(lambda f: frame_to_llr(f, plan, consts))(frames_iq)
+    return llr.reshape(-1, llr.shape[-1]), diag

@@ -40,7 +40,7 @@ except ImportError:                    # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
 from ..ops import frontend as fe
-from ..ops import cplx, ofdm, equalizer, llr as llr_ops, ldpc_decode, bch_ops
+from ..ops import cplx, rx_chain, ldpc_decode, bch_ops
 from ..ops.cplx import C
 from ..params import l1 as l1_mod
 from ..params.modes import T2Mode, PlpConfig
@@ -100,9 +100,9 @@ class ShardedReceiver:
         self.plp = cfg.plp
         self.n_time = mesh.shape["time"]
         self.n_ch = mesh.shape["ch"]
-        self.eq_plan = equalizer.get_plan(self.mode)
-        self.demap_plan = llr_ops.get_plan(cfg.plp, cfg.n_fec_per_frame,
-                                           cfg.n_ti)
+        self.chain_plan = rx_chain.get_plan(
+            self.mode, cfg.plp, cfg.n_fec_per_frame, cfg.n_ti,
+            l1_mod.L1_PRE_CELLS + cfg.l1_post_cells)
         self.taps = fe.fir_taps(cfg.fir_preset)
         self.n_taps = len(self.taps)
 
@@ -125,23 +125,10 @@ class ShardedReceiver:
         cfg, mode, plp = self.cfg, self.mode, self.plp
         taps = jnp.asarray(self.taps)
         n_taps, halo, n_up, k_loc = self.n_taps, cfg.halo, self.n_up, self.k_loc
-        eq_plan, demap_plan = self.eq_plan, self.demap_plan
-        fec_cells = cfg.n_fec_per_frame * plp.cells_per_fec_block
-        l1_cells = l1_mod.L1_PRE_CELLS + cfg.l1_post_cells
+        chain_plan = self.chain_plan
 
-        def frames_to_llr(frames):
-            """[F, frame_samples] real-pair -> (llr [F*n_fec, N], snr)."""
-            def one(frame):
-                carriers, _ = ofdm.demod_frame(frame, mode)
-                payload, _ = equalizer.equalize_frame(carriers, eq_plan)
-                cells = C(
-                    jax.lax.dynamic_slice(payload.re, (l1_cells,), (fec_cells,)),
-                    jax.lax.dynamic_slice(payload.im, (l1_cells,), (fec_cells,)))
-                return llr_ops.demap_frame(cells, demap_plan)
-            llr, snr = jax.vmap(one)(frames)
-            return llr.reshape(-1, llr.shape[-1]), jnp.mean(snr)
-
-        def shard_body(raw, idx0, frac0, phase0, freq, step_hi, step_lo):
+        def shard_body(raw, idx0, frac0, phase0, freq, step_hi, step_lo,
+                       consts):
             # raw: C [C_loc, raw_block]; idx0/frac0/phase0: [1] (this shard's)
             t_idx = jax.lax.axis_index("time")
             n_t = jax.lax.axis_size("time")
@@ -172,6 +159,11 @@ class ShardedReceiver:
 
             # ---- frame batch -> LLR -> LDPC -> BCH ----------------------
             frames = elem.reshape(-1, cfg.frames_per_shard, mode.frame_samples)
+
+            def frames_to_llr(fr):
+                llr, diag = rx_chain.frames_to_llr(fr, chain_plan, consts)
+                return llr, jnp.mean(diag["snr_db"])
+
             llr, snr = jax.vmap(frames_to_llr)(frames)   # [C_loc, n_cw, N]
             c_loc, n_cw = llr.shape[0], llr.shape[1]
             hard, ok, iters = self.decoder(llr.reshape(-1, llr.shape[-1]))
@@ -193,9 +185,10 @@ class ShardedReceiver:
         fn = shard_map(
             shard_body, mesh=mesh,
             in_specs=(P("ch", "time"), P("time"), P("time"), P("time"),
-                      P(), P(), P()),
+                      P(), P(), P(), P()),
             out_specs=(P("ch", "time"), P()),
             check_vma=False)
+        self._consts = self.chain_plan.device_consts()
         return jax.jit(fn)
 
     # ------------------------------------------------------------------
@@ -206,7 +199,7 @@ class ShardedReceiver:
                           jnp.asarray(frac0, jnp.float32),
                           jnp.asarray(phase0, jnp.float32),
                           jnp.float32(freq), jnp.float32(step_hi),
-                          jnp.float32(step_lo))
+                          jnp.float32(step_lo), self._consts)
 
     # ------------------------------------------------------------------
     def host_bases(self, mu_global: float, step: float, phase_global: float,
