@@ -82,7 +82,7 @@ def main():
 
     mode, plp = _config()
     on_tpu = jax.devices()[0].platform == "tpu"
-    n_frames = 2
+    n_frames = 8 if on_tpu else 2
     frames, n_fec, l1_post_cells = _make_signal(mode, plp, n_frames)
 
     plan = rx_chain.get_plan(mode, plp, n_fec, 1,
@@ -104,15 +104,16 @@ def main():
     @jax.jit
     def to_llr(frames_iq, c):
         llr, diag = rx_chain.frames_to_llr(frames_iq, plan, c)
+        llr = llr.astype(jnp.int8)          # int8 handoff between stages
         if n_pad > llr.shape[0]:
             llr = jnp.concatenate(
                 [llr, jnp.zeros((n_pad - llr.shape[0], llr.shape[1]),
-                                llr.dtype)])
+                                jnp.int8)])
         return llr, jnp.mean(diag["snr_db"])
 
     @jax.jit
     def fec(llr):
-        hard, ok, iters = decoder(llr)
+        hard, ok, iters = decoder(llr.astype(jnp.float32))
         clean = bch_ops.syndrome_flags(hard[:n_cw, :plp.n_bch], plp)
         return ok[:n_cw], clean, iters
 

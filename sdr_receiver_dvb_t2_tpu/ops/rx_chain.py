@@ -163,9 +163,24 @@ def equalize_plane(carriers: C, plan: ChainPlan, w_consts):
 
 
 def demap_plane(eq: C, plan: ChainPlan, cell_idx):
-    """Equalized [L, K] plane -> (llr [n_fec, N] f32, snr_db scalar)."""
-    cells = C(eq.re.reshape(-1)[cell_idx],
-              eq.im.reshape(-1)[cell_idx])             # [n_fec, n_cells]
+    """Equalized [L, K] plane -> (llr [n_fec, N] f32, snr_db scalar).
+
+    The deinterleave gather moves both IQ components in ONE u32 gather by
+    packing them as bf16 halves (gathers are index-bound on TPU; halving
+    the element count halves the time; bf16 cells are 40 dB+ above the
+    demapper's int8 LLR quantization).
+    """
+    u16r = jax.lax.bitcast_convert_type(
+        eq.re.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
+    u16i = jax.lax.bitcast_convert_type(
+        eq.im.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
+    packed = ((u16r << 16) | u16i).reshape(-1)
+    g = packed[cell_idx]                                # [n_fec, n_cells]
+    cells = C(
+        jax.lax.bitcast_convert_type((g >> 16).astype(jnp.uint16),
+                                     jnp.bfloat16).astype(jnp.float32),
+        jax.lax.bitcast_convert_type((g & 0xFFFF).astype(jnp.uint16),
+                                     jnp.bfloat16).astype(jnp.float32))
     return llr_mod.demap_cells(cells, plan.demap)
 
 
