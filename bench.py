@@ -94,7 +94,8 @@ def main():
             plp.ldpc_table_name, batch=128, n_tiles=tiles, max_iters=15)
         n_pad = tiles * 128
     else:
-        decoder = ldpc_decode.make_decoder(plp.ldpc_table_name, max_iters=15)
+        decoder = ldpc_decode.make_decoder_t(plp.ldpc_table_name,
+                                             max_iters=15)
         n_pad = n_cw
     # Two chained jits (demod->LLR, then FEC): the tunnel runtime aborts on
     # very long single-program compiles, and stage-level jits match how the
@@ -103,18 +104,18 @@ def main():
 
     @jax.jit
     def to_llr(frames_iq, c):
-        llr, diag = rx_chain.frames_to_llr(frames_iq, plan, c)
-        llr = llr.astype(jnp.int8)          # int8 handoff between stages
-        if n_pad > llr.shape[0]:
-            llr = jnp.concatenate(
-                [llr, jnp.zeros((n_pad - llr.shape[0], llr.shape[1]),
-                                jnp.int8)])
-        return llr, jnp.mean(diag["snr_db"])
+        llr_t, diag = rx_chain.frames_to_llr_t(frames_iq, plan, c)
+        llr_t = llr_t.astype(jnp.int8)      # int8 handoff between stages
+        if n_pad > llr_t.shape[1]:
+            llr_t = jnp.concatenate(
+                [llr_t, jnp.zeros((llr_t.shape[0], n_pad - llr_t.shape[1]),
+                                  jnp.int8)], axis=1)
+        return llr_t, jnp.mean(diag["snr_db"])
 
     @jax.jit
-    def fec(llr):
-        hard, ok, iters = decoder(llr.astype(jnp.float32))
-        clean = bch_ops.syndrome_flags(hard[:n_cw, :plp.n_bch], plp)
+    def fec(llr_t):
+        hard_t, ok, iters = decoder(llr_t.astype(jnp.float32))
+        clean = bch_ops.syndrome_flags_t(hard_t[:plp.n_bch, :n_cw], plp)
         return ok[:n_cw], clean, iters
 
     def pipeline(frames_iq):

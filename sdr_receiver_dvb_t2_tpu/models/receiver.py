@@ -108,7 +108,8 @@ class TpuReceiver:
             self.mode, self.plp, self.cfg.n_fec_per_frame, self.cfg.n_ti,
             l1_mod.L1_PRE_CELLS + self._l1_post_cells)
         consts = plan.device_consts()
-        fn = jax.jit(lambda frames, c: rx_chain.frames_to_llr(frames, plan, c))
+        fn = jax.jit(
+            lambda frames, c: rx_chain.frames_to_llr_t(frames, plan, c))
         return lambda frames: fn(frames, consts)
 
     # ------------------------------------------------------------------
@@ -144,26 +145,27 @@ class TpuReceiver:
                 max_iters=self.cfg.ldpc_max_iters)
         else:
             self._ldpc_batch = n_codewords
-            self._decoder = ldpc_decode.make_decoder(
+            self._decoder = ldpc_decode.make_decoder_t(
                 self.plp.ldpc_table_name, max_iters=self.cfg.ldpc_max_iters)
         return self._decoder
 
     # ------------------------------------------------------------------
     def receive(self, frames_iq: np.ndarray) -> FrameBatchResult:
         """[F, frame_samples] complex ndarray -> decoded TS + statistics."""
-        llr, diags = self._frame_fn(cplx.from_np(frames_iq))
-        n_cw = llr.shape[0]
+        llr_t, diags = self._frame_fn(cplx.from_np(frames_iq))
+        n_cw = llr_t.shape[1]
         decoder = self._get_decoder(n_cw)
         if self._ldpc_batch > n_cw:
-            pad = jnp.zeros((self._ldpc_batch - n_cw, llr.shape[1]), llr.dtype)
-            llr_in = jnp.concatenate([llr, pad], axis=0)
+            pad = jnp.zeros((llr_t.shape[0], self._ldpc_batch - n_cw),
+                            llr_t.dtype)
+            llr_in = jnp.concatenate([llr_t, pad], axis=1)
         else:
-            llr_in = llr
-        hard, ok, iters = decoder(llr_in)
-        hard, ok = hard[:n_cw], ok[:n_cw]
-        clean = bch_ops.syndrome_flags(hard[:, :self.plp.n_bch], self.plp)
+            llr_in = llr_t
+        hard_t, ok, iters = decoder(llr_in)
+        hard_t, ok = hard_t[:, :n_cw], ok[:n_cw]
+        clean = bch_ops.syndrome_flags_t(hard_t[:self.plp.n_bch], self.plp)
 
-        hard_np = np.asarray(hard[:, :self.plp.n_bch], dtype=np.uint8)
+        hard_np = np.asarray(hard_t[:self.plp.n_bch], dtype=np.uint8).T
         clean_np = np.asarray(clean)
         corrected = np.zeros(n_cw, dtype=np.int64)
         bb_frames = []

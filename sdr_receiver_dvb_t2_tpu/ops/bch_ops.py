@@ -34,6 +34,19 @@ def syndrome_flags(cw_bits: jnp.ndarray, plp: PlpConfig) -> jnp.ndarray:
     return jnp.logical_not(jnp.any(s > 0.5, axis=1))
 
 
+def syndrome_flags_t(bits_t: jnp.ndarray, plp: PlpConfig) -> jnp.ndarray:
+    """Transposed variant: [n_bch, W] hard bits -> [W] bool clean flags.
+
+    Same GF(2) MXU matmul with the codeword axis on lanes — matches the
+    transposed LDPC kernel output so no relayout is needed.
+    """
+    h = _h_matrix(plp.k_bch, plp.bch_m, plp.bch_t)       # [n_bch, m*t]
+    s = jnp.einsum("nm,nw->mw", h, bits_t.astype(jnp.float32),
+                   preferred_element_type=jnp.float32)
+    s = jnp.mod(s, 2.0)
+    return jnp.logical_not(jnp.any(s > 0.5, axis=0))
+
+
 def correct_host(cw_bits: np.ndarray, plp: PlpConfig):
     """Host-side BM/Chien correction; [n_bch] -> (k_bch bits, n_err)."""
     fixed, nerr = bch.decode(cw_bits, plp.bch_m, plp.bch_t)

@@ -173,3 +173,24 @@ def make_decoder(table_name: str, max_iters: int = 15, beta: float = 1.0):
         return hard.astype(jnp.int8), ok, iters
 
     return decode
+
+
+def make_decoder_t(table_name: str, max_iters: int = 15, beta: float = 1.0):
+    """Transposed-interface adapter around :func:`make_decoder`.
+
+    Same contract as ops/ldpc_pallas.make_pallas_decoder: input
+    llr_T [N, W] in LDPC-kernel bit-row order, output
+    (hard_T [k, W] int8, ok [W] bool, iters).  Used on CPU and as the
+    cross-platform reference; the relayout is cheap off-TPU.
+    """
+    from . import ldpc_pallas
+    dec = make_decoder(table_name, max_iters=max_iters, beta=beta)
+    plan = get_plan(table_name)
+    inv = np.argsort(ldpc_pallas.kernel_bit_order(table_name))
+
+    def decode_t(llr_t):
+        llr_nat = llr_t[inv].T                    # [W, N] natural order
+        hard, ok, iters = dec(llr_nat)
+        return hard[:, :plan.k].T, ok, iters
+
+    return decode_t

@@ -52,15 +52,36 @@ def _build_tables(plan):
     return g_tab, s_tab, cnt
 
 
+def kernel_bit_order(table_name: str) -> "np.ndarray":
+    """Natural codeword bit index for each kernel input row.
+
+    Kernel rows: [0, k) = data bits in natural order (group-major, which IS
+    the natural order), [k, n) = parity rows x where row k + i*M + m holds
+    parity bit m*q + i (the staircase interleave).  Demap stages fold this
+    into their final bit-deinterleave gather so the decoder input needs no
+    relayout at all.
+    """
+    plan = get_plan(table_name)
+    k, q, n = plan.k, plan.q, plan.n
+    rows = np.arange(n)
+    out = rows.copy()
+    x = rows[k:] - k
+    i, m = x // M, x % M
+    out[k:] = k + m * q + i
+    return out
+
+
 def make_pallas_decoder(table_name: str, batch: int = 128,
                         max_iters: int = 15, beta: float = 1.0,
                         n_tiles: int = 1, interpret: bool = False):
-    """Returns decode(llr[B, N]) -> (hard[B, N] int8, ok[B] bool, iters).
+    """Returns decode(llr_T[N, W]) -> (hard_T[k, W] int8, ok[W] bool, iters).
 
-    B must equal ``batch * n_tiles`` (pad externally); each 128-codeword
-    tile is one grid step with its own early-exit while_loop, so the fixed
-    kernel dispatch overhead amortizes across tiles.  LLRs should be
-    integral-valued (int8-scale); convention: positive = bit 0.
+    Transposed, kernel-ordered interface: llr_T rows are kernel bit rows
+    (see kernel_bit_order), columns are W = batch * n_tiles codewords.
+    The producer (ops/rx_chain demap) emits this layout directly, so no
+    lane-crossing transposes happen anywhere.  LLRs integral-valued
+    (int8 scale); positive = bit 0.  Only the data-part hard bits are
+    returned (parity is never needed downstream).
     """
     plan = get_plan(table_name)
     k, r, q, cnl, g_data = plan.k, plan.r, plan.q, plan.cnl, plan.g_data
@@ -69,14 +90,14 @@ def make_pallas_decoder(table_name: str, batch: int = 128,
     g_tab_np, s_tab_np, cnt_np = _build_tables(plan)
 
     def kernel(g_tab, s_tab, cnt_tab, ch_data, ch_par,
-               lam_ref, par_ref, ok_ref,
-               tbuf, c2v, unsat_ref):
+               hard_ref, ok_ref,
+               tbuf, c2v, lam_ref, par_ref, unsat_ref):
         sub_iota = jax.lax.broadcasted_iota(jnp.int32, (M, B), 0)
         sub0_mask = sub_iota == 0
         sub_last_mask = sub_iota == M - 1
         # initialize posteriors from channel LLRs, zero the message memory
-        lam_ref[...] = ch_data[...]
-        par_ref[...] = ch_par[...]
+        lam_ref[...] = ch_data[...].reshape(g_data, M, B)
+        par_ref[...] = ch_par[...].reshape(q, M, B)
         c2v[...] = jnp.zeros((q, c_tot, M, B), jnp.int8)
 
         def layer_body(i, _):
@@ -90,7 +111,7 @@ def make_pallas_decoder(table_name: str, batch: int = 128,
             def slab_for(slot):
                 g = g_tab[i, slot]
                 s = s_tab[i, slot]
-                lam_g = lam_ref[0, pl.ds(g, 1)].reshape(M, B).astype(jnp.float32)
+                lam_g = lam_ref[pl.ds(g, 1)].reshape(M, B).astype(jnp.float32)
                 return pltpu.roll(lam_g, s, axis=0)
 
             # ---------------- pass 1: gather, mins, signs ----------------
@@ -110,7 +131,7 @@ def make_pallas_decoder(table_name: str, batch: int = 128,
                 m1 = jnp.minimum(m1, mag)
 
             # parity self slot (index cnl)
-            p_self = par_ref[0, pl.ds(i, 1)].reshape(M, B).astype(jnp.float32)
+            p_self = par_ref[pl.ds(i, 1)].reshape(M, B).astype(jnp.float32)
             old_self = c2v[i, cnl].astype(jnp.float32)
             t = p_self - old_self
             tbuf[cnl] = t.astype(jnp.bfloat16)
@@ -124,7 +145,7 @@ def make_pallas_decoder(table_name: str, batch: int = 128,
 
             # parity prev slot (index cnl+1)
             ip = jnp.where(i > 0, i - 1, q - 1)
-            p_prev_raw = par_ref[0, pl.ds(ip, 1)].reshape(M, B).astype(jnp.float32)
+            p_prev_raw = par_ref[pl.ds(ip, 1)].reshape(M, B).astype(jnp.float32)
             p_prev = jnp.where(
                 i > 0, p_prev_raw,
                 jnp.where(sub0_mask, _BIG, pltpu.roll(p_prev_raw, 1, axis=0)))
@@ -163,16 +184,16 @@ def make_pallas_decoder(table_name: str, batch: int = 128,
                     msg, delta = emit(slot)
                     g = g_tab[i, slot]
                     s = s_tab[i, slot]
-                    lam_g = lam_ref[0, pl.ds(g, 1)].reshape(M, B).astype(jnp.float32)
+                    lam_g = lam_ref[pl.ds(g, 1)].reshape(M, B).astype(jnp.float32)
                     upd = lam_g + pltpu.roll(delta, jnp.mod(M - s, M), axis=0)
                     upd = jnp.clip(upd, -127.0, 127.0)
-                    lam_ref[0, pl.ds(g, 1)] = upd.astype(jnp.bfloat16).reshape(1, M, B)
+                    lam_ref[pl.ds(g, 1)] = upd.astype(jnp.bfloat16).reshape(1, M, B)
                     c2v[i, slot] = msg.astype(jnp.int8)
 
             msg, delta = emit(cnl)
-            p_self = par_ref[0, pl.ds(i, 1)].reshape(M, B).astype(jnp.float32)
-            par_ref[0, pl.ds(i, 1)] = jnp.clip(p_self + delta, -127.0, 127.0
-                                               ).astype(jnp.bfloat16).reshape(1, M, B)
+            p_self = par_ref[pl.ds(i, 1)].reshape(M, B).astype(jnp.float32)
+            par_ref[pl.ds(i, 1)] = jnp.clip(p_self + delta, -127.0, 127.0
+                                            ).astype(jnp.bfloat16).reshape(1, M, B)
             c2v[i, cnl] = msg.astype(jnp.int8)
 
             msg, delta = emit(cnl + 1)
@@ -180,9 +201,9 @@ def make_pallas_decoder(table_name: str, batch: int = 128,
             delta_b = jnp.where(
                 i > 0, delta,
                 jnp.where(sub_last_mask, 0.0, pltpu.roll(delta, M - 1, axis=0)))
-            p_tgt = par_ref[0, pl.ds(ip, 1)].reshape(M, B).astype(jnp.float32)
-            par_ref[0, pl.ds(ip, 1)] = jnp.clip(p_tgt + delta_b, -127.0, 127.0
-                                                ).astype(jnp.bfloat16).reshape(1, M, B)
+            p_tgt = par_ref[pl.ds(ip, 1)].reshape(M, B).astype(jnp.float32)
+            par_ref[pl.ds(ip, 1)] = jnp.clip(p_tgt + delta_b, -127.0, 127.0
+                                             ).astype(jnp.bfloat16).reshape(1, M, B)
             c2v[i, cnl + 1] = jnp.where(valid_prev, msg, 0.0).astype(jnp.int8)
             return 0
 
@@ -198,6 +219,7 @@ def make_pallas_decoder(table_name: str, batch: int = 128,
             return it + 1, done
 
         it, _ = jax.lax.while_loop(iter_cond, iter_body, (0, False))
+        hard_ref[...] = (lam_ref[...].astype(jnp.float32) < 0).astype(jnp.int8).reshape(k, B)
         ok = jnp.broadcast_to((unsat_ref[0] == 0.0), (1, 1, B)).astype(jnp.int8)
         itv = jnp.full((1, 7, B), it, jnp.int8)
         ok_ref[...] = jnp.concatenate([ok, itv], axis=1)
@@ -210,17 +232,18 @@ def make_pallas_decoder(table_name: str, batch: int = 128,
         num_scalar_prefetch=3,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((1, g_data, M, B), lambda i, *_: (i, 0, 0, 0)),
-            pl.BlockSpec((1, q, M, B), lambda i, *_: (i, 0, 0, 0)),
+            pl.BlockSpec((k, B), lambda i, *_: (0, i)),
+            pl.BlockSpec((r, B), lambda i, *_: (0, i)),
         ],
         out_specs=[
-            pl.BlockSpec((1, g_data, M, B), lambda i, *_: (i, 0, 0, 0)),
-            pl.BlockSpec((1, q, M, B), lambda i, *_: (i, 0, 0, 0)),
+            pl.BlockSpec((k, B), lambda i, *_: (0, i)),
             pl.BlockSpec((1, 8, B), lambda i, *_: (i, 0, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((c_tot, M, B), jnp.bfloat16),     # tbuf
             pltpu.VMEM((q, c_tot, M, B), jnp.int8),      # c2v messages
+            pltpu.VMEM((g_data, M, B), jnp.bfloat16),    # lam posteriors
+            pltpu.VMEM((q, M, B), jnp.bfloat16),         # parity posteriors
             pltpu.VMEM((1, 1, B), jnp.float32),          # unsat
         ],
     )
@@ -230,8 +253,7 @@ def make_pallas_decoder(table_name: str, batch: int = 128,
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((T, g_data, M, B), jnp.bfloat16),
-            jax.ShapeDtypeStruct((T, q, M, B), jnp.bfloat16),
+            jax.ShapeDtypeStruct((k, T * B), jnp.int8),
             jax.ShapeDtypeStruct((T, 8, B), jnp.int8),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -241,21 +263,13 @@ def make_pallas_decoder(table_name: str, batch: int = 128,
     )
 
     @jax.jit
-    def decode(llr):
-        assert llr.shape == (T * B, plan.n), (llr.shape, (T * B, plan.n))
-        llr = jnp.clip(llr.astype(jnp.float32), -127, 127)
-        # data part: [T*B, K] -> [T, G, 360, B]
-        ch_data = llr[:, :k].reshape(T, B, g_data, M).transpose(0, 2, 3, 1)
-        # parity part permuted: P[i, j] = p[q*j + i] -> [T, q, 360, B]
-        ch_par = llr[:, k:].reshape(T, B, M, q).transpose(0, 3, 2, 1)
-        lam, par, stats = pallas_fn(
-            g_tab, s_tab, cnt_tab,
-            ch_data.astype(jnp.bfloat16), ch_par.astype(jnp.bfloat16))
-        hard_data = (lam < 0).transpose(0, 3, 1, 2).reshape(T * B, k)
-        hard_par = (par < 0).transpose(0, 3, 2, 1).reshape(T * B, r)
-        hard = jnp.concatenate([hard_data, hard_par], axis=1).astype(jnp.int8)
+    def decode(llr_t):
+        assert llr_t.shape == (plan.n, T * B), (llr_t.shape, (plan.n, T * B))
+        x = jnp.clip(llr_t.astype(jnp.float32), -127, 127
+                     ).astype(jnp.bfloat16)
+        hard_t, stats = pallas_fn(g_tab, s_tab, cnt_tab, x[:k], x[k:])
         ok = stats[:, 0, :].reshape(T * B).astype(bool)
         iters = jnp.max(stats[:, 1, :].astype(jnp.int32))
-        return hard, ok, iters
+        return hard_t, ok, iters
 
     return decode

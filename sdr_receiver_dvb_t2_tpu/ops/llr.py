@@ -66,6 +66,42 @@ def _axis_llrs(v, per_axis, norm, precision):
     return out
 
 
+def demap_cells_multi(cells: C, n_frames: int, plan: DemapPlan):
+    """Multi-frame demap: cells [W, n_cells] -> (stream [W, N], snr [F]).
+
+    W = n_frames * n_fec codeword rows; SNR/precision computed per frame
+    over its row block (matching the reference's per-frame adaptation).
+    """
+    w, n_cells = cells.shape
+    # undo cyclic Q delay (within each codeword = along the cell axis)
+    cells = C(cells.re, jnp.roll(cells.im, -1, axis=1))
+    cells = cells * C(plan.derot_re, plan.derot_im)
+
+    per_axis = plan.eta // 2
+    step = 2 * plan.norm
+    lim = plan.levels_max * plan.norm
+    hard_i = jnp.clip(jnp.round((cells.re - plan.norm) / step) * step
+                      + plan.norm, -lim, lim)
+    hard_q = jnp.clip(jnp.round((cells.im - plan.norm) / step) * step
+                      + plan.norm, -lim, lim)
+    err = (cells.re - hard_i) ** 2 + (cells.im - hard_q) ** 2
+    sig = hard_i ** 2 + hard_q ** 2
+    sum_s = jnp.sum(sig.reshape(n_frames, -1), axis=1)
+    sum_e = jnp.maximum(jnp.sum(err.reshape(n_frames, -1), axis=1), 1e-12)
+    snr_db = 10.0 * jnp.log10(sum_s / sum_e)
+    precision = jnp.clip(8.0 * plan.norm * sum_s / sum_e, 0.0, 512.0)
+    prec_row = jnp.repeat(precision, w // n_frames)[:, None]    # [W, 1]
+
+    i_llrs = _axis_llrs(cells.re, per_axis, plan.norm, prec_row)
+    q_llrs = _axis_llrs(cells.im, per_axis, plan.norm, prec_row)
+    bits = []
+    for a, b in zip(i_llrs, q_llrs):
+        bits.append(a)
+        bits.append(b)
+    stream = jnp.stack(bits, axis=-1).reshape(w, n_cells * plan.eta)
+    return jnp.clip(stream, -127, 127), snr_db
+
+
 def demap_frame(plp_cells: C, plan: DemapPlan):
     """PLP cells [n_fec * n_cells] (real-pair) -> (llr [n_fec, N] f32, snr_db)."""
     cells = plp_cells[plan.ti_gather]                      # [n_fec, n_cells]

@@ -9,7 +9,7 @@ the textbook formulation (and the reference's serial loops):
    interpolation matrix W [p_max, K] is precomputed with the interpolation
    fractions folded in, and the per-symbol channel estimate becomes one
    MXU matmul h_d = h_p @ W per layout group — replacing four large
-   take_along_axis gathers (которые dominate on TPU) and the angle-domain
+   take_along_axis gathers (which dominate on TPU) and the angle-domain
    trig (atan2/cos/sin) with complex-domain interpolation.
 2. **One composed gather.**  Frequency deinterleave, the L1/PLP slice and
    the time+cell deinterleave are all static permutations; their
@@ -99,7 +99,14 @@ class ChainPlan:
         stream = pay2carrier[l1_cells:l1_cells
                              + n_fec * plp.cells_per_fec_block]
         self.cell_idx = np.asarray(stream[self.demap.ti_gather]
-                                   .astype(np.int32))   # [n_fec, n_cells]
+                                   .astype(np.int32))    # [n_fec, n_cells]
+
+        # bit deinterleave + LDPC-kernel row order folded into ONE static
+        # row gather on the transposed LLR stream
+        from .ldpc_pallas import kernel_bit_order
+        self.bit_rows = np.asarray(
+            self.demap.bit_gather[kernel_bit_order(plp.ldpc_table_name)]
+            .astype(np.int32))                           # [fec_size]
 
 
     def device_consts(self):
@@ -114,6 +121,7 @@ class ChainPlan:
             w=tuple(_jax.device_put(jnp.asarray(w).astype(jnp.bfloat16))
                     for w in self.weights),
             cell_idx=_jax.device_put(jnp.asarray(self.cell_idx)),
+            bit_rows=_jax.device_put(jnp.asarray(self.bit_rows)),
         )
 
 
@@ -162,42 +170,51 @@ def equalize_plane(carriers: C, plan: ChainPlan, w_consts):
     return eq, dict(phase_offset=phase_offset, sro=sro)
 
 
-def demap_plane(eq: C, plan: ChainPlan, cell_idx):
-    """Equalized [L, K] plane -> (llr [n_fec, N] f32, snr_db scalar).
+def demap_planes_t(eq: C, plan: ChainPlan, consts):
+    """Equalized [F, L, K] planes -> (llr_T [N, F*n_fec] f32, snr_db [F]).
 
     The deinterleave gather moves both IQ components in ONE u32 gather by
     packing them as bf16 halves (gathers are index-bound on TPU; halving
     the element count halves the time; bf16 cells are 40 dB+ above the
-    demapper's int8 LLR quantization).
+    demapper's int8 LLR quantization).  The gather and demap run row-major
+    (codeword rows — XLA's gather is much faster in the deinterleave's
+    natural output order); the bit deinterleave folds the LDPC kernel's
+    bit-row order in, and ONE cheap 2-D transpose at the end hands the
+    decoder its codewords-on-lanes layout.
     """
+    f = eq.shape[0]
     u16r = jax.lax.bitcast_convert_type(
         eq.re.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
     u16i = jax.lax.bitcast_convert_type(
         eq.im.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
-    packed = ((u16r << 16) | u16i).reshape(-1)
-    g = packed[cell_idx]                                # [n_fec, n_cells]
+    packed = (u16r << 16) | u16i                       # [F, L, K]
+    # per-frame gather (XLA gather cost grows with SOURCE size — keep the
+    # source at one frame's plane, vmap over frames)
+    g = jax.vmap(lambda p: p.reshape(-1)[consts["cell_idx"]])(packed)
+    g = g.reshape(-1, consts["cell_idx"].shape[1])     # [F*n_fec, n_cells]
     cells = C(
         jax.lax.bitcast_convert_type((g >> 16).astype(jnp.uint16),
                                      jnp.bfloat16).astype(jnp.float32),
         jax.lax.bitcast_convert_type((g & 0xFFFF).astype(jnp.uint16),
                                      jnp.bfloat16).astype(jnp.float32))
-    return llr_mod.demap_cells(cells, plan.demap)
+    stream, snr = llr_mod.demap_cells_multi(cells, f, plan.demap)
+    llr = stream[:, consts["bit_rows"]]        # [W, N] kernel bit order
+    return llr.T, snr
 
 
-def frame_to_llr(frame_iq: C, plan: ChainPlan, consts):
-    """One frame of IQ -> (llr [n_fec, N], diag dict)."""
-    carriers, gi_cfo = ofdm.demod_frame(frame_iq, plan.mode)
-    eq, diag = equalize_plane(carriers, plan, consts["w"])
-    llr, snr = demap_plane(eq, plan, consts["cell_idx"])
-    diag["gi_cfo"] = gi_cfo
-    diag["snr_db"] = snr
-    return llr, diag
-
-
-def frames_to_llr(frames_iq: C, plan: ChainPlan, consts):
-    """[F, frame_samples] -> (llr [F*n_fec, N], diag pytree of [F, ...]).
+def frames_to_llr_t(frames_iq: C, plan: ChainPlan, consts):
+    """[F, frame_samples] -> (llr_T [N, F*n_fec], diag pytree).
 
     ``consts`` = plan.device_consts(), passed through jit as arguments.
+    llr_T rows are in LDPC-kernel bit order; columns are codewords.
     """
-    llr, diag = jax.vmap(lambda f: frame_to_llr(f, plan, consts))(frames_iq)
-    return llr.reshape(-1, llr.shape[-1]), diag
+    def demod_eq(frame):
+        carriers, gi_cfo = ofdm.demod_frame(frame, plan.mode)
+        eq, diag = equalize_plane(carriers, plan, consts["w"])
+        diag["gi_cfo"] = gi_cfo
+        return eq, diag
+
+    eq, diag = jax.vmap(demod_eq)(frames_iq)
+    llr_t, snr = demap_planes_t(eq, plan, consts)
+    diag["snr_db"] = snr
+    return llr_t, diag

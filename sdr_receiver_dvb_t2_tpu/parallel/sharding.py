@@ -112,7 +112,7 @@ class ShardedReceiver:
         # the resampler's chunk granularity
         need = 2 * self.k_loc + self.n_taps - 1
         self.n_up = -(-need // 1024) * 1024
-        self.decoder = ldpc_decode.make_decoder(
+        self.decoder = ldpc_decode.make_decoder_t(
             cfg.plp.ldpc_table_name, max_iters=cfg.ldpc_max_iters)
         self._step = self._build()
 
@@ -161,21 +161,24 @@ class ShardedReceiver:
             frames = elem.reshape(-1, cfg.frames_per_shard, mode.frame_samples)
 
             def frames_to_llr(fr):
-                llr, diag = rx_chain.frames_to_llr(fr, chain_plan, consts)
-                return llr, jnp.mean(diag["snr_db"])
+                llr_t, diag = rx_chain.frames_to_llr_t(fr, chain_plan, consts)
+                return llr_t, jnp.mean(diag["snr_db"])
 
-            llr, snr = jax.vmap(frames_to_llr)(frames)   # [C_loc, n_cw, N]
-            c_loc, n_cw = llr.shape[0], llr.shape[1]
-            hard, ok, iters = self.decoder(llr.reshape(-1, llr.shape[-1]))
-            bch_clean = bch_ops.syndrome_flags(hard[:, :plp.n_bch], plp)
+            llr_t, snr = jax.vmap(frames_to_llr)(frames)  # [C_loc, N, n_cw]
+            c_loc, n_cw = llr_t.shape[0], llr_t.shape[2]
+            llr_t = jnp.moveaxis(llr_t, 0, 2).reshape(llr_t.shape[1], -1)
+            hard_t, ok, iters = self.decoder(llr_t)       # [k, C_loc*n_cw]
+            bch_clean = bch_ops.syndrome_flags_t(hard_t[:plp.n_bch], plp)
 
             # ---- global statistics over the whole mesh ------------------
             n_fail = jax.lax.psum(jnp.sum(~ok), ("ch", "time"))
             n_dirty = jax.lax.psum(jnp.sum(~bch_clean), ("ch", "time"))
             snr_mean = jax.lax.pmean(jnp.mean(snr), ("ch", "time"))
 
+            hard = hard_t[:plp.n_bch].reshape(plp.n_bch, n_cw, c_loc
+                                              ).transpose(2, 1, 0)
             hard = hard.reshape(c_loc, cfg.frames_per_shard,
-                                cfg.n_fec_per_frame, -1)[..., :plp.n_bch]
+                                cfg.n_fec_per_frame, plp.n_bch)
             stats = dict(ldpc_failures=n_fail, bch_dirty=n_dirty,
                          snr_db=snr_mean,
                          ldpc_iters=jax.lax.pmax(iters, ("ch", "time")))
