@@ -1,0 +1,125 @@
+"""Command-line receiver: the framework's user-facing entry point.
+
+Replaces the reference's Qt GUI (/root/reference/src/main_window.cpp) with
+a proper CLI + config system (the reference has neither CLI flags nor
+config files, SURVEY.md section 5).  The reference's plots/text views map
+to the --stats interval printout and --dump-constellation.
+
+Examples:
+  python -m sdr_receiver_dvb_t2_tpu --input capture_10000000_8.raw \
+      --out udp://127.0.0.1:7654
+  python -m sdr_receiver_dvb_t2_tpu --input iq.raw --rate 10e6 --format s16 \
+      --out ts:out.ts --max-frames 100 --stats 10
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="sdr_receiver_dvb_t2_tpu",
+        description="TPU-native DVB-T2 receiver: raw IQ in, MPEG-TS out.")
+    src = p.add_argument_group("input")
+    src.add_argument("--input", required=True,
+                     help="raw IQ capture file ('*_<rate>_<8|16|fc>.raw'), "
+                          "or 'udp://:<port>' for live IQ datagrams")
+    src.add_argument("--rate", type=float, default=None,
+                     help="sample rate in Hz (overrides filename)")
+    src.add_argument("--format", choices=["u8", "s8", "s16", "f32"],
+                     default=None, help="raw sample format (overrides "
+                                        "filename)")
+    src.add_argument("--loop", action="store_true",
+                     help="loop the input file at EOF (like the reference "
+                          "rx_raw player)")
+    out = p.add_argument_group("output")
+    out.add_argument("--out", default="udp://127.0.0.1:7654",
+                     help="TS sink: udp://host:port or a file path")
+    rxg = p.add_argument_group("receiver")
+    rxg.add_argument("--plp", type=int, default=0,
+                     help="PLP index to decode (multi-PLP streams)")
+    rxg.add_argument("--fir", choices=["soft", "medium", "sharp"],
+                     default="medium", help="channel filter preset")
+    rxg.add_argument("--frames-per-batch", type=int, default=2)
+    rxg.add_argument("--ldpc-iters", type=int, default=15)
+    rxg.add_argument("--max-frames", type=int, default=None)
+    rxg.add_argument("--cpu", action="store_true",
+                     help="force the CPU backend (no TPU)")
+    dbg = p.add_argument_group("diagnostics")
+    dbg.add_argument("--stats", type=float, default=5.0,
+                     help="statistics print interval in seconds (0=off)")
+    dbg.add_argument("--dump-constellation", metavar="NPZ", default=None,
+                     help="save equalized cells of the first batch to a "
+                          ".npz (constellation / spectrum diagnostics)")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    from .io import sources, sinks
+    from .runtime import stream as stream_mod
+
+    if args.input.startswith("udp://"):
+        port = int(args.input.rsplit(":", 1)[1])
+        if args.rate is None:
+            print("--rate is required for UDP input", file=sys.stderr)
+            return 2
+        src = sources.UdpIqSource(port, args.rate, args.format or "s16")
+    else:
+        src = sources.RawFileSource(args.input, sample_rate=args.rate,
+                                    fmt=args.format, loop=args.loop)
+    sink = sinks.make_sink(args.out)
+
+    cfg = stream_mod.StreamConfig(
+        fir_preset=args.fir, frames_per_batch=args.frames_per_batch,
+        ldpc_max_iters=args.ldpc_iters, plp_index=args.plp)
+    rx = stream_mod.StreamingReceiver(src, sink, cfg)
+
+    print(f"input: {args.input} @ {src.info.sample_rate/1e6:.3f} Msps "
+          f"({src.info.fmt}); output: {args.out}", file=sys.stderr)
+    if not rx.acquire():
+        print(f"acquisition failed: {rx.stats.state}", file=sys.stderr)
+        return 1
+    m = rx.mode
+    print(f"locked: {m.fft_size//1024}K FFT, GI {m.guard.name}, "
+          f"{m.pilot_pattern.name}, L1: {rx.rx.plp.constellation.name} "
+          f"r={rx.rx.plp.code_rate.name} {rx.rx.plp.fec_frame.name}; "
+          f"CFO {rx.stats.cfo_hz:+.0f} Hz", file=sys.stderr)
+
+    if args.dump_constellation:
+        import numpy as np
+        fs = m.frame_samples
+        rx._need_elem(rx.frame_pos + fs)
+        frame = rx._elem[rx.frame_pos:rx.frame_pos + fs]
+        spec = np.fft.fftshift(np.fft.fft(frame[:m.fft_size]))
+        np.savez(args.dump_constellation, frame_iq=frame, spectrum=spec)
+        print(f"diagnostics written to {args.dump_constellation}",
+              file=sys.stderr)
+
+    t_last = time.monotonic()
+    while args.max_frames is None or rx.stats.frames < args.max_frames:
+        if not rx.step_batch():
+            break
+        if args.stats and time.monotonic() - t_last >= args.stats:
+            s = rx.stats
+            print(f"frames={s.frames} ts_pkts={s.ts_packets} "
+                  f"snr={s.snr_db:.1f} dB ldpc_fail={s.ldpc_failures} "
+                  f"bch_fix={s.bch_corrected} cfo={s.cfo_hz:+.0f} Hz "
+                  f"sro={s.sro_ppm:+.1f} ppm", file=sys.stderr)
+            t_last = time.monotonic()
+    sink.close()
+    s = rx.stats
+    print(f"done: frames={s.frames} ts_packets={s.ts_packets} "
+          f"ldpc_failures={s.ldpc_failures} bch_dirty={s.bch_dirty}",
+          file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,141 @@
+"""IQ sample sources: recorded files and sockets (front-end L1 equivalent).
+
+The reference supports six SDR front-ends plus raw-file playback behind one
+``rx_interface`` (/root/reference/src/rx_interface.h:11-48).  On a TPU host
+the hardware drivers are out of process; this framework ingests IQ through
+the same narrow interface from:
+
+* raw capture files — gqrx/reference-compatible naming
+  ``*_<rate>_<8|16|fc>.raw`` (/root/reference/src/rx_raw.cpp:60-91), with
+  optional looping and real-time pacing like the reference's player;
+* UDP/TCP sockets (an SDR host daemon streams raw IQ);
+* in-memory arrays (tests, fixtures).
+
+Every source yields (block ndarray, sample_rate, fmt); conversion to
+real-pair floats happens on device (ops/frontend.raw_to_iq).
+"""
+from __future__ import annotations
+
+import dataclasses
+import re
+import socket
+import time
+from pathlib import Path
+
+import numpy as np
+
+_FMT = {"8": ("u8", np.uint8), "16": ("s16", np.int16),
+        "fc": ("f32", np.float32)}
+
+
+def parse_raw_filename(path: str) -> tuple[float, str]:
+    """``*_<rate>_<8|16|fc>.raw`` -> (sample_rate, fmt).
+
+    Mirrors the reference parser: rate and format are the last two
+    underscore-separated fields (rx_raw.cpp:60-91).
+    """
+    m = re.match(r".*_(\d+)_(8|16|fc)\.raw$", Path(path).name)
+    if not m:
+        raise ValueError(
+            f"cannot parse sample rate/format from {path!r}; expected "
+            "'*_<rate>_<8|16|fc>.raw'")
+    return float(m.group(1)), _FMT[m.group(2)][0]
+
+
+@dataclasses.dataclass
+class SourceInfo:
+    sample_rate: float
+    fmt: str                     # 'u8' | 's8' | 's16' | 'f32'
+
+
+class RawFileSource:
+    """Plays a recorded IQ capture; loops at EOF like the reference."""
+
+    def __init__(self, path: str, sample_rate: float | None = None,
+                 fmt: str | None = None, loop: bool = False,
+                 realtime: bool = False):
+        if sample_rate is None or fmt is None:
+            rate_f, fmt_f = parse_raw_filename(path)
+            sample_rate = sample_rate or rate_f
+            fmt = fmt or fmt_f
+        self.info = SourceInfo(sample_rate, fmt)
+        self.path = path
+        self.loop = loop
+        self.realtime = realtime
+        self._dtype = {"u8": np.uint8, "s8": np.int8, "s16": np.int16,
+                       "f32": np.float32}[fmt]
+        self._f = open(path, "rb")
+
+    def read(self, n_samples: int) -> np.ndarray | None:
+        """Next block of n_samples IQ pairs (raw ints); None at end."""
+        t0 = time.monotonic() if self.realtime else None
+        need = 2 * n_samples * np.dtype(self._dtype).itemsize
+        buf = self._f.read(need)
+        if len(buf) < need:
+            if not self.loop:
+                return None
+            self._f.seek(0)
+            buf += self._f.read(need - len(buf))
+            if len(buf) < need:
+                return None
+        block = np.frombuffer(buf, dtype=self._dtype)
+        if self.realtime:
+            dt = n_samples / self.info.sample_rate - (time.monotonic() - t0)
+            if dt > 0:
+                time.sleep(dt)
+        return block
+
+    def close(self):
+        self._f.close()
+
+
+class ArraySource:
+    """In-memory complex64 IQ (tests / fixtures); fmt='c64' passthrough."""
+
+    def __init__(self, iq: np.ndarray, sample_rate: float):
+        self.info = SourceInfo(sample_rate, "c64")
+        self._iq = np.asarray(iq, dtype=np.complex64)
+        self._pos = 0
+
+    def read(self, n_samples: int) -> np.ndarray | None:
+        if self._pos >= len(self._iq):
+            return None
+        block = self._iq[self._pos:self._pos + n_samples]
+        self._pos += n_samples
+        if len(block) < n_samples:
+            block = np.pad(block, (0, n_samples - len(block)))
+        return block
+
+    def close(self):
+        pass
+
+
+class UdpIqSource:
+    """Raw IQ datagrams from an SDR host daemon."""
+
+    def __init__(self, port: int, sample_rate: float, fmt: str = "s16",
+                 host: str = "0.0.0.0", timeout: float = 5.0):
+        self.info = SourceInfo(sample_rate, fmt)
+        self._dtype = {"u8": np.uint8, "s8": np.int8, "s16": np.int16,
+                       "f32": np.float32}[fmt]
+        self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        self._sock.bind((host, port))
+        self._sock.settimeout(timeout)
+        self._rem = b""
+
+    def read(self, n_samples: int) -> np.ndarray | None:
+        need = 2 * n_samples * np.dtype(self._dtype).itemsize
+        chunks, got = [self._rem], len(self._rem)
+        try:
+            while got < need:
+                pkt = self._sock.recv(65536)
+                chunks.append(pkt)
+                got += len(pkt)
+        except socket.timeout:
+            return None
+        buf = b"".join(chunks)
+        self._rem = buf[need:]
+        return np.frombuffer(buf[:need], dtype=self._dtype)
+
+    def close(self):
+        self._sock.close()

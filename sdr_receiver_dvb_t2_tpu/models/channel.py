@@ -32,13 +32,24 @@ def impair(iq: np.ndarray, cfg: ChannelConfig) -> np.ndarray:
     rng = np.random.default_rng(cfg.seed)
     ratio = SAMPLE_RATE / (cfg.device_rate * (1.0 + cfg.sro_ppm * 1e-6))
 
-    # cubic resample to device rate (float64 positions)
-    n_out = int(np.floor((len(iq) - 3) / ratio))
-    p = 1.0 + ratio * np.arange(n_out)
+    # high-fidelity fractional resample to device rate: FFT-upsample x8,
+    # then cubic on the fine grid (interpolation images < -60 dB; a naive
+    # cubic at this rate ratio would cap the fixture's SNR near 17 dB)
+    up = 8
+    n = len(iq)
+    spec = np.fft.fft(iq.astype(np.complex128))
+    fine_spec = np.zeros(n * up, dtype=np.complex128)
+    half = n // 2
+    fine_spec[:half] = spec[:half]
+    fine_spec[-(n - half):] = spec[half:]
+    fine = np.fft.ifft(fine_spec) * up
+
+    n_out = int(np.floor((n - 3) / ratio))
+    p = (1.0 + ratio * np.arange(n_out)) * up
     idx = np.floor(p).astype(np.int64)
     d = p - idx
-    xm1, x0 = iq[idx - 1], iq[idx]
-    x1, x2 = iq[idx + 1], iq[idx + 2]
+    xm1, x0 = fine[idx - 1], fine[idx]
+    x1, x2 = fine[idx + 1], fine[idx + 2]
     dm1, dp1, dm2 = d - 1.0, d + 1.0, d - 2.0
     y = (xm1 * (-d * dm1 * dm2 / 6.0) + x0 * (dp1 * dm1 * dm2 / 2.0)
          + x1 * (-dp1 * d * dm2 / 2.0) + x2 * (dp1 * d * dm1 / 6.0))

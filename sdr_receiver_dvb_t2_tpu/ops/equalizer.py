@@ -122,6 +122,35 @@ def get_plan(mode: T2Mode) -> EqualizerPlan:
     return EqualizerPlan(mode)
 
 
+@functools.lru_cache(maxsize=None)
+def sro_coefficient(mode: T2Mode) -> float:
+    """d(sro discriminator)/d(sampling-rate offset), computed numerically.
+
+    A sampling clock offset ``sro`` slips the FFT window by
+    ``l * symbol_size * sro`` samples at symbol l, i.e. a per-carrier phase
+    ramp.  This evaluates the discriminator in ``equalize_frame`` on a
+    synthetic ramp so the tracking loop (runtime/stream.py) can normalize
+    the estimate without hand-derived sign/scale conventions.
+    """
+    plan = get_plan(mode)
+    sro = 1e-6
+    k = np.asarray(plan.sro_idx)
+    bin_rel = (mode.left_nulls + k) - mode.fft_size / 2.0
+    L = mode.frame_symbols
+    vals = []
+    for l in range(L):
+        tau = l * mode.symbol_size * sro
+        vals.append(np.exp(2j * np.pi * bin_rel * tau / mode.fft_size))
+    est = np.stack(vals)
+    drift = (est[1:] * np.conj(est[:-1])).imag
+    fh = np.asarray(plan.sro_first_half)[None]
+    d1 = np.sum(np.where(fh, drift, 0), axis=1)
+    d2 = np.sum(np.where(fh, 0, drift), axis=1)
+    pwr = np.mean(np.abs(est) ** 2, axis=1)
+    d = (d2 - d1) / np.maximum(pwr[1:] * est.shape[1], 1e-12)
+    return float(np.mean(d) / sro)
+
+
 def _wrap(x):
     return jnp.mod(x + jnp.pi, 2 * jnp.pi) - jnp.pi
 

@@ -72,18 +72,25 @@ def iq_condition(x: C, dc_re: jnp.ndarray, dc_im: jnp.ndarray,
                  c1: jnp.ndarray, c2: jnp.ndarray):
     """Apply DC + IQ-imbalance correction; measure fresh estimates.
 
-    Correction uses *previous-block* estimates (block-recurrent replacement
-    for the reference's per-sample exponential loops,
-    dvbt2_demodulator.h:89-153).  Returns (y, stats) where stats holds this
-    block's raw measurements for the host to smooth into the next state:
-    (dc_re, dc_im, theta1, theta2, theta3, level).
+    DC is removed *two-pass within the block* (own mean blended with the
+    smoothed prior) so an LO-leakage spur never reaches the center carrier
+    even on the first block; the IQ-imbalance correction applies the
+    previous-block estimates (block-recurrent replacement for the
+    reference's per-sample exponential loops, dvbt2_demodulator.h:89-153).
+    Returns (y, stats): this block's raw measurements for the host to
+    smooth into the next state: (dc_re, dc_im, theta1, theta2, theta3,
+    level).
     """
-    i = x.re - dc_re
-    q = x.im - dc_im
-    q = (q - c1 * i) / c2
-
+    # own-block mean: over ~1e6 samples its estimation noise is ~sigma/1000,
+    # while even 1% residual DC would rival the center carrier's amplitude
+    # (the spur concentrates into one FFT bin); the smoothed prior is kept
+    # only as an AGC/telemetry observable
+    del dc_re, dc_im
     dc_mean_re = jnp.mean(x.re)
     dc_mean_im = jnp.mean(x.im)
+    i = x.re - dc_mean_re
+    q = x.im - dc_mean_im
+    q = (q - c1 * i) / c2
     # Moseley & Slump blind IQ-imbalance estimators (the reference uses the
     # 1-bit-quantized variant, dvbt2_demodulator.h:89-98)
     sgn_i = jnp.sign(i)
@@ -214,6 +221,49 @@ def farrow_advance(mu0: float, step: float, n_out: int) -> tuple[int, float]:
     p_next = mu0 + step * n_out
     consumed = int(np.floor(p_next)) - 1
     return consumed, p_next - consumed
+
+
+# ---------------------------------------------------------------------------
+# half-band 2x upsampler (pre-interpolation rate doubling)
+#
+# The cubic Farrow interpolator's alias images sit ~18 dB down when the
+# signal occupies 0.38 of the input Nyquist (8 MHz DVB-T2 in a 10 Msps
+# capture); each half-band doubling pushes the signal an octave down and
+# buys ~12 dB.  Two stages (x4) put the implementation floor near 45 dB.
+# The reference has no equivalent stage (its Farrow runs at the device
+# rate and eats the distortion, dvbt2_demodulator.cpp:179-183).
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def halfband_taps(n_taps: int = 29, beta: float = 7.0) -> tuple:
+    """Odd-length half-band lowpass (center tap at an even index)."""
+    assert n_taps % 4 == 1, "need N = 4k+1 so even taps are zero"
+    n = np.arange(n_taps) - (n_taps - 1) / 2.0
+    h = np.sinc(n / 2.0) * np.kaiser(n_taps, beta)
+    h[np.abs(n) % 2 == 0] = 0.0        # force exact half-band zeros
+    h[(n_taps - 1) // 2] = 1.0
+    h[1::2] *= 1.0 / (h.sum() - 1.0)   # DC gain exactly 2 (x2 interp)
+    return tuple(h.astype(np.float32))
+
+
+def upsample2(x: C, history: C, taps: jnp.ndarray):
+    """Zero-stuff x2 + half-band filter; returns (y [2N], new_history).
+
+    history: [len(taps)-1] tail of the previous block in the UPSAMPLED
+    domain (carry ``y``'s source, i.e. the zero-stuffed stream).
+    """
+    n = x.shape[-1]
+    t = taps.shape[0]
+    up = cplx.czeros((2 * n,))
+    up = C(up.re.at[::2].set(x.re), up.im.at[::2].set(x.im))
+    xp = cplx.concatenate([history, up])
+    ri = cplx.stack_ri(xp)[None]
+    k = jnp.broadcast_to(taps[::-1][None, None], (2, 1, t))
+    y = jax.lax.conv_general_dilated(
+        ri, k, window_strides=(1,), padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        feature_group_count=2)[0]
+    return C(y[0], y[1]), xp[-(t - 1):]
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,154 @@
+"""Acquisition: from raw elementary-rate samples to a fully known T2 mode.
+
+Host-side state machine mirroring the reference's cold-start sequence
+(/root/reference/src/DVB_T2/dvbt2_demodulator.cpp:197-237 P1 handling and
+:441-504 guard-interval brute force):
+
+1. P1 search (device correlator, ops/p1_detect) -> start position,
+   fractional + integer CFO, S1/S2 -> FFT size & SISO/MISO.
+2. Guard-interval / bandwidth-extension search: for each GI hypothesis,
+   demodulate the P2 symbol(s), equalize against the P2 pilot grid and try
+   to decode L1-pre; its CRC32 arbitrates (the reference tries each GI for
+   6 frames; here one frame per hypothesis suffices because the whole
+   hypothesis scan is vectorized host math).
+3. L1-pre fixes GI/PP/EXT/L_F -> decode L1-post -> full PLP configuration.
+
+Everything here is NumPy on a few OFDM symbols — acquisition is rare and
+latency-tolerant; the steady-state path stays on device.
+"""
+from __future__ import annotations
+
+import dataclasses
+import numpy as np
+
+from ..params import freq_interleaver, l1, l1_fec, pilots, prbs, qam
+from ..params.modes import (T2Mode, FftMode, GuardInterval, PilotPattern,
+                            Papr, GUARD_FRACTION)
+
+FFT_BY_S2 = {0: FftMode.FFT_2K, 1: FftMode.FFT_8K, 2: FftMode.FFT_4K,
+             3: FftMode.FFT_1K, 4: FftMode.FFT_16K, 5: FftMode.FFT_32K}
+
+# GI hypotheses allowed per FFT size (EN 302 755 table 66)
+_GI_ALL = [GuardInterval.G1_128, GuardInterval.G1_32, GuardInterval.G1_16,
+           GuardInterval.G19_256, GuardInterval.G1_8, GuardInterval.G19_128,
+           GuardInterval.G1_4]
+
+
+def gi_candidates(fft_size: int) -> list[GuardInterval]:
+    out = []
+    for g in _GI_ALL:
+        f = GUARD_FRACTION[g]
+        if (fft_size * f.numerator) % f.denominator == 0:
+            if fft_size < 8192 and g in (GuardInterval.G19_256,
+                                         GuardInterval.G19_128):
+                continue
+            if fft_size == 32768 and g == GuardInterval.G1_4:
+                continue
+            out.append(g)
+    return out
+
+
+def _demod_p2(x: np.ndarray, mode: T2Mode) -> np.ndarray:
+    """Elementary samples starting at the first P2 symbol -> P2 carriers."""
+    out = np.empty((mode.n_p2, mode.k_total), dtype=np.complex64)
+    pos = 0
+    for s in range(mode.n_p2):
+        sym = x[pos:pos + mode.symbol_size]
+        pos += mode.symbol_size
+        spec = np.fft.fftshift(np.fft.fft(sym[mode.guard_size:]))
+        spec /= mode.fft_size / np.sqrt(mode.k_total)
+        out[s] = spec[mode.left_nulls:mode.left_nulls + mode.k_total]
+    return out
+
+
+def _equalize_p2(carriers: np.ndarray, mode: T2Mode) -> np.ndarray:
+    """Pilot-referenced equalize + freq-deinterleave of the P2 symbols."""
+    cells = []
+    for s in range(carriers.shape[0]):
+        ref = pilots.reference_symbol(mode, s)
+        pidx = np.nonzero(ref != 0)[0]
+        h_p = carriers[s][pidx] / ref[pidx]
+        # linear complex interpolation over all carriers
+        k = np.arange(mode.k_total)
+        h = np.interp(k, pidx, h_p.real) + 1j * np.interp(k, pidx, h_p.imag)
+        eq = carriers[s] * np.conj(h) / np.maximum(np.abs(h) ** 2, 1e-9)
+        didx = pilots.data_cell_indices(mode, s)
+        data = eq[didx]
+        perm = freq_interleaver.tx_permutation(mode, len(data), s)
+        cells.append(data[perm])
+    return np.concatenate(cells)
+
+
+@dataclasses.dataclass
+class AcquisitionResult:
+    mode: T2Mode
+    l1_pre: l1.L1Pre
+    l1_post: l1.L1Post
+    p2_cells: np.ndarray
+
+
+def decode_l1_from_p2(cells: np.ndarray, pre: l1.L1Pre):
+    """L1-post decode given equalized P2 cells and a parsed L1-pre."""
+    mod = pre.l1_post_mod
+    post_cells = cells[l1.L1_PRE_CELLS:l1.L1_PRE_CELLS + pre.l1_post_size]
+    if mod == 0:
+        stream = (post_cells.real < 0).astype(np.uint8)
+    else:
+        from ..params.modes import Constellation
+        const = {1: Constellation.QPSK, 2: Constellation.QAM16,
+                 3: Constellation.QAM64}[mod]
+        stream = qam.hard_bits(post_cells, const)
+    coded = l1_fec.undo_l1_post_interleave(stream, mod)
+    k_sig = pre.l1_post_info_size + 32
+    info = coded[:k_sig]
+    if pre.l1_post_scrambled:
+        info = info ^ prbs.l1_scrambler(k_sig)
+    return l1.parse_l1_post_info(info, pre)
+
+
+def acquire_mode(elem: np.ndarray, s1: int, s2_field1: int
+                 ) -> AcquisitionResult | None:
+    """Blind GI/EXT search + L1 decode.
+
+    elem: elementary-rate samples starting right AFTER a detected P1
+    symbol (CFO already corrected).  Returns None if no hypothesis decodes
+    an L1-pre with valid CRC.
+    """
+    if s1 not in (0,):          # SISO only (matches the reference's scope)
+        return None
+    fft_mode = FFT_BY_S2.get(s2_field1)
+    if fft_mode is None:
+        return None
+
+    from ..params.modes import FFT_SIZE
+    fft_size = FFT_SIZE[fft_mode]
+
+    for gi in gi_candidates(fft_size):
+        for ext in ([False] if fft_size < 8192 else [True, False]):
+            mode = T2Mode(fft_mode=fft_mode, guard=gi,
+                          pilot_pattern=PilotPattern.PP7,
+                          extended_carriers=ext, n_data_symbols=1)
+            need = mode.n_p2 * mode.symbol_size
+            if len(elem) < need:
+                continue
+            carriers = _demod_p2(elem[:need], mode)
+            cells = _equalize_p2(carriers, mode)
+            pre_bits = (cells[:l1.L1_PRE_CELLS].real < 0).astype(np.uint8)
+            pre = l1.parse_l1_pre(l1_fec.decode_l1_pre_systematic(pre_bits))
+            if pre is None:
+                continue
+            if GuardInterval(pre.guard_interval) != gi:
+                continue
+            if bool(pre.bwt_ext) != ext:
+                continue
+            full_mode = T2Mode(
+                fft_mode=fft_mode, guard=gi,
+                pilot_pattern=PilotPattern(pre.pilot_pattern),
+                extended_carriers=ext, papr=Papr(pre.papr),
+                n_data_symbols=pre.num_data_symbols)
+            post = decode_l1_from_p2(cells, pre)
+            if post is None:
+                continue
+            return AcquisitionResult(mode=full_mode, l1_pre=pre,
+                                     l1_post=post, p2_cells=cells)
+    return None

@@ -1,0 +1,287 @@
+"""Streaming receiver: raw SDR samples in, MPEG transport stream out.
+
+Host control loop around the device data plane — the TPU-native
+replacement for the reference's 7-QThread pipeline (SURVEY.md section 1).
+Stages and their reference counterparts:
+
+  front end (device, one jit per raw block)
+      raw ints -> conditioning -> NCO -> Farrow -> FIR    [ops/frontend]
+      = convert_iq + derotation + resample + decimate
+        (dvbt2_demodulator.cpp:151-192), block-recurrent instead of
+        sample-serial: corrections measured on batch N apply to batch N+1.
+  acquisition (host, rare)
+      P1 search (device correlator) -> S1/S2 -> GI/EXT scan -> L1
+      (runtime/acquisition.py) = p1_symbol + GI brute force + L1 decode.
+  steady state (device)
+      frame batches -> rx_chain -> LDPC -> BCH -> TS      [models/receiver]
+  tracking (host, per batch)
+      residual CFO from the guard-interval discriminator, sampling-rate
+      trim from the pilot-drift discriminator, P1-anchored frame timing —
+      replacing the reference's per-sample PI loops
+      (dvbt2_demodulator.h:267-277) with block-wise estimate->apply.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..io import sinks as sinks_mod
+from ..models import receiver as receiver_mod
+from ..ops import cplx, frontend as fe, p1_detect
+from ..params.modes import SAMPLE_RATE
+from ..params import p1 as p1_mod
+from . import acquisition
+
+UPSAMPLE = 2.0                      # Farrow output rate / elementary rate
+
+
+@dataclasses.dataclass
+class StreamConfig:
+    fir_preset: str = "medium"
+    frames_per_batch: int = 2
+    ldpc_max_iters: int = 15
+    plp_index: int = 0
+    cfo_gain: float = 0.3           # residual-CFO loop gain per batch
+    sro_gain: float = 0.5           # sampling-rate trim gain per batch
+    cond_alpha: float = 0.1         # DC / IQ-imbalance smoothing
+    n_up_block: int = 1 << 19       # farrow outputs per front-end block
+    acq_elem_samples: int = 3_500_000   # covers one max-size frame + P1
+    use_pallas: bool | None = None
+
+
+@dataclasses.dataclass
+class RunStats:
+    frames: int = 0
+    ts_packets: int = 0
+    ldpc_failures: int = 0
+    bch_dirty: int = 0
+    bch_corrected: int = 0
+    snr_db: float = 0.0
+    cfo_hz: float = 0.0
+    sro_ppm: float = 0.0
+    state: str = "init"
+
+
+class StreamingReceiver:
+    """source -> (front end, acquire, track) -> sink."""
+
+    def __init__(self, source, sink, cfg: StreamConfig | None = None):
+        self.src = source
+        self.sink = sink
+        self.cfg = cfg or StreamConfig()
+        self.stats = RunStats()
+
+        rate = source.info.sample_rate
+        # the Farrow runs on a x4 pre-upsampled grid (two half-band stages)
+        # so its cubic alias images stay ~45 dB down; ``step`` is grid
+        # samples per Farrow output
+        self.step = float(4.0 * rate / (UPSAMPLE * SAMPLE_RATE))
+        self.n_up = self.cfg.n_up_block
+        # raw samples per block: grid needs step*n_up -> /4, +margins
+        self.n_in = int(np.ceil(self.step * self.n_up / 4.0)) + 8
+        self.taps = fe.fir_taps(self.cfg.fir_preset)
+        self.hb_taps = np.asarray(fe.halfband_taps(), np.float32)
+
+        # carried front-end state
+        self.cond = fe.IqCondState()
+        self.mu = 4.0                 # farrow position on the x4 grid
+        self.phase = 0.0              # NCO phase at window start (rad)
+        self.freq = 0.0               # NCO rad per raw sample
+        self.fir_hist = cplx.czeros(len(self.taps) - 1)
+        self.hb1_hist = cplx.czeros(len(self.hb_taps) - 1)
+        self.hb2_hist = cplx.czeros(len(self.hb_taps) - 1)
+
+        self._raw = np.empty(0, np.complex64)   # host raw ring (complex)
+        self._elem = np.empty(0, np.complex64)  # elementary-rate buffer
+        self._fe_fn = self._build_frontend()
+
+        # set after acquisition
+        self.rx = None
+        self.mode = None
+        self.frame_pos = None          # index of next frame start in _elem
+        self._consumed_elem = 0
+
+    # ------------------------------------------------------------------
+    def _build_frontend(self):
+        taps = jnp.asarray(self.taps)
+        hb = jnp.asarray(self.hb_taps)
+        n_up = self.n_up
+
+        @jax.jit
+        def fn(raw, dc_re, dc_im, c1, c2, phase0, freq, mu0, s_hi, s_lo,
+               hist, hb1, hb2):
+            x, cond_stats = fe.iq_condition(raw, dc_re, dc_im, c1, c2)
+            x, _ = fe.nco_derotate(x, phase0, freq)
+            x, hb1n = fe.upsample2(x, hb1, hb)           # x2
+            x, hb2n = fe.upsample2(x, hb2, hb)           # x4 grid
+            up = fe.farrow_resample(x, mu0, s_hi, s_lo, n_up)
+            elem, hist2 = fe.fir_decimate2(up, hist, taps)
+            return elem, hist2, hb1n, hb2n, cond_stats
+
+        return fn
+
+    # ------------------------------------------------------------------
+    def _pump(self) -> bool:
+        """Read one raw block, run the front end, append elementary IQ."""
+        while len(self._raw) < self.n_in:
+            blk = self.src.read(self.n_in)
+            if blk is None:
+                return False
+            if blk.dtype == np.complex64:
+                iq = cplx.from_np(blk)
+            else:
+                iq = fe.raw_to_iq(jnp.asarray(blk), self.src.info.fmt)
+            self._raw = np.concatenate(
+                [self._raw, cplx.to_np(iq).astype(np.complex64)])
+
+        window = cplx.from_np(self._raw[:self.n_in])
+        s_hi, s_lo = fe.split_step(self.step)
+        elem, hist2, hb1n, hb2n, cond_stats = self._fe_fn(
+            window, jnp.float32(self.cond.dc_re), jnp.float32(self.cond.dc_im),
+            jnp.float32(self.cond.c1), jnp.float32(self.cond.c2),
+            jnp.float32(self.phase), jnp.float32(self.freq),
+            jnp.float32(self.mu), jnp.asarray(s_hi), jnp.asarray(s_lo),
+            self.fir_hist, self.hb1_hist, self.hb2_hist)
+        self.fir_hist, self.hb1_hist, self.hb2_hist = hist2, hb1n, hb2n
+        self.cond = fe.fold_iq_stats(
+            self.cond, [np.asarray(s) for s in cond_stats],
+            alpha=self.cfg.cond_alpha)
+
+        # advance on the x4 grid, consuming whole raw samples only
+        p_next = self.mu + self.step * self.n_up
+        consumed_raw = (int(np.floor(p_next)) - 4) // 4
+        self.mu = p_next - 4 * consumed_raw
+        self.phase = float((self.phase + self.freq * consumed_raw)
+                           % (2 * np.pi))
+        self._raw = self._raw[consumed_raw:]
+        self._elem = np.concatenate([self._elem, cplx.to_np(elem)])
+        return True
+
+    def _need_elem(self, n: int) -> bool:
+        while len(self._elem) < n:
+            if not self._pump():
+                return False
+        return True
+
+    # ------------------------------------------------------------------
+    def acquire(self) -> bool:
+        """P1 search + CFO correction + L1 decode; sets up the receiver."""
+        n_acq = self.cfg.acq_elem_samples or (1 << 21)
+        self._need_elem(n_acq)               # best effort; short files OK
+        n_acq = min(n_acq, len(self._elem))
+        if n_acq < 4 * p1_mod.P1_LEN:
+            self.stats.state = "no_signal"
+            return False
+        t0, peak, cfo_frac = p1_detect.detect(
+            cplx.from_np(self._elem[:n_acq]))
+        t0 = int(t0)
+        if float(peak) < 0.3:
+            self.stats.state = "no_signal"
+            return False
+        res = p1_detect.decode_signalling(
+            self._elem[t0:t0 + p1_mod.P1_LEN], float(cfo_frac))
+        if res is None:
+            self.stats.state = "p1_decode_failed"
+            return False
+        s1, s2, cfo_total = res
+
+        # retune the NCO (raw domain) and reprocess from the raw ring:
+        # the buffered elementary samples were produced without the CFO
+        # correction, so correct them in place (equivalent rotation).
+        n = np.arange(len(self._elem))
+        self._elem = (self._elem * np.exp(-1j * cfo_total * n)
+                      ).astype(np.complex64)
+        # rad/elem-sample -> rad/raw-sample (grid step is x4 the raw step)
+        self.freq += cfo_total * 4.0 / (self.step * UPSAMPLE)
+        self.phase = 0.0
+        self.stats.cfo_hz = cfo_total * SAMPLE_RATE / (2 * np.pi)
+
+        acq = acquisition.acquire_mode(
+            self._elem[t0 + p1_mod.P1_LEN:], s1, s2 // 2)
+        if acq is None:
+            self.stats.state = "l1_failed"
+            return False
+        self.mode = acq.mode
+        rx_cfg = receiver_mod.config_from_l1(acq.mode, acq.l1_pre,
+                                             acq.l1_post, self.cfg.plp_index)
+        rx_cfg.ldpc_max_iters = self.cfg.ldpc_max_iters
+        rx_cfg.use_pallas = self.cfg.use_pallas
+        self.rx = receiver_mod.TpuReceiver(rx_cfg)
+        self.rx._l1_post_cells = acq.l1_pre.l1_post_size
+        from ..ops import equalizer as eq_mod
+        self._sro_coeff = eq_mod.sro_coefficient(self.mode)
+        self.frame_pos = t0
+        self.stats.state = "locked"
+        return True
+
+    # ------------------------------------------------------------------
+    def _refine_timing(self):
+        """P1-anchored timing: re-detect the preamble near the expected
+        frame start (replaces the reference's sample-clock PI loop edge)."""
+        w0 = max(self.frame_pos - 64, 0)
+        w1 = self.frame_pos + p1_mod.P1_LEN + 192
+        if w1 > len(self._elem):
+            return
+        win = self._elem[w0:w1]
+        t0, peak, _ = p1_detect.detect(cplx.from_np(win))
+        if float(peak) > 0.25:
+            self.frame_pos = w0 + int(t0)
+
+    def step_batch(self) -> bool:
+        """Receive one batch of frames; returns False when out of samples."""
+        fs = self.mode.frame_samples
+        f = self.cfg.frames_per_batch
+        need = self.frame_pos + f * fs + 256
+        if not self._need_elem(need):
+            return False
+        self._refine_timing()
+        if self.frame_pos + f * fs > len(self._elem):
+            if not self._need_elem(self.frame_pos + f * fs):
+                return False
+        frames = self._elem[self.frame_pos:self.frame_pos + f * fs]
+        frames = frames.reshape(f, fs)
+        result = self.rx.receive(frames)
+        self.sink.write(result.ts_bytes)
+
+        # ---- tracking: apply batch-N estimates to batch N+1 ----------
+        cfo_res = float(np.mean(result.diag["gi_cfo"]))   # rad/elem sample
+        self.freq += (self.cfg.cfo_gain * cfo_res * 4.0
+                      / (self.step * UPSAMPLE))
+        self.stats.cfo_hz += (self.cfg.cfo_gain * cfo_res
+                              * SAMPLE_RATE / (2 * np.pi))
+        # the discriminator measures the receiver's residual timing slip
+        # (= minus the uncompensated clock offset); normalize by the
+        # mode-specific coefficient and trim the resample step against it
+        slip = float(np.mean(result.diag["sro"])) / self._sro_coeff
+        trim = np.clip(-self.cfg.sro_gain * slip, -2e-5, 2e-5)
+        self.step *= (1.0 + trim)
+        self.stats.sro_ppm = (self.step * UPSAMPLE * SAMPLE_RATE
+                              / (4.0 * self.src.info.sample_rate) - 1.0) * 1e6
+
+        # ---- bookkeeping / stats -------------------------------------
+        self.frame_pos += f * fs
+        drop = self.frame_pos - 4096
+        if drop > 0:
+            self._elem = self._elem[drop:]
+            self.frame_pos -= drop
+        st = self.stats
+        st.frames += f
+        st.ts_packets += len(result.ts_bytes) // 188
+        st.ldpc_failures += int(np.sum(~result.ldpc_ok))
+        st.bch_dirty += int(np.sum(~result.bch_clean))
+        st.bch_corrected += int(np.sum(result.bch_corrected))
+        st.snr_db = result.snr_db
+        return True
+
+    # ------------------------------------------------------------------
+    def run(self, max_frames: int | None = None) -> RunStats:
+        if self.rx is None and not self.acquire():
+            return self.stats
+        while max_frames is None or self.stats.frames < max_frames:
+            if not self.step_batch():
+                break
+        self.sink.close()
+        return self.stats

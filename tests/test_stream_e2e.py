@@ -1,0 +1,87 @@
+"""End-to-end streaming: impaired raw capture file -> blind acquisition ->
+tracking -> TS bytes matching the transmitted stream."""
+import numpy as np
+import pytest
+
+from sdr_receiver_dvb_t2_tpu.models.transmitter import (Transmitter, TxConfig,
+                                                        random_ts_stream)
+from sdr_receiver_dvb_t2_tpu.models.channel import (ChannelConfig, impair,
+                                                    quantize)
+from sdr_receiver_dvb_t2_tpu.io import sources, sinks
+from sdr_receiver_dvb_t2_tpu.runtime import stream as stream_mod
+from sdr_receiver_dvb_t2_tpu.params.modes import (
+    T2Mode, PlpConfig, FftMode, GuardInterval, PilotPattern, Constellation,
+    CodeRate, FecFrame)
+
+
+def _make_capture(tmp_path, n_frames=9, cfo_hz=31e3, sro_ppm=19.0,
+                  snr_db=26.0, fmt="8", device_rate=10_000_000):
+    mode = T2Mode(fft_mode=FftMode.FFT_2K, guard=GuardInterval.G1_8,
+                  pilot_pattern=PilotPattern.PP7, extended_carriers=False,
+                  n_data_symbols=30)
+    plp = PlpConfig(constellation=Constellation.QAM16,
+                    code_rate=CodeRate.C1_2, fec_frame=FecFrame.SHORT,
+                    rotation=True, time_il_length=1)
+    tx = Transmitter(TxConfig(mode=mode, plp=plp, fec_blocks_per_frame=4,
+                              num_t2_frames=n_frames))
+    bytes_per_frame = 4 * (plp.k_bch // 8 - 10)
+    n_pkts = (n_frames + 2) * bytes_per_frame // 188
+    ts = random_ts_stream(n_pkts, seed=42)
+    iq = tx.modulate(ts)
+    dev = impair(iq, ChannelConfig(device_rate=device_rate, cfo_hz=cfo_hz,
+                                   sro_ppm=sro_ppm, snr_db=snr_db,
+                                   phase0=1.1, dc_offset=0.02 - 0.01j,
+                                   iq_gain_db=0.2, iq_phase_deg=1.0,
+                                   seed=3))
+    raw = quantize(dev, {"8": "u8", "16": "s16", "fc": "f32"}[fmt],
+                   scale=0.4)
+    path = tmp_path / f"capture_dvbt2_test_0_{device_rate}_{fmt}.raw"
+    raw.tofile(path)
+    return str(path), ts, mode
+
+
+@pytest.mark.slow
+def test_stream_blind_receive_u8(tmp_path):
+    path, ts_in, mode = _make_capture(tmp_path)
+    rate, fmt = sources.parse_raw_filename(path)
+    assert rate == 10_000_000 and fmt == "u8"
+
+    src = sources.RawFileSource(path)
+    sink = sinks.BufferTsSink()
+    cfg = stream_mod.StreamConfig(frames_per_batch=1,
+                                  acq_elem_samples=3 * mode.frame_samples,
+                                  use_pallas=False)
+    rx = stream_mod.StreamingReceiver(src, sink, cfg)
+    stats = rx.run(max_frames=4)
+
+    assert stats.state == "locked", stats
+    assert stats.frames >= 4
+    assert stats.ldpc_failures == 0, stats
+    assert stats.bch_dirty == 0, stats
+    assert abs(stats.cfo_hz - 31e3) < 500, stats.cfo_hz
+    assert stats.snr_db > 15
+
+    ts_out = sink.data
+    assert len(ts_out) > 188 * 40
+    # the receiver starts mid-stream; find the alignment and compare
+    sync = ts_in.tobytes()
+    got = ts_out.tobytes()
+    idx = sync.find(got[:188 * 2])
+    assert idx >= 0, "recovered TS not found in transmitted stream"
+    n = min(len(got), len(sync) - idx)
+    assert got[:n] == sync[idx:idx + n]
+
+
+@pytest.mark.slow
+def test_stream_s16_format(tmp_path):
+    path, ts_in, mode = _make_capture(tmp_path, n_frames=8, cfo_hz=-12e3,
+                                      sro_ppm=-8.0, fmt="16")
+    src = sources.RawFileSource(path)
+    sink = sinks.BufferTsSink()
+    cfg = stream_mod.StreamConfig(frames_per_batch=1,
+                                  acq_elem_samples=3 * mode.frame_samples,
+                                  use_pallas=False)
+    stats = stream_mod.StreamingReceiver(src, sink, cfg).run(max_frames=3)
+    assert stats.state == "locked"
+    assert stats.ldpc_failures == 0
+    assert abs(stats.cfo_hz + 12e3) < 500
