@@ -1,0 +1,151 @@
+"""ctypes bindings for the native runtime (native/dvbt2_runtime.cc).
+
+Builds the shared library on first use with g++ (cached next to the
+source); falls back to the pure-Python implementations in io/bbframe.py
+when no compiler is available.  The C ABI avoids a pybind11 dependency.
+"""
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+_SRC = Path(__file__).resolve().parent.parent.parent / "native"
+_LIB_PATH = _SRC / "libdvbt2_runtime.so"
+_lib = None
+
+
+def _build() -> Path:
+    src = _SRC / "dvbt2_runtime.cc"
+    if (_LIB_PATH.exists()
+            and _LIB_PATH.stat().st_mtime >= src.stat().st_mtime):
+        return _LIB_PATH
+    subprocess.run(
+        ["g++", "-O2", "-shared", "-fPIC", "-std=c++17",
+         str(src), "-o", str(_LIB_PATH)],
+        check=True, capture_output=True)
+    return _LIB_PATH
+
+
+def load():
+    """Load (building if needed) the native library; None if unavailable."""
+    global _lib
+    if _lib is not None:
+        return _lib
+    try:
+        lib = ctypes.CDLL(str(_build()))
+    except (OSError, subprocess.CalledProcessError, FileNotFoundError):
+        return None
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.bb_parser_new.restype = ctypes.c_void_p
+    lib.bb_parser_free.argtypes = [ctypes.c_void_p]
+    lib.bb_parser_parse.restype = ctypes.c_int
+    lib.bb_parser_parse.argtypes = [ctypes.c_void_p, u8p, ctypes.c_int, u8p]
+    lib.bb_parser_header_errors.restype = ctypes.c_int64
+    lib.bb_parser_header_errors.argtypes = [ctypes.c_void_p]
+    lib.bb_parser_crc_errors.restype = ctypes.c_int64
+    lib.bb_parser_crc_errors.argtypes = [ctypes.c_void_p]
+    lib.bb_parser_hem.restype = ctypes.c_int
+    lib.bb_parser_hem.argtypes = [ctypes.c_void_p]
+    lib.dvbt2_crc8_bytes.restype = ctypes.c_uint8
+    lib.dvbt2_crc8_bytes.argtypes = [u8p, ctypes.c_int]
+    lib.iq_ring_new.restype = ctypes.c_void_p
+    lib.iq_ring_new.argtypes = [ctypes.c_uint64]
+    lib.iq_ring_free.argtypes = [ctypes.c_void_p]
+    lib.iq_ring_push.restype = ctypes.c_int
+    lib.iq_ring_push.argtypes = [ctypes.c_void_p, u8p, ctypes.c_uint64]
+    lib.iq_ring_pop.restype = ctypes.c_uint64
+    lib.iq_ring_pop.argtypes = [ctypes.c_void_p, u8p, ctypes.c_uint64]
+    lib.iq_ring_fill.restype = ctypes.c_uint64
+    lib.iq_ring_fill.argtypes = [ctypes.c_void_p]
+    lib.iq_ring_dropped.restype = ctypes.c_uint64
+    lib.iq_ring_dropped.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return lib
+
+
+def _as_u8p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+class NativeBBFrameParser:
+    """Drop-in native replacement for io.bbframe.BBFrameParser."""
+
+    def __init__(self):
+        lib = load()
+        if lib is None:
+            raise RuntimeError("native runtime unavailable (no g++?)")
+        self._lib = lib
+        self._h = lib.bb_parser_new()
+        self._out = np.empty(1 << 16, dtype=np.uint8)
+
+    def parse(self, frame_bits: np.ndarray) -> np.ndarray:
+        bits = np.ascontiguousarray(frame_bits, dtype=np.uint8)
+        n = self._lib.bb_parser_parse(self._h, _as_u8p(bits), len(bits),
+                                      _as_u8p(self._out))
+        if n <= 0:
+            return np.empty(0, dtype=np.uint8)
+        return self._out[:n].copy()
+
+    @property
+    def header_errors(self) -> int:
+        return self._lib.bb_parser_header_errors(self._h)
+
+    @property
+    def crc_errors(self) -> int:
+        return self._lib.bb_parser_crc_errors(self._h)
+
+    @property
+    def mode_hem(self):
+        v = self._lib.bb_parser_hem(self._h)
+        return None if v < 0 else bool(v)
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.bb_parser_free(self._h)
+            self._h = None
+
+
+class IqRing:
+    """SPSC lock-free byte ring (ingest thread -> compute thread)."""
+
+    def __init__(self, capacity: int):
+        lib = load()
+        if lib is None:
+            raise RuntimeError("native runtime unavailable (no g++?)")
+        self._lib = lib
+        self._h = lib.iq_ring_new(capacity)
+
+    def push(self, data: np.ndarray) -> bool:
+        data = np.ascontiguousarray(data).view(np.uint8)
+        return bool(self._lib.iq_ring_push(self._h, _as_u8p(data),
+                                           data.nbytes))
+
+    def pop(self, n_bytes: int, dtype=np.uint8) -> np.ndarray:
+        out = np.empty(n_bytes, dtype=np.uint8)
+        got = self._lib.iq_ring_pop(self._h, _as_u8p(out), n_bytes)
+        return out[:got].view(dtype)
+
+    @property
+    def fill(self) -> int:
+        return self._lib.iq_ring_fill(self._h)
+
+    @property
+    def dropped(self) -> int:
+        return self._lib.iq_ring_dropped(self._h)
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.iq_ring_free(self._h)
+            self._h = None
+
+
+def make_bb_parser():
+    """Best available BB-frame parser: native if buildable, else Python."""
+    try:
+        return NativeBBFrameParser()
+    except RuntimeError:
+        from .bbframe import BBFrameParser
+        return BBFrameParser()

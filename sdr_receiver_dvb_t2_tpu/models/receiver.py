@@ -93,7 +93,8 @@ class TpuReceiver:
         self.mode = cfg.mode.validate()
         self.plp = cfg.plp
         self.oracle = receiver_ref.ReferenceReceiver(self.mode)
-        self.bb = BBFrameParser()
+        from ..io.native import make_bb_parser
+        self.bb = make_bb_parser()      # native C++ when a toolchain exists
         on_tpu = any(d.platform == "tpu" for d in jax.devices())
         self.use_pallas = cfg.use_pallas if cfg.use_pallas is not None else on_tpu
 
