@@ -34,6 +34,8 @@ from ..ops import cplx, frontend as fe, p1_detect
 from ..params.modes import SAMPLE_RATE
 from ..params import p1 as p1_mod
 from . import acquisition
+from .agc import Agc
+from .diagnostics import LdpcStats
 
 UPSAMPLE = 2.0                      # Farrow output rate / elementary rate
 
@@ -97,6 +99,8 @@ class StreamingReceiver:
         self._raw = np.empty(0, np.complex64)   # host raw ring (complex)
         self._elem = np.empty(0, np.complex64)  # elementary-rate buffer
         self._fe_fn = self._build_frontend()
+        self.agc = Agc(source)                  # active only for live SDRs
+        self.ldpc_stats = LdpcStats(max_iters=self.cfg.ldpc_max_iters)
 
         # set after acquisition
         self.rx = None
@@ -149,6 +153,7 @@ class StreamingReceiver:
         self.cond = fe.fold_iq_stats(
             self.cond, [np.asarray(s) for s in cond_stats],
             alpha=self.cfg.cond_alpha)
+        self.agc.update(self.cond.level)
 
         # advance on the x4 grid, consuming whole raw samples only
         p_next = self.mu + self.step * self.n_up
@@ -268,6 +273,7 @@ class StreamingReceiver:
             self._elem = self._elem[drop:]
             self.frame_pos -= drop
         st = self.stats
+        self.ldpc_stats.update(result.ldpc_iters, result.ldpc_ok)
         st.frames += f
         st.ts_packets += len(result.ts_bytes) // 188
         st.ldpc_failures += int(np.sum(~result.ldpc_ok))
