@@ -114,7 +114,7 @@ def main():
 
     @jax.jit
     def fec(llr_t):
-        hard_t, ok, iters = decoder(llr_t.astype(jnp.float32))
+        hard_t, ok, iters = decoder(llr_t)
         clean = bch_ops.syndrome_flags_t(hard_t[:plp.n_bch, :n_cw], plp)
         return ok[:n_cw], clean, iters
 

@@ -38,13 +38,15 @@ def syndrome_flags_t(bits_t: jnp.ndarray, plp: PlpConfig) -> jnp.ndarray:
     """Transposed variant: [n_bch, W] hard bits -> [W] bool clean flags.
 
     Same GF(2) MXU matmul with the codeword axis on lanes — matches the
-    transposed LDPC kernel output so no relayout is needed.
+    transposed LDPC kernel output so no relayout is needed.  int8 x int8
+    with int32 accumulation is exact (sums <= n_bch < 2^31) and runs the
+    MXU at 4x its bf16 rate.
     """
     h = _h_matrix(plp.k_bch, plp.bch_m, plp.bch_t)       # [n_bch, m*t]
-    s = jnp.einsum("nm,nw->mw", h, bits_t.astype(jnp.float32),
-                   preferred_element_type=jnp.float32)
-    s = jnp.mod(s, 2.0)
-    return jnp.logical_not(jnp.any(s > 0.5, axis=0))
+    s = jnp.einsum("nm,nw->mw", h.astype(np.int8),
+                   bits_t.astype(jnp.int8),
+                   preferred_element_type=jnp.int32)
+    return jnp.logical_not(jnp.any((s & 1).astype(bool), axis=0))
 
 
 def correct_host(cw_bits: np.ndarray, plp: PlpConfig):

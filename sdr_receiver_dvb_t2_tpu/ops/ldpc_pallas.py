@@ -265,8 +265,11 @@ def make_pallas_decoder(table_name: str, batch: int = 128,
     @jax.jit
     def decode(llr_t):
         assert llr_t.shape == (plan.n, T * B), (llr_t.shape, (plan.n, T * B))
-        x = jnp.clip(llr_t.astype(jnp.float32), -127, 127
-                     ).astype(jnp.bfloat16)
+        if llr_t.dtype == jnp.int8:
+            x = llr_t.astype(jnp.bfloat16)      # int8 is exact in bf16
+        else:
+            x = jnp.clip(llr_t.astype(jnp.float32), -127, 127
+                         ).astype(jnp.bfloat16)
         hard_t, stats = pallas_fn(g_tab, s_tab, cnt_tab, x[:k], x[k:])
         ok = stats[:, 0, :].reshape(T * B).astype(bool)
         iters = jnp.max(stats[:, 1, :].astype(jnp.int32))

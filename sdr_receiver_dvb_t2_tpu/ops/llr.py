@@ -99,7 +99,9 @@ def demap_cells_multi(cells: C, n_frames: int, plan: DemapPlan):
         bits.append(a)
         bits.append(b)
     stream = jnp.stack(bits, axis=-1).reshape(w, n_cells * plan.eta)
-    return jnp.clip(stream, -127, 127), snr_db
+    # int8 immediately: the downstream bit-deinterleave gather and layout
+    # transpose then move a quarter of the bytes
+    return jnp.clip(stream, -127, 127).astype(jnp.int8), snr_db
 
 
 def demap_frame(plp_cells: C, plan: DemapPlan):

@@ -188,9 +188,22 @@ def demap_planes_t(eq: C, plan: ChainPlan, consts):
     u16i = jax.lax.bitcast_convert_type(
         eq.im.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
     packed = (u16r << 16) | u16i                       # [F, L, K]
+
     # per-frame gather (XLA gather cost grows with SOURCE size — keep the
-    # source at one frame's plane, vmap over frames)
-    g = jax.vmap(lambda p: p.reshape(-1)[consts["cell_idx"]])(packed)
+    # source at one frame's plane, vmap over frames); the index set is a
+    # permutation, so unique_indices + PROMISE_IN_BOUNDS skip the clamp
+    # and dedup machinery (~1.7x faster on TPU)
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(), collapsed_slice_dims=(0,), start_index_map=(0,))
+    flat_idx = consts["cell_idx"].reshape(-1, 1)
+
+    def one_plane(p):
+        return jax.lax.gather(
+            p.reshape(-1), flat_idx, dn, (1,),
+            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+            unique_indices=True)
+
+    g = jax.vmap(one_plane)(packed)
     g = g.reshape(-1, consts["cell_idx"].shape[1])     # [F*n_fec, n_cells]
     cells = C(
         jax.lax.bitcast_convert_type((g >> 16).astype(jnp.uint16),
