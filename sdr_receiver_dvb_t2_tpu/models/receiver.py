@@ -44,6 +44,7 @@ class RxConfig:
     plp: PlpConfig
     n_fec_per_frame: int
     n_ti: int
+    plp_start: int = 0                  # cell address after L1 (multi-PLP)
     ldpc_max_iters: int = 15
     use_pallas: bool | None = None      # None = auto (TPU only)
 
@@ -82,7 +83,8 @@ def config_from_l1(mode_hint: T2Mode, pre: l1_mod.L1Pre,
     )
     n_fec = post.dyn.plp[plp_idx].num_blocks
     n_ti = max(1, p.time_il_length if p.time_il_type == 0 else 1)
-    return RxConfig(mode=mode, plp=plp, n_fec_per_frame=n_fec, n_ti=n_ti)
+    return RxConfig(mode=mode, plp=plp, n_fec_per_frame=n_fec, n_ti=n_ti,
+                    plp_start=post.dyn.plp[plp_idx].start)
 
 
 class TpuReceiver:
@@ -107,7 +109,7 @@ class TpuReceiver:
         """Jitted fused frames->LLR chain (needs L1 for the PLP offset)."""
         plan = rx_chain.get_plan(
             self.mode, self.plp, self.cfg.n_fec_per_frame, self.cfg.n_ti,
-            l1_mod.L1_PRE_CELLS + self._l1_post_cells)
+            l1_mod.L1_PRE_CELLS + self._l1_post_cells + self.cfg.plp_start)
         consts = plan.device_consts()
         fn = jax.jit(
             lambda frames, c: rx_chain.frames_to_llr_t(frames, plan, c))

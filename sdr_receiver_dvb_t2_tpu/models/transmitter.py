@@ -25,14 +25,25 @@ from ..params.modes import (T2Mode, PlpConfig, Constellation, FecFrame,
 @dataclasses.dataclass
 class TxConfig:
     mode: T2Mode
-    plp: PlpConfig
+    plp: PlpConfig | None = None
     hem: bool = True
     l1_post_mod: int = 1          # QPSK
     fec_blocks_per_frame: int = 9  # PLP_NUM_BLOCKS per interleaving frame
     num_t2_frames: int = 2
+    # multi-PLP: parallel lists override (plp, fec_blocks_per_frame)
+    plps: list = None
+    fec_blocks: list = None
 
     def __post_init__(self):
-        assert self.fec_blocks_per_frame <= self.plp.num_blocks_max * max(1, self.plp.time_il_length)
+        if self.plps is None:
+            assert self.plp is not None
+            self.plps = [self.plp]
+            self.fec_blocks = [self.fec_blocks_per_frame]
+        else:
+            self.plp = self.plps[0]
+            self.fec_blocks_per_frame = self.fec_blocks[0]
+        for p, f in zip(self.plps, self.fec_blocks):
+            assert f <= p.num_blocks_max * max(1, p.time_il_length)
 
 
 class Transmitter:
@@ -41,6 +52,8 @@ class Transmitter:
         self.mode = cfg.mode.validate()
         self.plp = cfg.plp
         self.packer = BBFramePacker(k_bch=self.plp.k_bch, hem=cfg.hem)
+        self.packers = [BBFramePacker(k_bch=p.k_bch, hem=cfg.hem)
+                        for p in cfg.plps]
         self.code = ldpc.get_code(self.plp.ldpc_table_name)
         self._bch_m = self.plp.bch_m
         self._bch_t = self.plp.bch_t
@@ -64,19 +77,24 @@ class Transmitter:
             num_t2_frames=cfg.num_t2_frames,
         )
         post = l1.L1Post()
-        post.num_plp = 1
-        p = post.plp[0]
-        p.id = plp.plp_id
-        p.plp_cod = plp.code_rate.value
-        p.plp_mod = plp.constellation.value
-        p.plp_rotation = int(plp.rotation)
-        p.plp_fec_type = plp.fec_frame.value
-        p.plp_num_blocks_max = plp.num_blocks_max
-        p.time_il_length = plp.time_il_length
-        p.time_il_type = plp.time_il_type
-        p.plp_mode = 2 if cfg.hem else 1
-        post.dyn.plp = [l1.L1DynPlp(id=plp.plp_id, start=0,
-                                    num_blocks=cfg.fec_blocks_per_frame)]
+        post.num_plp = len(cfg.plps)
+        post.plp = [l1.L1PostPlp() for _ in cfg.plps]
+        post.dyn.plp = []
+        start = 0
+        for i, (pc, n_fec) in enumerate(zip(cfg.plps, cfg.fec_blocks)):
+            p = post.plp[i]
+            p.id = pc.plp_id if pc.plp_id or i == 0 else i
+            p.plp_cod = pc.code_rate.value
+            p.plp_mod = pc.constellation.value
+            p.plp_rotation = int(pc.rotation)
+            p.plp_fec_type = pc.fec_frame.value
+            p.plp_num_blocks_max = pc.num_blocks_max
+            p.time_il_length = pc.time_il_length
+            p.time_il_type = pc.time_il_type
+            p.plp_mode = 2 if cfg.hem else 1
+            post.dyn.plp.append(l1.L1DynPlp(id=p.id, start=start,
+                                            num_blocks=n_fec))
+            start += n_fec * pc.cells_per_fec_block
         # size the L1-post: build once with zero sizes to learn K_sig
         tmp = l1.build_l1_post_info(post, pre)
         k_sig = len(tmp)
@@ -86,27 +104,31 @@ class Transmitter:
         self.l1_pre, self.l1_post = pre, post
 
     # ------------------------------------------------------------------
-    def fec_encode(self, bb_frames: list[np.ndarray]) -> np.ndarray:
+    def fec_encode(self, bb_frames: list[np.ndarray],
+                   plp: PlpConfig | None = None) -> np.ndarray:
         """BB frames (scrambled K_bch bits each) -> LDPC codewords [n, N]."""
-        plp = self.plp
+        plp = plp or self.plp
+        code = ldpc.get_code(plp.ldpc_table_name)
         out = np.empty((len(bb_frames), plp.fec_size), dtype=np.uint8)
         for i, frame in enumerate(bb_frames):
-            bch_cw = bch.encode(frame, self._bch_m, self._bch_t)
+            bch_cw = bch.encode(frame, plp.bch_m, plp.bch_t)
             assert len(bch_cw) == plp.k_ldpc
-            out[i] = self.code.encode(bch_cw)
+            out[i] = code.encode(bch_cw)
         return out
 
-    def map_cells(self, codewords: np.ndarray) -> np.ndarray:
+    def map_cells(self, codewords: np.ndarray,
+                  plp: PlpConfig | None = None) -> np.ndarray:
         """LDPC codewords [n, N] -> rotated cells [n, cells_per_fec]."""
-        plp = self.plp
+        plp = plp or self.plp
         tx = bit_interleaver.tx_map(plp.constellation, plp.fec_frame,
                                     plp.code_rate)
         stream = codewords[:, tx]
         return qam.map_bits(stream, plp.constellation, rotated=plp.rotation)
 
-    def interleave_frame_cells(self, cells: np.ndarray) -> np.ndarray:
+    def interleave_frame_cells(self, cells: np.ndarray,
+                               plp: PlpConfig | None = None) -> np.ndarray:
         """[n_fec, cells] -> PLP cell sequence for one T2 frame (TI applied)."""
-        plp, n_fec = self.plp, len(cells)
+        plp, n_fec = plp or self.plp, len(cells)
         n_ti = max(1, plp.time_il_length if plp.time_il_type == 0 else 1)
         per_ti = n_fec // n_ti
         extra = n_fec % n_ti
@@ -212,15 +234,23 @@ class Transmitter:
     # ------------------------------------------------------------------
     def modulate(self, ts_bytes: np.ndarray) -> np.ndarray:
         """TS stream -> IQ for as many complete T2 frames as data allows."""
+        return self.modulate_multi([ts_bytes] * len(self.cfg.plps))
+
+    def modulate_multi(self, ts_streams: list) -> np.ndarray:
+        """One TS stream per PLP -> IQ frames (multi-PLP frame building)."""
+        cfg = self.cfg
+        bb_per_plp = [packer.pack(ts) for packer, ts in
+                      zip(self.packers, ts_streams)]
+        n_frames = min(len(bb) // f for bb, f in
+                       zip(bb_per_plp, cfg.fec_blocks))
         frames_iq = []
-        bb = self.packer.pack(ts_bytes)
-        per_frame = self.cfg.fec_blocks_per_frame
-        n_frames = len(bb) // per_frame
         for f in range(n_frames):
-            cw = self.fec_encode(bb[f * per_frame:(f + 1) * per_frame])
-            cells = self.map_cells(cw)
-            plp_cells = self.interleave_frame_cells(cells)
-            frames_iq.append(self.build_frame(plp_cells))
+            parts = []
+            for plp, n_fec, bb in zip(cfg.plps, cfg.fec_blocks, bb_per_plp):
+                cw = self.fec_encode(bb[f * n_fec:(f + 1) * n_fec], plp)
+                cells = self.map_cells(cw, plp)
+                parts.append(self.interleave_frame_cells(cells, plp))
+            frames_iq.append(self.build_frame(np.concatenate(parts)))
         return np.concatenate(frames_iq) if frames_iq else np.empty(0, np.complex64)
 
 

@@ -1,0 +1,56 @@
+"""Multi-PLP: two PLPs with different modulation/coding in one T2 frame;
+each decodes independently by PLP index (reference: per-PLP TS routing,
+bb_de_header.cpp:443-461)."""
+import numpy as np
+import pytest
+
+from sdr_receiver_dvb_t2_tpu.models.transmitter import (Transmitter, TxConfig,
+                                                        random_ts_stream)
+from sdr_receiver_dvb_t2_tpu.models import receiver as receiver_mod
+from sdr_receiver_dvb_t2_tpu.params.modes import (
+    T2Mode, PlpConfig, FftMode, GuardInterval, PilotPattern, Constellation,
+    CodeRate, FecFrame)
+
+
+@pytest.mark.slow
+def test_two_plps_round_trip():
+    mode = T2Mode(fft_mode=FftMode.FFT_2K, guard=GuardInterval.G1_8,
+                  pilot_pattern=PilotPattern.PP7, extended_carriers=False,
+                  n_data_symbols=30)
+    plp_a = PlpConfig(plp_id=0, constellation=Constellation.QAM16,
+                      code_rate=CodeRate.C1_2, fec_frame=FecFrame.SHORT,
+                      rotation=True, time_il_length=1)
+    plp_b = PlpConfig(plp_id=1, constellation=Constellation.QAM64,
+                      code_rate=CodeRate.C2_3, fec_frame=FecFrame.SHORT,
+                      rotation=False, time_il_length=1)
+    n_frames = 2
+    tx = Transmitter(TxConfig(mode=mode, plps=[plp_a, plp_b],
+                              fec_blocks=[3, 4], num_t2_frames=n_frames))
+
+    ts_a = random_ts_stream(160, seed=1)
+    ts_b = random_ts_stream(320, seed=2)
+    iq = tx.modulate_multi([ts_a, ts_b])
+    assert len(iq) >= n_frames * mode.frame_samples
+    rng = np.random.default_rng(0)
+    iq = iq[:n_frames * mode.frame_samples]
+    iq = iq + (rng.standard_normal(len(iq)) + 1j * rng.standard_normal(len(iq))
+               ).astype(np.complex64) * np.sqrt(np.mean(np.abs(iq)**2) / 2e3)
+    frames = iq.reshape(n_frames, mode.frame_samples)
+
+    for idx, ts_in in ((0, ts_a), (1, ts_b)):
+        rx0 = receiver_mod.TpuReceiver(
+            receiver_mod.RxConfig(mode=mode, plp=plp_a, n_fec_per_frame=3,
+                                  n_ti=1, use_pallas=False))
+        pre, post = rx0.prime(frames[0]).acquire_l1(frames[0])
+        assert post.num_plp == 2
+        cfg = receiver_mod.config_from_l1(mode, pre, post, plp_idx=idx)
+        cfg.use_pallas = False
+        assert cfg.plp.constellation == (ts_in is ts_a and plp_a or plp_b).constellation
+        rx = receiver_mod.TpuReceiver(cfg)
+        rx._l1_post_cells = pre.l1_post_size
+        res = rx.receive(frames)
+        assert np.all(res.ldpc_ok), (idx, res.ldpc_ok)
+        assert np.all(res.bch_clean)
+        got, sync = res.ts_bytes.tobytes(), ts_in.tobytes()
+        at = sync.find(got[:376])
+        assert at >= 0 and got == sync[at:at + len(got)], idx
