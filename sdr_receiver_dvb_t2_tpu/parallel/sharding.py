@@ -105,6 +105,10 @@ class ShardedReceiver:
             l1_mod.L1_PRE_CELLS + cfg.l1_post_cells)
         self.taps = fe.fir_taps(cfg.fir_preset)
         self.n_taps = len(self.taps)
+        self.hb_taps = np.asarray(fe.halfband_taps(), np.float32)
+        # two half-band stages delay the x4 grid by (N-1)/2 each: stage 1's
+        # 14 samples at x2 = 28 at x4, plus stage 2's 14 at x4
+        self.hb_delay_grid = 3 * (len(self.hb_taps) - 1) // 2
 
         # per-shard geometry
         self.k_loc = cfg.frames_per_shard * self.mode.frame_samples
@@ -118,8 +122,12 @@ class ShardedReceiver:
 
     # ------------------------------------------------------------------
     def raw_block_for(self, step: float) -> int:
-        """Raw samples consumed per time shard per step (host helper)."""
-        return int(np.ceil(2 * self.k_loc * step)) + 8
+        """Raw samples consumed per time shard per step (host helper).
+
+        ``step`` is the raw-domain ratio device_rate / (2 * elementary);
+        the Farrow itself runs on a x4 half-band-upsampled grid internally.
+        """
+        return int(np.ceil(2 * self.k_loc * step)) + 32
 
     def _build(self):
         cfg, mode, plp = self.cfg, self.mode, self.plp
@@ -145,6 +153,12 @@ class ShardedReceiver:
             # ---- NCO derotation (per-shard phase base from host) --------
             nco = lambda row: fe.nco_derotate(row, phase0[0], freq)[0]
             x = jax.vmap(nco)(x)
+
+            # ---- x4 half-band grid (cubic images ~45 dB down) ------------
+            hb = jnp.asarray(self.hb_taps)
+            hbz = cplx.czeros((x.shape[0], len(self.hb_taps) - 1))
+            x = jax.vmap(lambda r, h: fe.upsample2(r, h, hb)[0])(x, hbz)
+            x = jax.vmap(lambda r, h: fe.upsample2(r, h, hb)[0])(x, hbz)
 
             # ---- Farrow to 2x elementary rate ----------------------------
             mu0 = frac0[0] + idx0[0].astype(jnp.float32)
@@ -195,14 +209,16 @@ class ShardedReceiver:
         return jax.jit(fn)
 
     # ------------------------------------------------------------------
-    def step(self, raw, idx0, frac0, phase0, freq, step_hi, step_lo):
+    def step(self, raw, idx0, frac0, phase0, freq, step_raw: float):
+        """step_raw: raw-domain resample ratio (host float64)."""
         if not isinstance(raw, C):
             raw = cplx.from_np(raw)
+        s_hi, s_lo = fe.split_step(4.0 * step_raw)       # x4 grid step
         return self._step(raw, jnp.asarray(idx0, jnp.int32),
                           jnp.asarray(frac0, jnp.float32),
                           jnp.asarray(phase0, jnp.float32),
-                          jnp.float32(freq), jnp.float32(step_hi),
-                          jnp.float32(step_lo), self._consts)
+                          jnp.float32(freq), jnp.asarray(s_hi),
+                          jnp.asarray(s_lo), self._consts)
 
     # ------------------------------------------------------------------
     def host_bases(self, mu_global: float, step: float, phase_global: float,
@@ -223,9 +239,11 @@ class ShardedReceiver:
             # the FIR window looks back taps-1 upsampled samples, so each
             # shard starts its farrow stream that much early (warm-up)
             p = mu_global + step * (2 * self.k_loc * t - (self.n_taps - 1))
-            p_shard = p - t * raw_block + halo      # local incl. halo
-            idx0[t] = int(np.floor(p_shard))
-            frac0[t] = np.float32(p_shard - np.floor(p_shard))
+            p_shard = p - t * raw_block + halo      # local incl. halo (raw)
+            # x4 grid position, shifted by the half-band group delay
+            g = 4.0 * p_shard + self.hb_delay_grid
+            idx0[t] = int(np.floor(g))
+            frac0[t] = np.float32(g - np.floor(g))
             phase0[t] = np.float32(
                 (phase_global + freq * (t * raw_block - halo)) % (2 * np.pi))
         return idx0, frac0, phase0

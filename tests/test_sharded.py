@@ -65,11 +65,9 @@ def test_sharded_receive_ts_recovery():
     # FIR group delay is (taps-1)/4 elementary samples (see sharding docs)
     ratio = SAMPLE_RATE / device_rate
     mu = ((rx.n_taps - 1) / 4.0 - 1.0) / ratio
-    hi, lo = np.float32(step), np.float32(step - np.float32(step))
     idx0, frac0, phase0 = rx.host_bases(mu, step, 0.0, 0.0, rb)
 
-    hard, stats = rx.step(jnp.asarray(raw), idx0, frac0, phase0,
-                          0.0, hi, lo)
+    hard, stats = rx.step(jnp.asarray(raw), idx0, frac0, phase0, 0.0, step)
     hard = np.asarray(hard)
     assert hard.shape == (n_ch, n_time, 4, plp.n_bch)
     assert int(stats["ldpc_failures"]) == 0, int(stats["ldpc_failures"])
@@ -100,11 +98,12 @@ def test_host_bases_consistency():
     idx0, frac0, phase0 = rx.host_bases(mu, step, 1.0, 0.01, rb)
     for t in range(4):
         # reconstruct the global position of shard t's first farrow output
-        p_local = float(idx0[t]) + float(frac0[t])
-        p_global = p_local + t * rb - cfg.halo
-        expect = mu + step * (2 * rx.k_loc * t - (rx.n_taps - 1))
-        assert abs(p_global - expect) < 1e-3, t
+        g_local = float(idx0[t]) + float(frac0[t])
+        p_global_grid = g_local + 4 * (t * rb - cfg.halo)
+        expect = (4 * (mu + step * (2 * rx.k_loc * t - (rx.n_taps - 1)))
+                  + rx.hb_delay_grid)
+        assert abs(p_global_grid - expect) < 4e-3, t
         # the farrow never reads before the haloed block or past its end
         n_need = 2 * rx.k_loc + rx.n_taps - 1
-        assert p_local - 1 >= 0
-        assert p_local + step * n_need + 2 < cfg.halo + rb
+        assert g_local - 1 >= 0
+        assert g_local + 4 * step * n_need + 2 < 4 * (cfg.halo + rb)
