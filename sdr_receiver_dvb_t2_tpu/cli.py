@@ -53,6 +53,9 @@ def build_parser() -> argparse.ArgumentParser:
     dbg.add_argument("--dump-constellation", metavar="NPZ", default=None,
                      help="save equalized cells of the first batch to a "
                           ".npz (constellation / spectrum diagnostics)")
+    dbg.add_argument("--profile", metavar="DIR", default=None,
+                     help="write a jax.profiler trace of the steady-state "
+                          "loop to DIR (view with TensorBoard/Perfetto)")
     return p
 
 
@@ -102,6 +105,9 @@ def main(argv=None) -> int:
         print(f"diagnostics written to {args.dump_constellation}",
               file=sys.stderr)
 
+    if args.profile:
+        import jax
+        jax.profiler.start_trace(args.profile)
     t_last = time.monotonic()
     while args.max_frames is None or rx.stats.frames < args.max_frames:
         if not rx.step_batch():
@@ -113,6 +119,10 @@ def main(argv=None) -> int:
                   f"bch_fix={s.bch_corrected} cfo={s.cfo_hz:+.0f} Hz "
                   f"sro={s.sro_ppm:+.1f} ppm", file=sys.stderr)
             t_last = time.monotonic()
+    if args.profile:
+        import jax
+        jax.profiler.stop_trace()
+        print(f"profiler trace written to {args.profile}", file=sys.stderr)
     sink.close()
     s = rx.stats
     print(f"done: frames={s.frames} ts_packets={s.ts_packets} "

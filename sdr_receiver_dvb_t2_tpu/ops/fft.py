@@ -15,8 +15,9 @@ but only two MXU dispatches.  Cost: N*(N1+N2) MACs per transform (0.1% of
 the naive DFT at 32K), all on the systolic array.  Replaces FFTW in the
 reference (/root/reference/src/DSP/fast_fourier_transform.h:54-70).
 
-precision=HIGHEST keeps the f32 matmuls at ~1e-6 relative error — far
-below the 35 dB+ MER this receiver needs.
+FAST_STAGE1 (default) runs the matmuls in bf16 (~-51 dB transform floor,
+far below DVB-T2's operating MER); disabling it restores float32
+precision=HIGHEST (~1e-6 relative error).
 """
 from __future__ import annotations
 
@@ -53,8 +54,8 @@ def _factors(n: int) -> tuple[int, int]:
     return n1, n // n1
 
 
-# First-stage matmul precision: bf16 inputs put the transform's error floor
-# at ~-53 dB (measured vs float64 numpy) — far below DVB-T2's operating MER
+# Fast-mode matmul precision: bf16 inputs in both stages put the transform's
+# error floor at ~-51 dB (measured vs float64 numpy) — far below DVB-T2's operating MER
 # and comparable to the reference's -Ofast + LUT-trig floor — for ~3x fewer
 # MXU passes.  Set to False for the full float32 (~-115 dB) path.
 FAST_STAGE1 = True
@@ -89,10 +90,16 @@ def fft_mm(x: C, inverse: bool = False) -> C:
     c = _cmatmul_left(f1r, f1i, a, "kn,...nm->...km")
     c = c * C(twr, twi)
     # X[..., k1, k2] = sum_n2 C[..., k1, n2] * F2[n2, k2]
-    hp = jax.lax.Precision.HIGHEST
     cr_ci = jnp.concatenate([c.re, c.im], axis=-2)         # stack on k1 rows
-    pr = jnp.einsum("...km,mj->...kj", cr_ci, f2r, precision=hp)
-    pi = jnp.einsum("...km,mj->...kj", cr_ci, f2i, precision=hp)
+    if FAST_STAGE1:
+        cr_ci = cr_ci.astype(jnp.bfloat16)
+        f2r = jnp.asarray(f2r).astype(jnp.bfloat16)
+        f2i = jnp.asarray(f2i).astype(jnp.bfloat16)
+        kw = dict(preferred_element_type=jnp.float32)
+    else:
+        kw = dict(precision=jax.lax.Precision.HIGHEST)
+    pr = jnp.einsum("...km,mj->...kj", cr_ci, f2r, **kw)
+    pi = jnp.einsum("...km,mj->...kj", cr_ci, f2i, **kw)
     out = C(pr[..., :n1, :] - pi[..., n1:, :], pr[..., n1:, :] + pi[..., :n1, :])
     # out[k1, k2] -> flat index k1 + N1*k2: swap then reshape
     out = C(jnp.swapaxes(out.re, -1, -2), jnp.swapaxes(out.im, -1, -2))
