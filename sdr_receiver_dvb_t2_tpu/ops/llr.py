@@ -96,12 +96,12 @@ def demap_cells_multi(cells: C, n_frames: int, plan: DemapPlan):
     q_llrs = _axis_llrs(cells.im, per_axis, plan.norm, prec_row)
     bits = []
     for a, b in zip(i_llrs, q_llrs):
-        bits.append(a)
-        bits.append(b)
+        # clip+int8 per plane BEFORE stacking: the stacked stream then
+        # materializes 105 MB instead of 420 MB per 8-frame batch
+        bits.append(jnp.clip(a, -127, 127).astype(jnp.int8))
+        bits.append(jnp.clip(b, -127, 127).astype(jnp.int8))
     stream = jnp.stack(bits, axis=-1).reshape(w, n_cells * plan.eta)
-    # int8 immediately: the downstream bit-deinterleave gather and layout
-    # transpose then move a quarter of the bytes
-    return jnp.clip(stream, -127, 127).astype(jnp.int8), snr_db
+    return stream, snr_db
 
 
 def demap_frame(plp_cells: C, plan: DemapPlan):

@@ -64,8 +64,17 @@ class ChainPlan:
         inv[order] = np.arange(L)
         self.regroup = inv                          # undo group concat order
 
-        p_max = ep.p_max
-        self.weights = []
+        # Banded interpolation weights: carrier k interpolates between
+        # pilot ordinals lo(k) and lo(k)+1, and lo is monotone in k — so a
+        # segment of SEG consecutive carriers touches only a narrow window
+        # of pilot ordinals.  Storing [n_seg, WIN, SEG] instead of the dense
+        # [p_max, K] cuts the weight bytes ~400x (the dense matmul was
+        # HBM-read-bound on the weights).
+        SEG = 256
+        self.seg = SEG
+        self.n_seg = -(-K // SEG)
+        win = 0
+        lo_frac = []
         for syms in self.group_syms:
             l = int(syms[0])
             n_pil = int(ep.n_pilots[l])
@@ -74,10 +83,25 @@ class ChainPlan:
             lo = np.clip(np.searchsorted(pidx, k) - 1, 0, n_pil - 2)
             span = np.maximum(pidx[lo + 1] - pidx[lo], 1)
             frac = (k - pidx[lo]) / span
-            w = np.zeros((p_max, K), np.float32)
-            w[lo, k] = 1.0 - frac
-            w[lo + 1, k] = frac
-            self.weights.append(np.asarray(w, np.float32))
+            lo_frac.append((lo, frac))
+            for s in range(self.n_seg):
+                seg_lo = lo[s * SEG:(s + 1) * SEG]
+                win = max(win, int(seg_lo.max() - seg_lo.min()) + 2)
+        self.win = win = -(-win // 8) * 8
+        self.weights = []          # (o_idx [n_seg] i32, Wband [n_seg,WIN,SEG])
+        for (lo, frac) in lo_frac:
+            o_idx = np.zeros(self.n_seg, np.int32)
+            wband = np.zeros((self.n_seg, win, SEG), np.float32)
+            for s in range(self.n_seg):
+                k0 = s * SEG
+                k1 = min(k0 + SEG, K)
+                seg_lo = lo[k0:k1]
+                o = int(seg_lo.min())
+                o_idx[s] = o
+                cols = np.arange(k1 - k0)
+                wband[s, seg_lo - o, cols] = 1.0 - frac[k0:k1]
+                wband[s, seg_lo - o + 1, cols] = frac[k0:k1]
+            self.weights.append((o_idx, wband))
 
         # pilot reference: h_p = pil * sign / amp (padded entries zeroed by W)
         self.pil_sign = np.asarray(ep.ref_vals)          # [L, p_max] +-1
@@ -117,9 +141,13 @@ class ChainPlan:
         overflows the remote-compile body limit and bloats every program).
         """
         import jax as _jax
+        # CPU XLA lacks batched bf16 dot thunks; bf16 weights are TPU-only
+        wdt = (jnp.bfloat16 if _jax.default_backend() != "cpu"
+               else jnp.float32)
         return dict(
-            w=tuple(_jax.device_put(jnp.asarray(w).astype(jnp.bfloat16))
-                    for w in self.weights),
+            w=tuple((_jax.device_put(jnp.asarray(o)),
+                     _jax.device_put(jnp.asarray(wb).astype(wdt)))
+                    for o, wb in self.weights),
             cell_idx=_jax.device_put(jnp.asarray(self.cell_idx)),
             bit_rows=_jax.device_put(jnp.asarray(self.bit_rows)),
         )
@@ -137,13 +165,22 @@ def equalize_plane(carriers: C, plan: ChainPlan, w_consts):
     pil = cplx.take_along_axis(carriers, ep.pilot_idx, axis=1)   # [L, P]
     h_p = pil * (plan.pil_sign * plan.pil_inv_amp)
 
-    # grouped interpolation matmuls (bf16 on the MXU)
+    # grouped banded-interpolation matmuls (bf16 on the MXU): per segment
+    # of 256 carriers, gather the pilot window and multiply by the banded
+    # weight block
+    K = plan.mode.k_total
+    win_idx = None
     outs_re, outs_im = [], []
-    for syms, wb in zip(plan.group_syms, w_consts):
-        hr = h_p.re[syms].astype(jnp.bfloat16)
-        hi = h_p.im[syms].astype(jnp.bfloat16)
-        outs_re.append(jnp.dot(hr, wb, preferred_element_type=jnp.float32))
-        outs_im.append(jnp.dot(hi, wb, preferred_element_type=jnp.float32))
+    for syms, (o_idx, wband) in zip(plan.group_syms, w_consts):
+        idx = o_idx[:, None] + jnp.arange(plan.win, dtype=jnp.int32)[None]
+        hr = h_p.re[syms][:, idx].astype(wband.dtype)    # [Lg, S, WIN]
+        hi = h_p.im[syms][:, idx].astype(wband.dtype)
+        er = jnp.einsum("lsw,swc->lsc", hr, wband,
+                        preferred_element_type=jnp.float32)
+        ei = jnp.einsum("lsw,swc->lsc", hi, wband,
+                        preferred_element_type=jnp.float32)
+        outs_re.append(er.reshape(er.shape[0], -1)[:, :K])
+        outs_im.append(ei.reshape(ei.shape[0], -1)[:, :K])
     h_d = C(jnp.concatenate(outs_re)[plan.regroup],
             jnp.concatenate(outs_im)[plan.regroup])               # [L, K]
 
