@@ -233,7 +233,10 @@ def make_pallas_decoder(table_name: str, batch: int = 128,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((k, B), lambda i, *_: (0, i)),
-            pl.BlockSpec((r, B), lambda i, *_: (0, i)),
+            # parity rows of the SAME array: block height r divides k
+            # exactly (k = 2r for r2/3), so block row-index k//r lands on
+            # the parity region without materializing a slice
+            pl.BlockSpec((r, B), lambda i, *_: (k // r, i)),
         ],
         out_specs=[
             pl.BlockSpec((k, B), lambda i, *_: (0, i)),
@@ -270,7 +273,10 @@ def make_pallas_decoder(table_name: str, batch: int = 128,
         else:
             x = jnp.clip(llr_t.astype(jnp.float32), -127, 127
                          ).astype(jnp.bfloat16)
-        hard_t, stats = pallas_fn(g_tab, s_tab, cnt_tab, x[:k], x[k:])
+        if k % r == 0:
+            hard_t, stats = pallas_fn(g_tab, s_tab, cnt_tab, x, x)
+        else:
+            hard_t, stats = pallas_fn(g_tab, s_tab, cnt_tab, x[:k], x[k:])
         ok = stats[:, 0, :].reshape(T * B).astype(bool)
         iters = jnp.max(stats[:, 1, :].astype(jnp.int32))
         return hard_t, ok, iters
