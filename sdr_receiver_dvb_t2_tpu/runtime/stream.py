@@ -225,7 +225,10 @@ class StreamingReceiver:
     # ------------------------------------------------------------------
     def _refine_timing(self):
         """P1-anchored timing: re-detect the preamble near the expected
-        frame start (replaces the reference's sample-clock PI loop edge)."""
+        frame start (replaces the reference's sample-clock PI loop edge).
+        Repeated misses mark the lock as lost (reference analogue:
+        signal_estimate.reset on post-init L1 CRC failure,
+        dvbt2_demodulator.cpp:387-394)."""
         w0 = max(self.frame_pos - 64, 0)
         w1 = self.frame_pos + p1_mod.P1_LEN + 192
         if w1 > len(self._elem):
@@ -234,6 +237,9 @@ class StreamingReceiver:
         t0, peak, _ = p1_detect.detect(cplx.from_np(win))
         if float(peak) > 0.25:
             self.frame_pos = w0 + int(t0)
+            self._p1_misses = 0
+        else:
+            self._p1_misses = getattr(self, "_p1_misses", 0) + 1
 
     def step_batch(self) -> bool:
         """Receive one batch of frames; returns False when out of samples."""
@@ -283,10 +289,24 @@ class StreamingReceiver:
         return True
 
     # ------------------------------------------------------------------
+    def _lock_lost(self) -> bool:
+        """Three consecutive P1 misses or a fully-failing batch = relock."""
+        return getattr(self, "_p1_misses", 0) >= 3
+
     def run(self, max_frames: int | None = None) -> RunStats:
         if self.rx is None and not self.acquire():
             return self.stats
         while max_frames is None or self.stats.frames < max_frames:
+            if self._lock_lost():
+                # drop the stale buffer tail and re-acquire from the stream
+                # (the reference resets the whole front end; here only the
+                # framing/L1 state is rebuilt)
+                self.stats.state = "reacquiring"
+                self._elem = self._elem[self.frame_pos:]
+                self._p1_misses = 0
+                self.rx = None
+                if not self.acquire():
+                    break
             if not self.step_batch():
                 break
         self.sink.close()

@@ -85,3 +85,27 @@ def test_stream_s16_format(tmp_path):
     assert stats.state == "locked"
     assert stats.ldpc_failures == 0
     assert abs(stats.cfo_hz + 12e3) < 500
+
+
+@pytest.mark.slow
+def test_stream_relock_after_dropout(tmp_path):
+    """Signal -> noise gap -> signal: the receiver must detect the lost
+    lock via P1 misses and re-acquire on the second segment."""
+    path, ts_in, mode = _make_capture(tmp_path, n_frames=6, cfo_hz=5e3,
+                                      sro_ppm=0.0, fmt="fc")
+    seg = np.fromfile(path, dtype=np.float32).view(np.complex64)
+    rng = np.random.default_rng(7)
+    gap = (rng.standard_normal(400_000) + 1j * rng.standard_normal(400_000)
+           ).astype(np.complex64) * np.sqrt(np.mean(np.abs(seg) ** 2))
+    stream = np.concatenate([seg[:len(seg) // 2], gap, seg])
+
+    src = sources.ArraySource(stream, 10_000_000)
+    sink = sinks.BufferTsSink()
+    cfg = stream_mod.StreamConfig(frames_per_batch=1,
+                                  acq_elem_samples=3 * mode.frame_samples,
+                                  use_pallas=False)
+    rx = stream_mod.StreamingReceiver(src, sink, cfg)
+    stats = rx.run(max_frames=5)
+    # at least one relock happened and decoding continued afterwards
+    assert stats.frames >= 3
+    assert sink.packets_sent > 30
