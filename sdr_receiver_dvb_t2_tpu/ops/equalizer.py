@@ -128,7 +128,7 @@ def sro_coefficient(mode: T2Mode) -> float:
 
     A sampling clock offset ``sro`` slips the FFT window by
     ``l * symbol_size * sro`` samples at symbol l, i.e. a per-carrier phase
-    ramp.  This evaluates the discriminator in ``equalize_frame`` on a
+    ramp.  This evaluates the same discriminator as rx_chain.equalize_plane on a
     synthetic ramp so the tracking loop (runtime/stream.py) can normalize
     the estimate without hand-derived sign/scale conventions.
     """
@@ -149,52 +149,3 @@ def sro_coefficient(mode: T2Mode) -> float:
     pwr = np.mean(np.abs(est) ** 2, axis=1)
     d = (d2 - d1) / np.maximum(pwr[1:] * est.shape[1], 1e-12)
     return float(np.mean(d) / sro)
-
-
-def _wrap(x):
-    return jnp.mod(x + jnp.pi, 2 * jnp.pi) - jnp.pi
-
-
-def equalize_frame(carriers: C, plan: EqualizerPlan):
-    """[L, K] carriers (real-pair) -> (payload [total_cells] C, diag dict).
-
-    diag: phase_offset [L], sro [L] per-symbol discriminators, snr-ish pilot
-    error power.
-    """
-    pil = cplx.take_along_axis(carriers, plan.pilot_idx, axis=1)   # [L, P]
-    est = pil * plan.ref_vals                                      # BPSK removed
-    phi = est.angle()
-    amp = pil.abs() / plan.amp_vals
-
-    phi_l = jnp.take_along_axis(phi, plan.left_ord, axis=1)
-    phi_r = jnp.take_along_axis(phi, plan.left_ord + 1, axis=1)
-    amp_l = jnp.take_along_axis(amp, plan.left_ord, axis=1)
-    amp_r = jnp.take_along_axis(amp, plan.left_ord + 1, axis=1)
-    phi_d = phi_l + plan.frac * _wrap(phi_r - phi_l)
-    amp_d = amp_l + plan.frac * (amp_r - amp_l)
-    amp_d = jnp.maximum(amp_d, 1e-9)
-
-    data = cplx.take_along_axis(carriers, plan.data_idx, axis=1)   # [L, D]
-    eq = data * cplx.cexp(-phi_d) * (1.0 / amp_d)
-
-    payload = eq.reshape(-1)[plan.payload_gather]
-
-    # diagnostics
-    vmask = plan.pilot_valid
-    fh = jnp.logical_and(vmask, plan.pilot_first_half)
-    sh = jnp.logical_and(vmask, jnp.logical_not(plan.pilot_first_half))
-    sum1 = cplx.sum(cplx.where(fh, est, 0.0), axis=1)
-    sum2 = cplx.sum(cplx.where(sh, est, 0.0), axis=1)
-    phase_offset = sum1.angle() + sum2.angle()
-
-    sro_pil = carriers[:, plan.sro_idx] * plan.sro_ref             # [L, C]
-    # (a * conj(b)).imag without forming the full product
-    drift = (sro_pil.im[1:] * sro_pil.re[:-1]
-             - sro_pil.re[1:] * sro_pil.im[:-1])
-    d1 = jnp.sum(jnp.where(plan.sro_first_half[None], drift, 0), axis=1)
-    d2 = jnp.sum(jnp.where(plan.sro_first_half[None], 0, drift), axis=1)
-    pwr = jnp.mean(sro_pil.abs2(), axis=1)
-    sro = jnp.concatenate([jnp.zeros((1,)), (d2 - d1)
-                           / jnp.maximum(pwr[1:] * sro_pil.shape[1], 1e-9)])
-    diag = dict(phase_offset=phase_offset, sro=sro)
-    return payload, diag

@@ -102,43 +102,3 @@ def demap_cells_multi(cells: C, n_frames: int, plan: DemapPlan):
         bits.append(jnp.clip(b, -127, 127).astype(jnp.int8))
     stream = jnp.stack(bits, axis=-1).reshape(w, n_cells * plan.eta)
     return stream, snr_db
-
-
-def demap_frame(plp_cells: C, plan: DemapPlan):
-    """PLP cells [n_fec * n_cells] (real-pair) -> (llr [n_fec, N] f32, snr_db)."""
-    cells = plp_cells[plan.ti_gather]                      # [n_fec, n_cells]
-    return demap_cells(cells, plan)
-
-
-def demap_cells(cells: C, plan: DemapPlan):
-    """Time/cell-deinterleaved cells [n_fec, n_cells] -> (llr, snr_db)."""
-    # undo cyclic Q delay
-    cells = C(cells.re, jnp.roll(cells.im, -1, axis=1))
-    cells = cells * C(plan.derot_re, plan.derot_im)
-
-    per_axis = plan.eta // 2
-    # hard decision error power for SNR / precision estimate
-    step = 2 * plan.norm
-    hard_i = jnp.clip(jnp.round((cells.re - plan.norm) / step) * step
-                      + plan.norm, -plan.levels_max * plan.norm,
-                      plan.levels_max * plan.norm)
-    hard_q = jnp.clip(jnp.round((cells.im - plan.norm) / step) * step
-                      + plan.norm, -plan.levels_max * plan.norm,
-                      plan.levels_max * plan.norm)
-    err = (cells.re - hard_i) ** 2 + (cells.im - hard_q) ** 2
-    sig = hard_i ** 2 + hard_q ** 2
-    sum_s = jnp.sum(sig)
-    sum_e = jnp.maximum(jnp.sum(err), 1e-12)
-    snr_db = 10.0 * jnp.log10(sum_s / sum_e)
-    precision = jnp.clip(8.0 * plan.norm * sum_s / sum_e, 0.0, 512.0)
-
-    i_llrs = _axis_llrs(cells.re, per_axis, plan.norm, precision)
-    q_llrs = _axis_llrs(cells.im, per_axis, plan.norm, precision)
-    bits = []
-    for a, b in zip(i_llrs, q_llrs):
-        bits.append(a)
-        bits.append(b)
-    stream = jnp.stack(bits, axis=-1).reshape(cells.shape[0], -1)
-    stream = jnp.clip(stream, -127, 127)
-    llr = stream[:, plan.bit_gather]
-    return llr, snr_db
