@@ -1,37 +1,25 @@
-"""Pilot-referenced channel estimation, equalization and frequency
-deinterleaving as one fused, fully vectorized JAX stage.
+"""Pilot tables for the channel equalizer (host-side plan builder).
 
-The reference walks each symbol's carriers serially, linearly interpolating
-pilot angle/amplitude between consecutive pilots and scattering equalized
-cells through the frequency deinterleaver LUT
-(/root/reference/src/DVB_T2/data_symbol.cpp:98-318, p2_symbol.cpp:76-280).
-Here the same math runs as batched tensor ops over a whole frame:
+EqualizerPlan extracts, per OFDM symbol, the pilot positions / reference
+signs / amplitudes (the reference computes these on the fly while walking
+carriers, /root/reference/src/DVB_T2/data_symbol.cpp:98-318,
+p2_symbol.cpp:76-280) plus the masks behind the per-symbol tracking
+discriminators: common phase offset (sum of pilot phasors per
+half-spectrum, data_symbol.cpp:300-303) and the sampling-rate-offset
+discriminator over always-present pilots (data_symbol.cpp:165,263-265).
 
-* pilot gathers via per-symbol padded index tables,
-* phase interpolation in the angle domain with wrap handling (like the
-  reference), amplitude linear,
-* equalize + frequency-deinterleave + payload assembly as one static gather.
-
-Per-symbol diagnostics mirror the reference's tracking discriminators:
-common phase offset (sum of pilot phasors per half-spectrum,
-data_symbol.cpp:300-303) and a sample-rate-offset discriminator from
-continual-pilot phase drift between consecutive symbols
-(data_symbol.cpp:165,263-265; restricted here to always-present pilots so
-the whole frame vectorizes).
+The device-side equalization itself lives in ops/rx_chain.equalize_plane
+(complex-domain banded-matmul interpolation); sro_coefficient calibrates
+the SRO discriminator's scale for the tracking loop.
 """
 from __future__ import annotations
 
 import functools
 
 import numpy as np
-import jax
-import jax.numpy as jnp
 
-from ..params import freq_interleaver, pilots
+from ..params import pilots
 from ..params.modes import T2Mode
-from ..params import l1 as l1_mod
-from . import cplx
-from .cplx import C
 
 
 class EqualizerPlan:
@@ -41,8 +29,7 @@ class EqualizerPlan:
         self.mode = mode
         L, K = mode.frame_symbols, mode.k_total
         pilot_idx, ref_vals, amp_vals = [], [], []
-        data_idx, left_ord, frac = [], [], []
-        n_pilots, n_data = [], []
+        n_pilots = []
         always_pilot = None
 
         for l in range(L):
@@ -50,27 +37,15 @@ class EqualizerPlan:
             ref = pilots.reference_symbol(mode, l)
             is_pilot = ref != 0
             pidx = np.nonzero(is_pilot)[0]
-            didx = np.nonzero(cmap == pilots.DATA)[0]
             n_pilots.append(len(pidx))
-            n_data.append(len(didx))
             pilot_idx.append(pidx)
             ref_vals.append(np.sign(ref[pidx]).astype(np.float32))
             amp_vals.append(np.abs(ref[pidx]).astype(np.float32))
-            # left pilot ordinal & fraction for each data carrier
-            lo = np.searchsorted(pidx, didx) - 1
-            lo = np.clip(lo, 0, len(pidx) - 2)
-            pl_, pr = pidx[lo], pidx[lo + 1]
-            fr = (didx - pl_) / np.maximum(pr - pl_, 1)
-            data_idx.append(didx)
-            left_ord.append(lo)
-            frac.append(fr.astype(np.float32))
             ap = is_pilot if always_pilot is None else (always_pilot & is_pilot)
             always_pilot = ap
 
         self.p_max = max(n_pilots)
-        self.d_max = max(n_data)
         self.n_pilots = np.array(n_pilots)
-        self.n_data = np.array(n_data)
 
         def pad(rows, width, fill):
             out = np.full((L, width), fill, dtype=rows[0].dtype)
@@ -81,9 +56,6 @@ class EqualizerPlan:
         self.pilot_idx = np.asarray(pad(pilot_idx, self.p_max, 0).astype(np.int32))
         self.ref_vals = np.asarray(pad(ref_vals, self.p_max, np.float32(1)))
         self.amp_vals = np.asarray(pad(amp_vals, self.p_max, np.float32(1)))
-        self.data_idx = np.asarray(pad(data_idx, self.d_max, 0).astype(np.int32))
-        self.left_ord = np.asarray(pad(left_ord, self.d_max, 0).astype(np.int32))
-        self.frac = np.asarray(pad(frac, self.d_max, np.float32(0)))
         # mask of pilots valid per symbol
         self.pilot_valid = np.asarray(
             np.arange(self.p_max)[None, :] < self.n_pilots[:, None])
@@ -101,20 +73,6 @@ class EqualizerPlan:
                             for l in range(L)])
         self.sro_ref = np.asarray(np.sign(sro_ref).astype(np.float32))
 
-        # payload assembly: stream position -> flat (l * d_max + d) index
-        stream = []
-        for l in range(L):
-            n_cells = n_data[l]
-            h = freq_interleaver.tx_permutation(mode, n_cells, l)
-            take = n_cells
-            if mode.has_fc and l == L - 1:
-                take = mode.c_fc
-            stream.append(l * self.d_max + h[:take])
-        self.payload_gather = np.asarray(
-            np.concatenate(stream).astype(np.int32))
-        self.total_cells = int(sum(self.n_data)) - (
-            (mode.n_fc - mode.c_fc) if mode.has_fc else 0)
-        assert len(np.asarray(self.payload_gather)) == self.total_cells
 
 
 @functools.lru_cache(maxsize=None)

@@ -1,17 +1,20 @@
-"""Soft demapper + deinterleaver front-end for the FEC chain (JAX).
+"""Soft demapper for the FEC chain (JAX).
 
-Turns the PLP cell sequence of one or more T2 frames into int8-scaled LLR
-codewords ready for the LDPC decoder:
+demap_cells_multi turns already time/cell-deinterleaved cells (the
+composed gather lives in ops/rx_chain) into int8-scaled LLRs in STREAM
+order — bit deinterleaving into LDPC codeword order happens afterwards in
+rx_chain.demap_planes_t via the precomputed bit_rows map:
 
-1. time + cell deinterleave (one static gather per TI block layout),
-2. cyclic Q-delay removal (roll of the imaginary part within FEC blocks),
-3. constellation derotation,
-4. SNR estimate from hard-decision error power -> adaptive LLR scale
+1. cyclic Q-delay removal (roll of the imaginary part within FEC blocks),
+2. constellation derotation,
+3. SNR estimate from hard-decision error power -> adaptive LLR scale
    ("precision"), exactly like the reference
    (/root/reference/src/DVB_T2/llr_demapper.cpp:178-192,241-281),
-5. per-bit LLRs via the iterated |x|-fold (llr_demapper.cpp:296-352 uses
-   the same geometry in AVX2),
-6. bit deinterleave straight into LDPC codeword order (one gather).
+4. per-bit LLRs via the iterated |x|-fold (llr_demapper.cpp:296-352 uses
+   the same geometry in AVX2).
+
+DemapPlan also builds the TI/cell-deinterleave and bit-deinterleave index
+tables that rx_chain composes into its gathers.
 """
 from __future__ import annotations
 

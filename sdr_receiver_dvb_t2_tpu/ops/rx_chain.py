@@ -187,7 +187,8 @@ def equalize_plane(carriers: C, plan: ChainPlan, w_consts):
     denom = jnp.maximum(h_d.abs2(), 1e-9)
     eq = carriers * h_d.conj() * (1.0 / denom)
 
-    # ---- diagnostics (same discriminators as equalizer.equalize_frame) ----
+    # ---- diagnostics (the reference's tracking discriminators; masks
+    # precomputed in equalizer.EqualizerPlan) ----
     est = pil * ep.ref_vals
     vmask = ep.pilot_valid
     fh = jnp.logical_and(vmask, ep.pilot_first_half)
