@@ -1,0 +1,69 @@
+"""Pod-scale deployment configuration: many RF channels across hosts.
+
+The BASELINE north star is 64 concurrent 8 MHz channels sharded over a
+multi-host TPU pod.  RF channels are embarrassingly parallel, so the
+recipe is: mesh axis "ch" across all chips (channel-per-chip or
+channels-per-chip), optional "time" axis within a channel when one chip
+cannot hold a whole channel's frame batch.
+
+On a pod, initialize with jax.distributed.initialize() per host; the same
+ShardedReceiver code runs unchanged — jax.make_mesh lays devices out so
+the "time" axis (which carries the ppermute halo exchange) stays on
+ICI-adjacent chips, while "ch" may span hosts (no cross-channel
+communication exists, so DCN hops are free).
+
+This module only arranges meshes and fans per-channel IQ/TS at the edges;
+the compute path is parallel/sharding.ShardedReceiver.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+
+from . import sharding
+
+
+def pod_mesh(n_channels: int, time_per_channel: int = 1, devices=None):
+    """Mesh for n_channels concurrent receivers.
+
+    time_per_channel > 1 splits each channel's stream over that many chips
+    with halo exchange (use when a channel's real-time budget exceeds one
+    chip); total devices needed = n_channels * time_per_channel.
+    """
+    if devices is None:
+        devices = jax.devices()
+    need = n_channels * time_per_channel
+    if len(devices) < need:
+        raise ValueError(f"{need} devices needed, {len(devices)} available")
+    return sharding.make_mesh(n_channels, time_per_channel,
+                              devices=devices[:need])
+
+
+def pod_64ch_mesh(devices=None):
+    """The BASELINE 64-channel configuration (64 chips, one per channel;
+    e.g. a v5e-64 slice or 8 hosts x 8 chips)."""
+    return pod_mesh(64, 1, devices=devices)
+
+
+class MultiChannelReceiver:
+    """One ShardedReceiver instance serving C channels in lockstep.
+
+    All channels share a T2 configuration (the broadcast-network case:
+    one mux transmitted from many sites / received on many antennas);
+    heterogeneous configs would use one ShardedReceiver per group.
+    """
+
+    def __init__(self, cfg: sharding.ShardedConfig, mesh):
+        self.rx = sharding.ShardedReceiver(cfg, mesh)
+        self.n_ch = mesh.shape["ch"]
+        self.n_time = mesh.shape["time"]
+
+    def raw_block_for(self, step: float) -> int:
+        return self.rx.raw_block_for(step)
+
+    def step(self, raw_per_channel: np.ndarray, mu: float, step: float,
+             phase: float = 0.0, freq: float = 0.0):
+        """raw_per_channel: [C, n_time * raw_block] complex64."""
+        rb = self.rx.raw_block_for(step)
+        idx0, frac0, phase0 = self.rx.host_bases(mu, step, phase, freq, rb)
+        return self.rx.step(raw_per_channel, idx0, frac0, phase0, freq, step)

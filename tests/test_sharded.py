@@ -107,3 +107,46 @@ def test_host_bases_consistency():
         n_need = 2 * rx.k_loc + rx.n_taps - 1
         assert g_local - 1 >= 0
         assert g_local + 4 * step * n_need + 2 < 4 * (cfg.halo + rb)
+
+
+@pytest.mark.slow
+def test_pod_multichannel_8ch():
+    """8 channels, one per (virtual) chip — the pod recipe at test scale."""
+    from sdr_receiver_dvb_t2_tpu.parallel import pod
+    mode, plp, tx = _tiny_setup(1)
+    mesh = pod.pod_mesh(8, 1)
+    cfg = sharding.ShardedConfig(
+        mode=mode, plp=plp, n_fec_per_frame=4, n_ti=1,
+        l1_post_cells=tx.l1_pre.l1_post_size, frames_per_shard=1)
+    rx = pod.MultiChannelReceiver(cfg, mesh)
+
+    device_rate = 10e6
+    step = device_rate / (2 * SAMPLE_RATE)
+    rb = rx.raw_block_for(step)
+    bytes_per_frame = 4 * (plp.k_bch // 8 - 10)
+    n_pkts = 3 * bytes_per_frame // 188
+    raw = np.zeros((8, rb), dtype=np.complex64)
+    ts_in = []
+    for c in range(8):
+        ts = random_ts_stream(n_pkts, seed=500 + c)
+        tx_c = Transmitter(TxConfig(mode=mode, plp=plp,
+                                    fec_blocks_per_frame=4, num_t2_frames=1))
+        dev = impair(tx_c.modulate(ts),
+                     ChannelConfig(device_rate=device_rate, snr_db=30.0,
+                                   seed=c))
+        n = min(len(dev), rb)
+        raw[c, :n] = dev[:n]
+        ts_in.append(ts)
+
+    ratio = SAMPLE_RATE / device_rate
+    mu = ((rx.rx.n_taps - 1) / 4.0 - 1.0) / ratio
+    hard, stats = rx.step(raw, mu, step)
+    hard = np.asarray(hard)
+    assert hard.shape == (8, 1, 4, plp.n_bch)
+    assert int(stats["ldpc_failures"]) == 0
+    for c in range(8):
+        bb = BBFrameParser()
+        out = np.concatenate([bb.parse(hard[c, 0, i, :plp.k_bch].astype(np.uint8))
+                              for i in range(4)])
+        n = min(len(out), len(ts_in[c]))
+        np.testing.assert_array_equal(out[:n], ts_in[c][:n])
