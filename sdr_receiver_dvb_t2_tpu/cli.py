@@ -38,8 +38,10 @@ def build_parser() -> argparse.ArgumentParser:
     out.add_argument("--out", default="udp://127.0.0.1:7654",
                      help="TS sink: udp://host:port or a file path")
     rxg = p.add_argument_group("receiver")
-    rxg.add_argument("--plp", type=int, default=0,
-                     help="PLP index to decode (multi-PLP streams)")
+    rxg.add_argument("--plp", default="0",
+                     help="PLP index to decode, or 'all' to decode every "
+                          "PLP (UDP sinks use port+i per PLP, like the "
+                          "reference's per-PLP output table)")
     rxg.add_argument("--fir", choices=["soft", "medium", "sharp"],
                      default="medium", help="channel filter preset")
     rxg.add_argument("--frames-per-batch", type=int, default=2)
@@ -79,10 +81,16 @@ def main(argv=None) -> int:
                                     fmt=args.format, loop=args.loop)
     sink = sinks.make_sink(args.out)
 
+    plp_index = None if args.plp == "all" else int(args.plp)
     cfg = stream_mod.StreamConfig(
         fir_preset=args.fir, frames_per_batch=args.frames_per_batch,
-        ldpc_max_iters=args.ldpc_iters, plp_index=args.plp)
+        ldpc_max_iters=args.ldpc_iters, plp_index=plp_index)
     rx = stream_mod.StreamingReceiver(src, sink, cfg)
+    if plp_index is None and args.out.startswith("udp://"):
+        host, _, port = args.out[6:].rpartition(":")
+        for i in range(1, 8):                 # sinks for PLPs 1..7 (lazy)
+            rx.plp_sinks[i] = sinks.UdpTsSink(host or "127.0.0.1",
+                                              int(port) + i)
 
     print(f"input: {args.input} @ {src.info.sample_rate/1e6:.3f} Msps "
           f"({src.info.fmt}); output: {args.out}", file=sys.stderr)

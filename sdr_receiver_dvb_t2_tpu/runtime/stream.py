@@ -45,7 +45,7 @@ class StreamConfig:
     fir_preset: str = "medium"
     frames_per_batch: int = 2
     ldpc_max_iters: int = 15
-    plp_index: int = 0
+    plp_index: int | None = 0       # None = decode ALL PLPs
     cfo_gain: float = 0.3           # residual-CFO loop gain per batch
     sro_gain: float = 0.5           # sampling-rate trim gain per batch
     cond_alpha: float = 0.1         # DC / IQ-imbalance smoothing
@@ -102,6 +102,9 @@ class StreamingReceiver:
         self.agc = Agc(source)                  # active only for live SDRs
         self.ldpc_stats = LdpcStats(max_iters=self.cfg.ldpc_max_iters)
 
+        # per-PLP sinks for plp_index=None (PLP i -> plp_sinks[i]);
+        # mirrors the reference's per-PLP output table (port 7654+i)
+        self.plp_sinks: dict = {}
         # set after acquisition
         self.rx = None
         self.mode = None
@@ -210,12 +213,19 @@ class StreamingReceiver:
             self.stats.state = "l1_failed"
             return False
         self.mode = acq.mode
-        rx_cfg = receiver_mod.config_from_l1(acq.mode, acq.l1_pre,
-                                             acq.l1_post, self.cfg.plp_index)
-        rx_cfg.ldpc_max_iters = self.cfg.ldpc_max_iters
-        rx_cfg.use_pallas = self.cfg.use_pallas
-        self.rx = receiver_mod.TpuReceiver(rx_cfg)
-        self.rx._l1_post_cells = acq.l1_pre.l1_post_size
+        plp_indices = (range(acq.l1_post.num_plp)
+                       if self.cfg.plp_index is None
+                       else [self.cfg.plp_index])
+        self.rxs = []
+        for i in plp_indices:
+            rx_cfg = receiver_mod.config_from_l1(acq.mode, acq.l1_pre,
+                                                 acq.l1_post, i)
+            rx_cfg.ldpc_max_iters = self.cfg.ldpc_max_iters
+            rx_cfg.use_pallas = self.cfg.use_pallas
+            rx = receiver_mod.TpuReceiver(rx_cfg)
+            rx._l1_post_cells = acq.l1_pre.l1_post_size
+            self.rxs.append(rx)
+        self.rx = self.rxs[0]
         from ..ops import equalizer as eq_mod
         self._sro_coeff = eq_mod.sro_coefficient(self.mode)
         self.frame_pos = t0
@@ -256,6 +266,15 @@ class StreamingReceiver:
         frames = frames.reshape(f, fs)
         result = self.rx.receive(frames)
         self.sink.write(result.ts_bytes)
+        # additional PLPs (plp_index=None): route to per-PLP sinks
+        for extra_i, rx in enumerate(self.rxs[1:], start=1):
+            res_i = rx.receive(frames)
+            sink_i = self.plp_sinks.get(extra_i)
+            if sink_i is not None:
+                sink_i.write(res_i.ts_bytes)
+            self.stats.ldpc_failures += int(np.sum(~res_i.ldpc_ok))
+            self.stats.bch_dirty += int(np.sum(~res_i.bch_clean))
+            self.stats.ts_packets += len(res_i.ts_bytes) // 188
 
         # ---- tracking: apply batch-N estimates to batch N+1 ----------
         cfo_res = float(np.mean(result.diag["gi_cfo"]))   # rad/elem sample

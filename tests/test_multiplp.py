@@ -54,3 +54,48 @@ def test_two_plps_round_trip():
         got, sync = res.ts_bytes.tobytes(), ts_in.tobytes()
         at = sync.find(got[:376])
         assert at >= 0 and got == sync[at:at + len(got)], idx
+
+
+@pytest.mark.slow
+def test_stream_all_plps(tmp_path):
+    """plp_index=None decodes every PLP; each routes to its own sink."""
+    from sdr_receiver_dvb_t2_tpu.models.channel import ChannelConfig, impair, quantize
+    from sdr_receiver_dvb_t2_tpu.io import sources, sinks
+    from sdr_receiver_dvb_t2_tpu.runtime import stream as stream_mod
+
+    mode = T2Mode(fft_mode=FftMode.FFT_2K, guard=GuardInterval.G1_8,
+                  pilot_pattern=PilotPattern.PP7, extended_carriers=False,
+                  n_data_symbols=30)
+    plp_a = PlpConfig(plp_id=0, constellation=Constellation.QAM16,
+                      code_rate=CodeRate.C1_2, fec_frame=FecFrame.SHORT,
+                      time_il_length=1)
+    plp_b = PlpConfig(plp_id=1, constellation=Constellation.QAM64,
+                      code_rate=CodeRate.C2_3, fec_frame=FecFrame.SHORT,
+                      rotation=False, time_il_length=1)
+    tx = Transmitter(TxConfig(mode=mode, plps=[plp_a, plp_b],
+                              fec_blocks=[2, 3], num_t2_frames=8))
+    ts_a = random_ts_stream(200, seed=11)
+    ts_b = random_ts_stream(400, seed=12)
+    iq = tx.modulate_multi([ts_a, ts_b])
+    dev = impair(iq, ChannelConfig(device_rate=10e6, cfo_hz=8e3,
+                                   snr_db=28.0, seed=5))
+    raw = quantize(dev, "s16", scale=0.4)
+    path = tmp_path / "multi_0_10000000_16.raw"
+    raw.tofile(path)
+
+    src = sources.RawFileSource(str(path))
+    sink0, sink1 = sinks.BufferTsSink(), sinks.BufferTsSink()
+    cfg = stream_mod.StreamConfig(frames_per_batch=1, plp_index=None,
+                                  acq_elem_samples=3 * mode.frame_samples,
+                                  use_pallas=False)
+    rx = stream_mod.StreamingReceiver(src, sink0, cfg)
+    rx.plp_sinks[1] = sink1
+    stats = rx.run(max_frames=3)
+    assert stats.state == "locked"
+    assert stats.ldpc_failures == 0
+
+    for sink, ts_in in ((sink0, ts_a), (sink1, ts_b)):
+        got, sync = sink.data.tobytes(), ts_in.tobytes()
+        assert len(got) > 188 * 10
+        at = sync.find(got[:376])
+        assert at >= 0 and got == sync[at:at + len(got)]
