@@ -109,3 +109,41 @@ def test_stream_relock_after_dropout(tmp_path):
     # at least one relock happened and decoding continued afterwards
     assert stats.frames >= 3
     assert sink.packets_sent > 30
+
+
+@pytest.mark.slow
+def test_stream_8k_mode(tmp_path):
+    """Blind acquisition on a different FFT size / GI / pilot pattern
+    (exercises the S2 decode and GI-hypothesis scan paths)."""
+    mode = T2Mode(fft_mode=FftMode.FFT_8K, guard=GuardInterval.G1_32,
+                  pilot_pattern=PilotPattern.PP3, extended_carriers=True,
+                  n_data_symbols=12)
+    plp = PlpConfig(constellation=Constellation.QAM64,
+                    code_rate=CodeRate.C2_3, fec_frame=FecFrame.SHORT,
+                    time_il_length=1, num_blocks_max=10)
+    tx = Transmitter(TxConfig(mode=mode, plp=plp, fec_blocks_per_frame=6,
+                              num_t2_frames=8))
+    bytes_per_frame = 6 * (plp.k_bch // 8 - 10)
+    ts = random_ts_stream(10 * bytes_per_frame // 188, seed=21)
+    iq = tx.modulate(ts)
+    dev = impair(iq, ChannelConfig(device_rate=10e6, cfo_hz=-22e3,
+                                   sro_ppm=11.0, snr_db=27.0, seed=9))
+    path = tmp_path / "cap8k_0_10000000_16.raw"
+    quantize(dev, "s16", scale=0.4).tofile(path)
+
+    src = sources.RawFileSource(str(path))
+    sink = sinks.BufferTsSink()
+    cfg = stream_mod.StreamConfig(frames_per_batch=1,
+                                  acq_elem_samples=3 * mode.frame_samples,
+                                  use_pallas=False)
+    rx = stream_mod.StreamingReceiver(src, sink, cfg)
+    stats = rx.run(max_frames=3)
+    assert stats.state == "locked"
+    assert rx.mode.fft_size == 8192
+    assert rx.mode.guard == GuardInterval.G1_32
+    assert rx.mode.pilot_pattern == PilotPattern.PP3
+    assert stats.ldpc_failures == 0 and stats.bch_dirty == 0
+    assert abs(stats.cfo_hz + 22e3) < 500
+    got, sync = sink.data.tobytes(), ts.tobytes()
+    at = sync.find(got[:376])
+    assert at >= 0 and got == sync[at:at + len(got)]
