@@ -124,6 +124,7 @@ def main():
         return ok, clean, iters, snr
 
     dev_frames = jax.device_put(cplx.from_np(frames))
+    llr_probe, _snr0 = to_llr(dev_frames, consts)
     ok, clean, iters, snr = jax.block_until_ready(pipeline(dev_frames))
     n_ok = int(np.sum(np.asarray(ok)))
     sys.stderr.write(
@@ -131,16 +132,28 @@ def main():
         f"ldpc_ok={n_ok}/{n_cw} bch_clean={int(np.sum(np.asarray(clean)))} "
         f"iters={int(iters)} snr={float(snr):.1f} dB\n")
 
-    # timed steady-state loop
+    # timed steady-state loop (value read forces completion; the tunnel's
+    # block_until_ready does not reliably sync)
     reps = 10 if on_tpu else 1
     t0 = time.perf_counter()
     for _ in range(reps):
         out = pipeline(dev_frames)
-    jax.block_until_ready(out)
+    _ = int(np.asarray(out[2]))
     dt = time.perf_counter() - t0
     samples = n_frames * mode.frame_samples * reps
     msps = samples / dt / 1e6
     rtf = msps * 1e6 / ELEM_RATE
+
+    # secondary metrics (BASELINE.md headline set), stderr only
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        f_out = fec(llr_probe)
+    _ = int(np.asarray(f_out[2]))
+    ldpc_dt = time.perf_counter() - t0
+    ldpc_mbps = n_pad * 64800 * reps / ldpc_dt / 1e6
+    sys.stderr.write(
+        f"secondary: ldpc {ldpc_mbps:.0f} Mbit/s coded "
+        f"({n_pad} codewords/batch); pipeline {rtf:.1f}x real time\n")
     print(json.dumps({"metric": "iq_msps_per_chip_32k",
                       "value": round(msps, 3), "unit": "Msps",
                       "vs_baseline": round(rtf, 3)}))
