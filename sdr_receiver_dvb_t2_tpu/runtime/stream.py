@@ -330,3 +330,88 @@ class StreamingReceiver:
                 break
         self.sink.close()
         return self.stats
+
+
+# ---------------------------------------------------------------------------
+# checkpoint / resume
+# ---------------------------------------------------------------------------
+
+def save_state(rx: StreamingReceiver) -> dict:
+    """Serializable warm-start state: tuning loops + decoded configuration.
+
+    The reference has no resume story (SURVEY.md section 5); here a
+    restarted receiver skips the blind GI/L1 scan and re-locks from a P1
+    search alone, keeping its calibrated CFO/SRO/conditioner state.
+    """
+    assert rx.rx is not None, "nothing to save before lock"
+    m = rx.mode
+    plps = []
+    for r in rx.rxs:
+        c = r.cfg
+        plps.append(dict(
+            constellation=int(c.plp.constellation), rotation=c.plp.rotation,
+            code_rate=int(c.plp.code_rate), fec_frame=int(c.plp.fec_frame),
+            num_blocks_max=c.plp.num_blocks_max,
+            time_il_length=c.plp.time_il_length,
+            time_il_type=c.plp.time_il_type, plp_id=c.plp.plp_id,
+            n_fec=c.n_fec_per_frame, n_ti=c.n_ti, plp_start=c.plp_start))
+    return dict(
+        mode=dict(fft_mode=int(m.fft_mode), guard=int(m.guard),
+                  pilot_pattern=int(m.pilot_pattern),
+                  extended=m.extended_carriers, papr=int(m.papr),
+                  n_data_symbols=m.n_data_symbols),
+        plps=plps,
+        l1_post_cells=rx.rxs[0]._l1_post_cells,
+        freq=rx.freq, step=rx.step,
+        cond=dataclasses.asdict(rx.cond),
+    )
+
+
+def load_state(rx: StreamingReceiver, state: dict) -> bool:
+    """Warm start from :func:`save_state`; returns True once re-locked."""
+    from ..params.modes import (T2Mode, PlpConfig, FftMode, GuardInterval,
+                                PilotPattern, Papr, Constellation, CodeRate,
+                                FecFrame)
+    md = state["mode"]
+    rx.mode = T2Mode(fft_mode=FftMode(md["fft_mode"]),
+                     guard=GuardInterval(md["guard"]),
+                     pilot_pattern=PilotPattern(md["pilot_pattern"]),
+                     extended_carriers=md["extended"], papr=Papr(md["papr"]),
+                     n_data_symbols=md["n_data_symbols"])
+    rx.freq = state["freq"]
+    rx.step = state["step"]
+    rx.cond = fe.IqCondState(**state["cond"])
+    rx.rxs = []
+    for p in state["plps"]:
+        plp = PlpConfig(plp_id=p["plp_id"],
+                        constellation=Constellation(p["constellation"]),
+                        rotation=p["rotation"],
+                        code_rate=CodeRate(p["code_rate"]),
+                        fec_frame=FecFrame(p["fec_frame"]),
+                        num_blocks_max=p["num_blocks_max"],
+                        time_il_length=p["time_il_length"],
+                        time_il_type=p["time_il_type"])
+        cfg = receiver_mod.RxConfig(
+            mode=rx.mode, plp=plp, n_fec_per_frame=p["n_fec"],
+            n_ti=p["n_ti"], plp_start=p["plp_start"],
+            ldpc_max_iters=rx.cfg.ldpc_max_iters,
+            use_pallas=rx.cfg.use_pallas)
+        r = receiver_mod.TpuReceiver(cfg)
+        r._l1_post_cells = state["l1_post_cells"]
+        rx.rxs.append(r)
+    rx.rx = rx.rxs[0]
+    rx._sro_coeff = __import__(
+        "sdr_receiver_dvb_t2_tpu.ops.equalizer", fromlist=["sro_coefficient"]
+    ).sro_coefficient(rx.mode)
+
+    # re-anchor frame timing with a P1 search (fast; no GI/L1 scan)
+    need = rx.mode.frame_samples + 3 * p1_mod.P1_LEN
+    if not rx._need_elem(need):
+        return False
+    t0, peak, _ = p1_detect.detect(cplx.from_np(rx._elem[:need]))
+    if float(peak) < 0.3:
+        rx.stats.state = "no_signal"
+        return False
+    rx.frame_pos = int(t0)
+    rx.stats.state = "locked"
+    return True

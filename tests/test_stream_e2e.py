@@ -147,3 +147,31 @@ def test_stream_8k_mode(tmp_path):
     got, sync = sink.data.tobytes(), ts.tobytes()
     at = sync.find(got[:376])
     assert at >= 0 and got == sync[at:at + len(got)]
+
+
+@pytest.mark.slow
+def test_checkpoint_resume(tmp_path):
+    """save_state/load_state: a fresh receiver warm-starts on the rest of
+    the stream without re-running the blind GI/L1 acquisition."""
+    path, ts_in, mode = _make_capture(tmp_path, n_frames=9)
+    src = sources.RawFileSource(path)
+    cfg = stream_mod.StreamConfig(frames_per_batch=1,
+                                  acq_elem_samples=3 * mode.frame_samples,
+                                  use_pallas=False)
+    rx1 = stream_mod.StreamingReceiver(src, sinks.BufferTsSink(), cfg)
+    assert rx1.acquire()
+    rx1.step_batch()
+    state = stream_mod.save_state(rx1)
+    src.close()
+
+    # resume on the same capture in a new receiver (simulates a restart)
+    src2 = sources.RawFileSource(path)
+    sink2 = sinks.BufferTsSink()
+    rx2 = stream_mod.StreamingReceiver(src2, sink2, cfg)
+    assert stream_mod.load_state(rx2, state)
+    assert rx2.mode.fft_size == mode.fft_size
+    stats = rx2.run(max_frames=3)
+    assert stats.ldpc_failures == 0 and stats.bch_dirty == 0
+    got, sync = sink2.data.tobytes(), ts_in.tobytes()
+    at = sync.find(got[:376])
+    assert at >= 0 and got == sync[at:at + len(got)]
