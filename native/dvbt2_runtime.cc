@@ -70,7 +70,7 @@ uint8_t crc8_bits(const uint8_t* bits, int n) {
 struct BbParser {
   std::vector<uint8_t> partial;
   std::vector<uint8_t> scrambler;   // cached PRBS bits
-  uint8_t crc = 0;
+  int crc = -1;                     // -1 = NM CRC chain not established
   bool synced = false;
   int64_t header_errors = 0;
   int64_t crc_errors = 0;
@@ -129,7 +129,7 @@ int bb_parser_parse(BbParser* p, const uint8_t* frame_bits, int k_bch,
   };
   int dfl = get16(32);
   int syncd = get16(56);
-  if (syncd == 0xFFFF || dfl <= 0 || kHeaderBits + dfl > k_bch) return 0;
+  if (dfl <= 0 || kHeaderBits + dfl > k_bch) return 0;
 
   // pack the data field into bytes
   int dfl_bytes = dfl / 8;
@@ -144,13 +144,17 @@ int bb_parser_parse(BbParser* p, const uint8_t* frame_bits, int k_bch,
   int unit = hem ? kTsLen - 1 : kTsLen;
   const uint8_t* d = data.data();
   int n = dfl_bytes;
-  if (!p->synced) {
+  if (syncd == 0xFFFF) {
+    // continuation-only frame: everything extends the in-flight packet
+    if (!p->synced) return 0;
+  } else if (!p->synced) {
     int skip = syncd / 8;
     if (skip > n) return 0;
     d += skip;
     n -= skip;
     p->partial.clear();
     p->synced = true;
+    p->crc = -1;                   // fresh sync: no CRC chain yet
   } else {
     int need = (unit - static_cast<int>(p->partial.size())) % unit;
     int skip = syncd / 8;
@@ -162,6 +166,7 @@ int bb_parser_parse(BbParser* p, const uint8_t* frame_bits, int k_bch,
       d += skip;
       n -= skip;
       p->partial.clear();
+      p->crc = -1;                 // CRC chain broken: re-arm
     }
   }
 
@@ -180,7 +185,7 @@ int bb_parser_parse(BbParser* p, const uint8_t* frame_bits, int k_bch,
       std::memcpy(out + written + 1, up, unit);
     } else {
       std::memcpy(out + written + 1, up + 1, unit - 1);
-      if (p->crc != up[0] && p->crc != 0) {
+      if (p->crc >= 0 && p->crc != up[0]) {
         p->crc_errors++;
         out[written + 1] |= kTeiFlag;
       }

@@ -155,7 +155,7 @@ TEI_FLAG = 0x80
 class _PlpState:
     partial: np.ndarray = dataclasses.field(
         default_factory=lambda: np.empty(0, dtype=np.uint8))
-    crc: int = 0
+    crc: int = -1                 # -1 = chain not established (NM mode)
     synced: bool = False
 
 
@@ -185,16 +185,21 @@ class BBFrameParser:
         self.mode_hem = hem
         dfl = int(_bytes_of_bits(bits[32:48])[0]) << 8 | int(_bytes_of_bits(bits[32:48])[1])
         syncd = int(_bytes_of_bits(bits[56:72])[0]) << 8 | int(_bytes_of_bits(bits[56:72])[1])
-        if syncd == 65535:
-            return np.empty(0, dtype=np.uint8)
         data = _bytes_of_bits(bits[HEADER_BITS:HEADER_BITS + dfl])
         unit = TS_LEN - 1 if hem else TS_LEN
         st = self.state
         out = []
-        if not st.synced:
+        if syncd == 65535:
+            # continuation-only frame: no UP starts here; the whole data
+            # field extends the in-flight packet (bb_de_header.cpp handles
+            # this via SYNCD-less accumulation)
+            if not st.synced:
+                return np.empty(0, dtype=np.uint8)
+        elif not st.synced:
             data = data[syncd // 8:]
             st.partial = np.empty(0, dtype=np.uint8)
             st.synced = True
+            st.crc = -1                      # fresh sync: no CRC chain yet
         else:
             need = unit - len(st.partial)
             if syncd // 8 != need % unit and not (len(st.partial) == 0 and syncd // 8 == 0):
@@ -202,6 +207,7 @@ class BBFrameParser:
                 self.crc_errors += 1
                 data = data[syncd // 8:]
                 st.partial = np.empty(0, dtype=np.uint8)
+                st.crc = -1                  # CRC chain broken: re-arm
         stream = np.concatenate([st.partial, data])
         n_units = len(stream) // unit
         st.partial = stream[n_units * unit:]
@@ -211,16 +217,14 @@ class BBFrameParser:
                 pkt = np.concatenate([[0x47], u]).astype(np.uint8)
             else:
                 payload = u[1:]
-                pkt = u.copy()
-                pkt[0] = 0x47
+                pkt = np.concatenate([[0x47], payload]).astype(np.uint8)
                 # CRC of this packet's payload arrives as next packet's first
                 # byte; full inter-packet checking requires lookahead, so we
                 # validate against the embedded previous-CRC chain instead.
-                if st.crc != int(u[0]) and st.crc != 0:
+                if st.crc >= 0 and st.crc != int(u[0]):
                     self.crc_errors += 1
                     pkt[1] |= TEI_FLAG
                 st.crc = crc8_bytes(payload)
-                pkt = np.concatenate([[0x47], payload]).astype(np.uint8)
             out.append(pkt)
         if out:
             return np.concatenate(out)

@@ -80,6 +80,6 @@ def make_sink(spec: str):
         hostport = spec[6:]
         host, _, port = hostport.rpartition(":")
         return UdpTsSink(host or "127.0.0.1", int(port))
-    if spec.startswith("file:"):
-        spec = spec[5:]
+    if spec.startswith(("file:", "ts:")):
+        spec = spec.split(":", 1)[1]
     return FileTsSink(spec)

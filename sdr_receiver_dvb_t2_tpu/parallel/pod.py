@@ -67,3 +67,43 @@ class MultiChannelReceiver:
         rb = self.rx.raw_block_for(step)
         idx0, frac0, phase0 = self.rx.host_bases(mu, step, phase, freq, rb)
         return self.rx.step(raw_per_channel, idx0, frac0, phase0, freq, step)
+
+    # The per-shard halo exchange covers shards 1..n-1 within a step;
+    # shard 0's left context comes from OVERLAPPING the feed windows
+    # (consume slightly less than a window per step and keep the warm-up
+    # position mu inside [32, 33) raw samples, past the zero-padded halo
+    # edge and the half-band transient), so a continuous stream decodes
+    # continuously across steps.
+    _MU_LO = 32.0
+
+    def stream(self, raw: np.ndarray, mu0: float, step: float,
+               freq: float = 0.0, max_steps: int | None = None):
+        """Generator over consecutive steps of a continuous capture.
+
+        raw: [C, N] complex64 (one continuous stream per channel);
+        mu0: raw-domain position of elementary sample 0 relative to raw[0]
+        (the caller's frame alignment; see tests for the derivation).
+        Yields (hard, stats) per step until the capture is exhausted.
+        """
+        rb = self.rx.raw_block_for(step)
+        window = self.n_time * rb
+        # elementary samples consumed per step (exact, by construction)
+        elem_per_step = self.n_time * self.rx.k_loc
+        pos = 0
+        mu = float(mu0)
+        assert self._MU_LO <= mu < self._MU_LO + 2, (
+            "mu0 must land in the warm-up band; fold whole raw samples "
+            "into the window start instead (see test_pod_stream_continuity)")
+        n = 0
+        phase = 0.0
+        while pos + window <= raw.shape[1]:
+            yield self.step(raw[:, pos:pos + window], mu, step,
+                            phase=phase, freq=freq)
+            n += 1
+            if max_steps is not None and n >= max_steps:
+                return
+            advance_exact = mu + elem_per_step * (2.0 * step) - self._MU_LO
+            adv = int(np.floor(advance_exact))
+            mu = mu + elem_per_step * (2.0 * step) - adv
+            phase = (phase + freq * adv) % (2 * np.pi)
+            pos += adv

@@ -69,6 +69,7 @@ class ShardedConfig:
     n_fec_per_frame: int
     n_ti: int = 1
     l1_post_cells: int = 0           # from decoded L1-pre (pre.l1_post_size)
+    plp_start: int = 0               # L1-dynamic start cell of the PLP
     frames_per_shard: int = 1
     fir_preset: str = "medium"
     halo: int = 1024                 # raw-sample left halo per time shard
@@ -102,7 +103,7 @@ class ShardedReceiver:
         self.n_ch = mesh.shape["ch"]
         self.chain_plan = rx_chain.get_plan(
             self.mode, cfg.plp, cfg.n_fec_per_frame, cfg.n_ti,
-            l1_mod.L1_PRE_CELLS + cfg.l1_post_cells)
+            l1_mod.L1_PRE_CELLS + cfg.l1_post_cells + cfg.plp_start)
         self.taps = fe.fir_taps(cfg.fir_preset)
         self.n_taps = len(self.taps)
         self.hb_taps = np.asarray(fe.halfband_taps(), np.float32)

@@ -50,6 +50,7 @@ class LdpcStats:
     hist: np.ndarray = None
     failures: int = 0
     total: int = 0
+    _last_report: int = 0
 
     def __post_init__(self):
         if self.hist is None:
@@ -67,6 +68,9 @@ class LdpcStats:
         return f"ldpc: {self.total} frames, {pct:.2f}% failed, trials {bars}"
 
     def maybe_report(self) -> str | None:
-        if self.total and self.total % self.period == 0:
+        """Report each time another ``period`` frames have accumulated
+        (boundary-crossing, so any batch size triggers it)."""
+        if self.total // self.period > self._last_report // self.period:
+            self._last_report = self.total
             return self.summary()
         return None

@@ -40,6 +40,22 @@ from .diagnostics import LdpcStats
 UPSAMPLE = 2.0                      # Farrow output rate / elementary rate
 
 
+def raw_to_complex_np(block: np.ndarray, fmt: str) -> np.ndarray:
+    """Host-side twin of ops/frontend.raw_to_iq (same scaling)."""
+    if fmt == "u8":
+        x = block.astype(np.float32) - np.float32(127.5)
+        x *= np.float32(1.0 / 128.0)
+    elif fmt == "s8":
+        x = block.astype(np.float32) * np.float32(1.0 / 128.0)
+    elif fmt == "s16":
+        x = block.astype(np.float32) * np.float32(1.0 / 32768.0)
+    elif fmt == "f32":
+        x = block.astype(np.float32)
+    else:
+        raise ValueError(f"unknown IQ format {fmt!r}")
+    return (x[0::2] + 1j * x[1::2]).astype(np.complex64)
+
+
 @dataclasses.dataclass
 class StreamConfig:
     fir_preset: str = "medium"
@@ -137,12 +153,13 @@ class StreamingReceiver:
             blk = self.src.read(self.n_in)
             if blk is None:
                 return False
+            # raw int -> complex on HOST: a device round trip per block
+            # would throttle on d2h bandwidth (CLAUDE.md)
             if blk.dtype == np.complex64:
-                iq = cplx.from_np(blk)
+                iq = blk
             else:
-                iq = fe.raw_to_iq(jnp.asarray(blk), self.src.info.fmt)
-            self._raw = np.concatenate(
-                [self._raw, cplx.to_np(iq).astype(np.complex64)])
+                iq = raw_to_complex_np(blk, self.src.info.fmt)
+            self._raw = np.concatenate([self._raw, iq])
 
         window = cplx.from_np(self._raw[:self.n_in])
         s_hi, s_lo = fe.split_step(self.step)
@@ -204,8 +221,16 @@ class StreamingReceiver:
                       ).astype(np.complex64)
         # rad/elem-sample -> rad/raw-sample (grid step is x4 the raw step)
         self.freq += cfo_total * 4.0 / (self.step * UPSAMPLE)
-        self.phase = 0.0
-        self.stats.cfo_hz = cfo_total * SAMPLE_RATE / (2 * np.pi)
+        # start the NCO where the elementary-domain rotation left off (plus
+        # the front-end group delay) so the symbol straddling the buffer
+        # boundary sees a continuous phase ramp; any residual constant
+        # offset is absorbed by the pilot equalizer
+        delay_elem = (3 * (len(self.hb_taps) - 1) / 2 / (2 * self.step)
+                      + (len(self.taps) - 1) / 4)
+        self.phase = float((self.phase
+                            + cfo_total * (len(self._elem) + delay_elem))
+                           % (2 * np.pi))
+        self.stats.cfo_hz += cfo_total * SAMPLE_RATE / (2 * np.pi)
 
         acq = acquisition.acquire_mode(
             self._elem[t0 + p1_mod.P1_LEN:], s1, s2 // 2)
@@ -299,6 +324,14 @@ class StreamingReceiver:
             self.frame_pos -= drop
         st = self.stats
         self.ldpc_stats.update(result.ldpc_iters, result.ldpc_ok)
+        report = self.ldpc_stats.maybe_report()
+        if report:
+            import sys
+            print(report, file=sys.stderr)
+        if not np.any(result.ldpc_ok) and not np.any(result.bch_clean):
+            self._dead_batches = getattr(self, "_dead_batches", 0) + 1
+        else:
+            self._dead_batches = 0
         st.frames += f
         st.ts_packets += len(result.ts_bytes) // 188
         st.ldpc_failures += int(np.sum(~result.ldpc_ok))
@@ -309,8 +342,10 @@ class StreamingReceiver:
 
     # ------------------------------------------------------------------
     def _lock_lost(self) -> bool:
-        """Three consecutive P1 misses or a fully-failing batch = relock."""
-        return getattr(self, "_p1_misses", 0) >= 3
+        """Three consecutive P1 misses, or three batches in which nothing
+        decodes (e.g. the mux reconfigured under us), force a relock."""
+        return (getattr(self, "_p1_misses", 0) >= 3
+                or getattr(self, "_dead_batches", 0) >= 3)
 
     def run(self, max_frames: int | None = None) -> RunStats:
         if self.rx is None and not self.acquire():
@@ -323,6 +358,7 @@ class StreamingReceiver:
                 self.stats.state = "reacquiring"
                 self._elem = self._elem[self.frame_pos:]
                 self._p1_misses = 0
+                self._dead_batches = 0
                 self.rx = None
                 if not self.acquire():
                     break

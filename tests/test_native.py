@@ -92,3 +92,46 @@ def test_iq_ring_overrun_drops():
     assert ring.push(blk)
     assert not ring.push(blk)         # would overflow -> dropped
     assert ring.dropped == 800
+
+
+def _set_syncd_ffff(frame_bits):
+    """Rewrite a packed frame's SYNCD to 0xFFFF (recomputing the MODE/CRC)."""
+    from sdr_receiver_dvb_t2_tpu.params import prbs
+    bits = frame_bits ^ prbs.bb_scrambler(len(frame_bits))
+    bits[56:72] = 1
+    mode = bbframe._mode_field(bits[:72], hem=True)
+    bits[72:80] = np.unpackbits(np.uint8(mode))
+    return bits ^ prbs.bb_scrambler(len(bits))
+
+
+def test_continuation_frame_syncd_ffff():
+    """SYNCD=0xFFFF (no UP start) must extend the stream, not drop data.
+
+    When the receiver is already aligned, a continuation-marked frame must
+    produce the same output as the normally-marked one."""
+    _ts, frames = _frames(hem=True, n_pkts=120)
+    for parser_cls in (bbframe.BBFrameParser, native.NativeBBFrameParser):
+        ref, alt = parser_cls(), parser_cls()
+        out_ref = [ref.parse(f) for f in frames]
+        patched = [frames[0]] + [_set_syncd_ffff(f.copy()) for f in frames[1:]]
+        out_alt = [alt.parse(f) for f in patched]
+        np.testing.assert_array_equal(np.concatenate(out_ref),
+                                      np.concatenate(out_alt))
+        assert alt.crc_errors == 0
+
+
+def test_nm_crc_chain_rearms_after_resync():
+    """After a resync, the NM CRC chain must re-arm: the first recovered
+    packet is unverifiable and must NOT be TEI-flagged."""
+    ts, frames = _frames(hem=False, n_pkts=200)
+    for parser_cls in (bbframe.BBFrameParser, native.NativeBBFrameParser):
+        parser = parser_cls()
+        out = []
+        for i, f in enumerate(frames):
+            g = f.copy()
+            if i == 3:
+                g[:40] ^= 1                 # kill one frame's header
+            out.append(parser.parse(g))
+        ts_out = np.concatenate([o for o in out if len(o)])
+        pkts = ts_out.reshape(-1, 188)
+        assert not np.any(pkts[:, 1] & 0x80), parser_cls.__name__

@@ -150,3 +150,56 @@ def test_pod_multichannel_8ch():
                               for i in range(4)])
         n = min(len(out), len(ts_in[c]))
         np.testing.assert_array_equal(out[:n], ts_in[c][:n])
+
+
+@pytest.mark.slow
+def test_pod_stream_continuity():
+    """Two consecutive sharded steps over one continuous capture decode
+    back-to-back frames (the overlap-window contract for shard 0)."""
+    from sdr_receiver_dvb_t2_tpu.parallel import pod
+    mode, plp, tx = _tiny_setup(1)
+    mesh = sharding.make_mesh(1, 2)
+    cfg = sharding.ShardedConfig(
+        mode=mode, plp=plp, n_fec_per_frame=4, n_ti=1,
+        l1_post_cells=tx.l1_pre.l1_post_size, frames_per_shard=1)
+    rx = pod.MultiChannelReceiver(cfg, mesh)
+
+    device_rate = 10e6
+    step = device_rate / (2 * SAMPLE_RATE)
+    bytes_per_frame = 4 * (plp.k_bch // 8 - 10)
+    n_pkts = 7 * bytes_per_frame // 188
+    ts = random_ts_stream(n_pkts, seed=77)
+    tx_c = Transmitter(TxConfig(mode=mode, plp=plp, fec_blocks_per_frame=4,
+                                num_t2_frames=5))
+    dev = impair(tx_c.modulate(ts), ChannelConfig(device_rate=device_rate,
+                                                  snr_db=30.0, seed=4))
+    raw = dev[None, :]
+
+    # alignment: elementary k sits at raw position mu_base + k/ratio with
+    # mu_base covering the front-end group delay; fold whole raw samples
+    # into the window start so mu lands in stream()'s warm-up band,
+    # starting at frame 1 (frame 0's raw history precedes the band)
+    ratio = SAMPLE_RATE / device_rate
+    mu_base = ((rx.rx.n_taps - 1) / 4.0 - 1.0) / ratio
+    r_frame1 = mu_base + mode.frame_samples / ratio
+    pos0 = int(np.floor(r_frame1)) - 32
+    mu = r_frame1 - pos0
+    raw = raw[:, pos0:]
+
+    outs = []
+    for hard, stats in rx.stream(raw, mu, step, max_steps=2):
+        assert int(stats["ldpc_failures"]) == 0
+        outs.append(np.asarray(hard))
+    assert len(outs) == 2
+
+    bb = BBFrameParser()
+    chunks = []
+    for hard in outs:                       # [1, 2, 4, n_bch] per step
+        for f in range(hard.shape[1]):
+            for i in range(4):
+                chunks.append(bb.parse(hard[0, f, i, :plp.k_bch]
+                                       .astype(np.uint8)))
+    ts_out = np.concatenate([c for c in chunks if len(c)])
+    got, sync = ts_out.tobytes(), ts.tobytes()
+    at = sync.find(got[:376])
+    assert at >= 0 and got == sync[at:at + len(got)]
