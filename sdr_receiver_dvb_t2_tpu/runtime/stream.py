@@ -238,6 +238,7 @@ class StreamingReceiver:
             self.stats.state = "l1_failed"
             return False
         self.mode = acq.mode
+        self._l1_pre = acq.l1_pre
         plp_indices = (range(acq.l1_post.num_plp)
                        if self.cfg.plp_index is None
                        else [self.cfg.plp_index])
@@ -276,6 +277,44 @@ class StreamingReceiver:
         else:
             self._p1_misses = getattr(self, "_p1_misses", 0) + 1
 
+    def _check_l1_dynamic(self, frame0: np.ndarray):
+        """Per-batch L1-dynamic tracking (the reference re-reads dynamic L1
+        every frame, dvbt2_demodulator.cpp:328-346): if PLP_NUM_BLOCKS or
+        the start address changed, rebuild the frame receivers for the new
+        configuration; an L1 CRC failure counts toward lock loss."""
+        from ..params import l1 as l1_lib
+        post = None
+        try:
+            carriers = acquisition._demod_p2(
+                frame0[p1_mod.P1_LEN:], self.mode)
+            cells = acquisition._equalize_p2(carriers, self.mode)
+            pre_bits = (cells[:l1_lib.L1_PRE_CELLS].real < 0).astype(np.uint8)
+            from ..params import l1_fec
+            pre = l1_lib.parse_l1_pre(
+                l1_fec.decode_l1_pre_systematic(pre_bits))
+            if pre is not None:
+                post = acquisition.decode_l1_from_p2(cells, pre)
+        except Exception:
+            post = None
+        if post is None:
+            self._p1_misses = getattr(self, "_p1_misses", 0) + 1
+            return
+        for j, rx in enumerate(self.rxs):
+            idx = j if self.cfg.plp_index is None else self.cfg.plp_index
+            dyn = post.dyn.plp[idx]
+            cfg = rx.cfg
+            if (dyn.num_blocks != cfg.n_fec_per_frame
+                    or dyn.start != cfg.plp_start):
+                new_cfg = receiver_mod.config_from_l1(
+                    self.mode, self._l1_pre, post, idx)
+                new_cfg.ldpc_max_iters = cfg.ldpc_max_iters
+                new_cfg.use_pallas = cfg.use_pallas
+                new_rx = receiver_mod.TpuReceiver(new_cfg)
+                new_rx._l1_post_cells = self._l1_pre.l1_post_size
+                self.rxs[j] = new_rx
+                if j == 0:
+                    self.rx = new_rx
+
     def step_batch(self) -> bool:
         """Receive one batch of frames; returns False when out of samples."""
         fs = self.mode.frame_samples
@@ -289,6 +328,7 @@ class StreamingReceiver:
                 return False
         frames = self._elem[self.frame_pos:self.frame_pos + f * fs]
         frames = frames.reshape(f, fs)
+        self._check_l1_dynamic(frames[0])
         result = self.rx.receive(frames)
         self.sink.write(result.ts_bytes)
         # additional PLPs (plp_index=None): route to per-PLP sinks

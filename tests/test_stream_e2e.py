@@ -175,3 +175,50 @@ def test_checkpoint_resume(tmp_path):
     got, sync = sink2.data.tobytes(), ts_in.tobytes()
     at = sync.find(got[:376])
     assert at >= 0 and got == sync[at:at + len(got)]
+
+
+@pytest.mark.slow
+def test_stream_l1_dynamic_change(tmp_path):
+    """PLP_NUM_BLOCKS changes mid-stream (per-frame dynamic L1): the
+    receiver must rebuild for the new configuration and keep decoding."""
+    mode = T2Mode(fft_mode=FftMode.FFT_2K, guard=GuardInterval.G1_8,
+                  pilot_pattern=PilotPattern.PP7, extended_carriers=False,
+                  n_data_symbols=30)
+    plp = PlpConfig(constellation=Constellation.QAM16,
+                    code_rate=CodeRate.C1_2, fec_frame=FecFrame.SHORT,
+                    rotation=True, time_il_length=1)
+    segs, ts_segs = [], []
+    for n_fec, seed in ((4, 31), (3, 32)):
+        tx = Transmitter(TxConfig(mode=mode, plp=plp,
+                                  fec_blocks_per_frame=n_fec,
+                                  num_t2_frames=5))
+        ts = random_ts_stream(
+            6 * n_fec * (plp.k_bch // 8 - 10) // 188, seed=seed)
+        segs.append(tx.modulate(ts)[:5 * mode.frame_samples])
+        ts_segs.append(ts)
+    iq = np.concatenate(segs)
+    dev = impair(iq, ChannelConfig(device_rate=10e6, snr_db=30.0, seed=6))
+    path = tmp_path / "dyn_0_10000000_16.raw"
+    quantize(dev, "s16", scale=0.4).tofile(path)
+
+    src = sources.RawFileSource(str(path))
+    sink = sinks.BufferTsSink()
+    cfg = stream_mod.StreamConfig(frames_per_batch=1,
+                                  acq_elem_samples=3 * mode.frame_samples,
+                                  use_pallas=False)
+    rx = stream_mod.StreamingReceiver(src, sink, cfg)
+    stats = rx.run(max_frames=8)
+    assert stats.state == "locked"
+    assert stats.frames >= 4
+    # the receiver adapted: current config reflects the second segment
+    assert rx.rx.cfg.n_fec_per_frame == 3
+    got = sink.data.tobytes()
+    # both segments' TS prefixes must appear intact in order
+    a = ts_segs[0].tobytes()
+    b = ts_segs[1].tobytes()
+    at_a = a.find(got[:376])
+    assert at_a >= 0
+    # find where segment-2 data starts in the output
+    probe = b[:376]
+    at_out = got.find(probe[:188])
+    assert at_out > 0, "second segment's TS never appeared"
