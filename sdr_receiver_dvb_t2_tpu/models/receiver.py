@@ -139,7 +139,10 @@ class TpuReceiver:
     def _get_decoder(self, n_codewords: int):
         from ..ops import ldpc_decode, ldpc_pallas
         if self._decoder is not None:
-            return self._decoder
+            if self._ldpc_batch is not None and n_codewords > self._ldpc_batch:
+                self._decoder = None        # larger batch: rebuild/re-tile
+            else:
+                return self._decoder
         if self.use_pallas:
             tiles = max(1, -(-n_codewords // 128))
             self._ldpc_batch = tiles * 128

@@ -45,7 +45,7 @@ class C(NamedTuple):
     def __add__(self, o):
         if isinstance(o, C):
             return C(self.re + o.re, self.im + o.im)
-        if isinstance(o, complex):
+        if isinstance(o, (complex, np.complexfloating)):
             return C(self.re + o.real, self.im + o.imag)
         return C(self.re + o, self.im)
 
@@ -54,7 +54,7 @@ class C(NamedTuple):
     def __sub__(self, o):
         if isinstance(o, C):
             return C(self.re - o.re, self.im - o.im)
-        if isinstance(o, complex):
+        if isinstance(o, (complex, np.complexfloating)):
             return C(self.re - o.real, self.im - o.imag)
         return C(self.re - o, self.im)
 
@@ -65,7 +65,7 @@ class C(NamedTuple):
         if isinstance(o, C):
             return C(self.re * o.re - self.im * o.im,
                      self.re * o.im + self.im * o.re)
-        if isinstance(o, complex):
+        if isinstance(o, (complex, np.complexfloating)):
             return C(self.re * o.real - self.im * o.imag,
                      self.re * o.imag + self.im * o.real)
         return C(self.re * o, self.im * o)          # real scalar/array
@@ -76,7 +76,7 @@ class C(NamedTuple):
         if isinstance(o, C):
             d = o.re * o.re + o.im * o.im
             return (self * o.conj()) * (1.0 / d)
-        if isinstance(o, complex):
+        if isinstance(o, (complex, np.complexfloating)):
             return self.__truediv__(C(jnp.float32(o.real), jnp.float32(o.imag)))
         return C(self.re / o, self.im / o)
 

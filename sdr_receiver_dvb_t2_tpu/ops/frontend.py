@@ -68,24 +68,19 @@ class IqCondState:
     level: float = 0.0       # mean |I| + |Q| (AGC observable)
 
 
-def iq_condition(x: C, dc_re: jnp.ndarray, dc_im: jnp.ndarray,
-                 c1: jnp.ndarray, c2: jnp.ndarray):
+def iq_condition(x: C, c1: jnp.ndarray, c2: jnp.ndarray):
     """Apply DC + IQ-imbalance correction; measure fresh estimates.
 
-    DC is removed *two-pass within the block* (own mean blended with the
-    smoothed prior) so an LO-leakage spur never reaches the center carrier
-    even on the first block; the IQ-imbalance correction applies the
-    previous-block estimates (block-recurrent replacement for the
+    DC is removed *two-pass within the block* (the block's own mean — over
+    ~1e6 samples its estimation noise is ~sigma/1000, while even 1%
+    residual DC would rival the center carrier's amplitude since the spur
+    concentrates into one FFT bin).  The IQ-imbalance correction applies
+    the previous-block estimates (block-recurrent replacement for the
     reference's per-sample exponential loops, dvbt2_demodulator.h:89-153).
     Returns (y, stats): this block's raw measurements for the host to
     smooth into the next state: (dc_re, dc_im, theta1, theta2, theta3,
-    level).
+    level); the smoothed DC is a telemetry observable only.
     """
-    # own-block mean: over ~1e6 samples its estimation noise is ~sigma/1000,
-    # while even 1% residual DC would rival the center carrier's amplitude
-    # (the spur concentrates into one FFT bin); the smoothed prior is kept
-    # only as an AGC/telemetry observable
-    del dc_re, dc_im
     dc_mean_re = jnp.mean(x.re)
     dc_mean_im = jnp.mean(x.im)
     i = x.re - dc_mean_re

@@ -20,7 +20,11 @@ kernel invocation instead of 32 SIMD lanes.
 
 Early exit: a lax.while_loop leaves once an iteration observes all parity
 checks of all 128 codewords satisfied (pre-update, like the reference's
-bad()); per-codeword success flags are returned.
+bad()); per-codeword success flags are returned.  Note the flags reflect
+that pre-update syndrome (identical to the reference's trials semantics,
+layered_decoder.hh:168-180): the final layer updates can still flip a
+marginal bit, which the downstream BCH syndrome screen catches — data
+integrity never rests on ``ok`` alone.
 """
 from __future__ import annotations
 
@@ -233,10 +237,11 @@ def make_pallas_decoder(table_name: str, batch: int = 128,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((k, B), lambda i, *_: (0, i)),
-            # parity rows of the SAME array: block height r divides k
-            # exactly (k = 2r for r2/3), so block row-index k//r lands on
-            # the parity region without materializing a slice
-            pl.BlockSpec((r, B), lambda i, *_: (k // r, i)),
+            # when r divides k the parity block views the SAME array at
+            # block row k//r (no slice copy); otherwise the caller passes
+            # the sliced parity array, whose block row is 0
+            pl.BlockSpec((r, B), (lambda i, *_: (k // r, i)) if k % r == 0
+                         else (lambda i, *_: (0, i))),
         ],
         out_specs=[
             pl.BlockSpec((k, B), lambda i, *_: (0, i)),

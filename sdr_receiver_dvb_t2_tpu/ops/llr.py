@@ -52,7 +52,7 @@ class DemapPlan:
         self.levels_max = (1 << (self.eta // 2)) - 1
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=8)
 def get_plan(plp: PlpConfig, n_fec: int, n_ti: int) -> DemapPlan:
     return DemapPlan(plp, n_fec, n_ti)
 

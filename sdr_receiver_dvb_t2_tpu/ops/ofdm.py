@@ -27,14 +27,17 @@ def frame_to_symbols(frame_iq: C, mode: T2Mode) -> C:
 def gi_cfo_estimate(symbols: C, mode: T2Mode) -> jnp.ndarray:
     """Fine CFO discriminator per symbol, in radians/sample.
 
-    Correlates the guard interval against the symbol tail over the window
-    [4, GI-4) like the reference (dvbt2_demodulator.cpp:252-260):
-    freq_est = angle(sum cp[i] * conj(sym_tail[i])) / (2 * fft_size).
+    Correlates the symbol tail against the guard-interval head over the
+    window [4, GI-4) like the reference (dvbt2_demodulator.cpp:252-260):
+    freq_est = angle(sum tail[i] * conj(head[i])) / (2 * fft_size) — with
+    residual CFO e rad/sample the product's phase is +e*fft_size, so the
+    estimate's SIGN matches the offset (head*conj(tail) would invert it
+    and turn the tracking loop into positive feedback).
     """
     g = mode.guard_size
-    cp = symbols[:, 4:g - 4]
+    head = symbols[:, 4:g - 4]
     tail = symbols[:, mode.fft_size + 4:mode.fft_size + g - 4]
-    s = cplx.sum(cp * tail.conj(), axis=1)
+    s = cplx.sum(tail * head.conj(), axis=1)
     return s.angle() / (2 * mode.fft_size)
 
 

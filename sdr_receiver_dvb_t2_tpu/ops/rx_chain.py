@@ -153,7 +153,7 @@ class ChainPlan:
         )
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=8)
 def get_plan(mode: T2Mode, plp: PlpConfig, n_fec: int, n_ti: int,
              l1_cells: int) -> ChainPlan:
     return ChainPlan(mode, plp, n_fec, n_ti, l1_cells)
@@ -169,7 +169,6 @@ def equalize_plane(carriers: C, plan: ChainPlan, w_consts):
     # of 256 carriers, gather the pilot window and multiply by the banded
     # weight block
     K = plan.mode.k_total
-    win_idx = None
     outs_re, outs_im = [], []
     for syms, (o_idx, wband) in zip(plan.group_syms, w_consts):
         idx = o_idx[:, None] + jnp.arange(plan.win, dtype=jnp.int32)[None]

@@ -134,9 +134,9 @@ class StreamingReceiver:
         n_up = self.n_up
 
         @jax.jit
-        def fn(raw, dc_re, dc_im, c1, c2, phase0, freq, mu0, s_hi, s_lo,
+        def fn(raw, c1, c2, phase0, freq, mu0, s_hi, s_lo,
                hist, hb1, hb2):
-            x, cond_stats = fe.iq_condition(raw, dc_re, dc_im, c1, c2)
+            x, cond_stats = fe.iq_condition(raw, c1, c2)
             x, _ = fe.nco_derotate(x, phase0, freq)
             x, hb1n = fe.upsample2(x, hb1, hb)           # x2
             x, hb2n = fe.upsample2(x, hb2, hb)           # x4 grid
@@ -164,7 +164,7 @@ class StreamingReceiver:
         window = cplx.from_np(self._raw[:self.n_in])
         s_hi, s_lo = fe.split_step(self.step)
         elem, hist2, hb1n, hb2n, cond_stats = self._fe_fn(
-            window, jnp.float32(self.cond.dc_re), jnp.float32(self.cond.dc_im),
+            window,
             jnp.float32(self.cond.c1), jnp.float32(self.cond.c2),
             jnp.float32(self.phase), jnp.float32(self.freq),
             jnp.float32(self.mu), jnp.asarray(s_hi), jnp.asarray(s_lo),

@@ -48,9 +48,8 @@ def test_iq_condition_removes_impairments():
 
     state = fe.IqCondState()
     for _ in range(40):   # iterate: estimates converge over blocks
-        y, stats = fe.iq_condition(xc, jnp.float32(state.dc_re),
-                                   jnp.float32(state.dc_im),
-                                   jnp.float32(state.c1), jnp.float32(state.c2))
+        y, stats = fe.iq_condition(xc, jnp.float32(state.c1),
+                                   jnp.float32(state.c2))
         state = fe.fold_iq_stats(state, [np.asarray(s) for s in stats],
                                  alpha=0.5)
     yn = cplx.to_np(y)
@@ -168,3 +167,31 @@ def test_p1_no_false_alarm_on_noise():
          ).astype(np.complex64)
     _, peak, _ = p1_detect.detect(cplx.from_np(x))
     assert float(peak) < 0.2
+
+
+def test_gi_cfo_discriminator_sign():
+    """The guard-interval CFO estimate must have the SAME sign as the
+    residual offset (at half magnitude, the reference's /(2*fft_size)
+    convention) — an inverted sign turns the tracking loop into positive
+    feedback."""
+    from sdr_receiver_dvb_t2_tpu.models.transmitter import (Transmitter,
+                                                            TxConfig,
+                                                            random_ts_stream)
+    from sdr_receiver_dvb_t2_tpu.ops import ofdm
+    from sdr_receiver_dvb_t2_tpu.params.modes import (
+        T2Mode, PlpConfig, FftMode, GuardInterval, PilotPattern,
+        Constellation, CodeRate, FecFrame)
+    mode = T2Mode(fft_mode=FftMode.FFT_2K, guard=GuardInterval.G1_8,
+                  pilot_pattern=PilotPattern.PP7, extended_carriers=False,
+                  n_data_symbols=30)
+    plp = PlpConfig(constellation=Constellation.QAM16,
+                    code_rate=CodeRate.C1_2, fec_frame=FecFrame.SHORT,
+                    time_il_length=1)
+    tx = Transmitter(TxConfig(mode=mode, plp=plp, fec_blocks_per_frame=4,
+                              num_t2_frames=2))
+    iq = tx.modulate(random_ts_stream(120, seed=0))[:mode.frame_samples]
+    for e in (+2e-5, -2e-5):
+        rot = (iq * np.exp(1j * e * np.arange(len(iq)))).astype(np.complex64)
+        est = float(np.mean(np.asarray(ofdm.gi_cfo_estimate(
+            ofdm.frame_to_symbols(cplx.from_np(rot), mode), mode))))
+        assert abs(est - e / 2) < abs(e) * 0.1, (e, est)
