@@ -81,3 +81,40 @@ def test_config_from_l1_roundtrip():
     assert cfg.plp.code_rate == PLP.code_rate
     assert cfg.n_fec_per_frame == 6
     assert cfg.n_ti == 3
+
+
+@pytest.mark.slow
+def test_near_threshold_bch_guard():
+    """Just above the LDPC waterfall: some codewords report unconverged
+    (pre-update syndrome, like the reference's trials), yet the BCH layer
+    verifies/corrects and the TS stays exact.  The reference has no BCH
+    correction at all (bch_decoder.cpp:130) and would emit TEI packets
+    here."""
+    from sdr_receiver_dvb_t2_tpu.params.modes import (
+        T2Mode, FftMode, GuardInterval, PilotPattern, Constellation,
+        CodeRate, FecFrame)
+    mode = T2Mode(fft_mode=FftMode.FFT_2K, guard=GuardInterval.G1_8,
+                  pilot_pattern=PilotPattern.PP7, extended_carriers=False,
+                  n_data_symbols=30)
+    plp = PlpConfig(constellation=Constellation.QAM16,
+                    code_rate=CodeRate.C1_2, fec_frame=FecFrame.SHORT,
+                    rotation=True, time_il_length=1)
+    tx = Transmitter(TxConfig(mode=mode, plp=plp, fec_blocks_per_frame=4,
+                              num_t2_frames=4))
+    ts = random_ts_stream(300, seed=9)
+    iq = tx.modulate(ts)[:4 * mode.frame_samples].reshape(4, -1)
+    rng = np.random.default_rng(2)
+    snr = 7.0
+    npow = np.mean(np.abs(iq) ** 2) / 10 ** (snr / 10)
+    noisy = (iq + (rng.standard_normal(iq.shape)
+                   + 1j * rng.standard_normal(iq.shape)) * np.sqrt(npow / 2)
+             ).astype(np.complex64)
+    rx = TpuReceiver(RxConfig(mode=mode, plp=plp, n_fec_per_frame=4,
+                              n_ti=1, use_pallas=False, ldpc_max_iters=50))
+    rx.prime(noisy[0])
+    res = rx.receive(noisy)
+    assert int(np.sum(~res.ldpc_ok)) >= 1      # marginal decodes present
+    assert np.all(res.bch_clean | (res.bch_corrected >= 0))
+    got, sync = res.ts_bytes.tobytes(), ts.tobytes()
+    at = sync.find(got[:376])
+    assert at >= 0 and got == sync[at:at + len(got)]
