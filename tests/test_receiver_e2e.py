@@ -103,8 +103,8 @@ def test_near_threshold_bch_guard():
                               num_t2_frames=4))
     ts = random_ts_stream(300, seed=9)
     iq = tx.modulate(ts)[:4 * mode.frame_samples].reshape(4, -1)
-    rng = np.random.default_rng(2)
-    snr = 7.0
+    rng = np.random.default_rng(3)
+    snr = 6.8
     npow = np.mean(np.abs(iq) ** 2) / 10 ** (snr / 10)
     noisy = (iq + (rng.standard_normal(iq.shape)
                    + 1j * rng.standard_normal(iq.shape)) * np.sqrt(npow / 2)
