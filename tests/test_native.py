@@ -135,3 +135,22 @@ def test_nm_crc_chain_rearms_after_resync():
         ts_out = np.concatenate([o for o in out if len(o)])
         pkts = ts_out.reshape(-1, 188)
         assert not np.any(pkts[:, 1] & 0x80), parser_cls.__name__
+
+
+def test_parser_fuzz_no_crash():
+    """Random garbage frames must never crash or emit partial packets."""
+    rng = np.random.default_rng(123)
+    for parser_cls in (bbframe.BBFrameParser, native.NativeBBFrameParser):
+        parser = parser_cls()
+        for _ in range(60):
+            n = int(rng.choice([7032, 10632, 16200]))
+            bits = rng.integers(0, 2, n, dtype=np.uint8)
+            out = parser.parse(bits)
+            assert len(out) % 188 == 0
+        # interleave garbage with real frames: recovery still works
+        _ts, frames = _frames(hem=True, n_pkts=40)
+        good = 0
+        for f in frames:
+            parser.parse(rng.integers(0, 2, len(f), dtype=np.uint8))
+            good += len(parser.parse(f))
+        assert good > 0
