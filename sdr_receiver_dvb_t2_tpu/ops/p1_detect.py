@@ -74,9 +74,19 @@ def correlate(x: C):
 
 @jax.jit
 def detect(x: C):
-    """argmax search: returns (t0, metric_peak, cfo_frac rad/sample)."""
+    """Peak search: returns (t0, metric_peak, cfo_frac rad/sample).
+
+    Picks the EARLIEST peak within 80% of the maximum (P1 preambles repeat
+    every frame with near-equal metric; a bare argmax may land on a later
+    frame and strand the stream with too few samples after lock)."""
     metric, corr_c, corr_b = correlate(x)
-    t0 = jnp.argmax(metric)
+    peak = jnp.max(metric)
+    # earliest crossing of 90% of the max, then the local maximum within
+    # that peak's neighborhood (the correlator ramps over ~P1_LEN samples,
+    # so a bare threshold would fire on the rising edge)
+    first = jnp.argmax(metric >= 0.9 * peak)
+    near = jnp.arange(metric.shape[0]) < first + P1_LEN
+    t0 = jnp.argmax(jnp.where(near, metric, -1.0))
     # CFO delta adds e^{-j*542*delta} to corr_C and e^{+j*482*delta} to
     # corr_B; the t0-dependent base phase cancels in the conjugate product,
     # leaving angle = -(542 + 482) * delta.
