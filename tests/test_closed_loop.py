@@ -8,7 +8,7 @@ from sdr_receiver_dvb_t2_tpu.models.receiver_ref import ReferenceReceiver
 from sdr_receiver_dvb_t2_tpu.params import p1
 from sdr_receiver_dvb_t2_tpu.params.modes import (
     T2Mode, PlpConfig, FftMode, GuardInterval, PilotPattern, Constellation,
-    CodeRate, FecFrame)
+    CodeRate, FecFrame, Papr)
 
 
 CASES = [
@@ -107,3 +107,65 @@ def test_p1_guard_structure():
     shift = np.exp(2j * np.pi * n / 1024)
     np.testing.assert_allclose(c, a[:542] * shift[:542], rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(b, a[542:] * shift[542:], rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("fft,gi,pp,ext,nds", [
+    (FftMode.FFT_1K, GuardInterval.G1_16, PilotPattern.PP4, False, 20),
+    (FftMode.FFT_4K, GuardInterval.G1_32, PilotPattern.PP5, False, 16),
+    (FftMode.FFT_16K, GuardInterval.G19_256, PilotPattern.PP4, True, 6),
+])
+def test_blind_acquisition_all_fft_sizes(fft, gi, pp, ext, nds):
+    """acquire_mode identifies GI/PP/EXT blindly on every FFT size."""
+    from sdr_receiver_dvb_t2_tpu.runtime import acquisition
+    from sdr_receiver_dvb_t2_tpu.params import p1 as p1_mod
+    plp = PlpConfig(constellation=Constellation.QPSK,
+                    code_rate=CodeRate.C1_2, fec_frame=FecFrame.SHORT,
+                    rotation=False, time_il_length=1)
+    mode = T2Mode(fft_mode=fft, guard=gi, pilot_pattern=pp,
+                  extended_carriers=ext, n_data_symbols=nds).validate()
+    n_fec = min(4, (mode.frame_cells - 2500) // plp.cells_per_fec_block)
+    tx = Transmitter(TxConfig(mode=mode, plp=plp,
+                              fec_blocks_per_frame=n_fec, num_t2_frames=2))
+    ts = random_ts_stream(3 * n_fec * (plp.k_bch // 8 - 10) // 188)
+    iq = tx.modulate(ts)
+    rng = np.random.default_rng(0)
+    iq = iq + ((rng.standard_normal(len(iq))
+                + 1j * rng.standard_normal(len(iq))).astype(np.complex64)
+               * np.sqrt(np.mean(np.abs(iq) ** 2) / 1e3))
+    s2 = {1024: 3, 2048: 0, 4096: 2, 8192: 1, 16384: 4}[mode.fft_size]
+    res = acquisition.acquire_mode(iq[p1_mod.P1_LEN:], 0, s2)
+    assert res is not None
+    assert res.mode.guard == gi
+    assert res.mode.pilot_pattern == pp
+    assert res.mode.extended_carriers == ext
+
+
+@pytest.mark.slow
+def test_tr_papr_round_trip():
+    """TR-PAPR mode: reserved-tone cells are excluded from the payload map
+    on both sides; TS survives exactly."""
+    from sdr_receiver_dvb_t2_tpu.models import receiver as receiver_mod
+    mode = T2Mode(
+        fft_mode=FftMode.FFT_2K, guard=GuardInterval.G1_8,
+        pilot_pattern=PilotPattern.PP7, extended_carriers=False,
+        papr=Papr.TR, n_data_symbols=30).validate()
+    plp = PlpConfig(constellation=Constellation.QAM16,
+                    code_rate=CodeRate.C1_2, fec_frame=FecFrame.SHORT,
+                    rotation=True, time_il_length=1)
+    tx = Transmitter(TxConfig(mode=mode, plp=plp, fec_blocks_per_frame=4,
+                              num_t2_frames=2))
+    ts = random_ts_stream(150, seed=1)
+    iq = tx.modulate(ts)[:2 * mode.frame_samples].reshape(2, -1)
+    rng = np.random.default_rng(0)
+    iq = (iq + (rng.standard_normal(iq.shape)
+                + 1j * rng.standard_normal(iq.shape))
+          * np.sqrt(np.mean(np.abs(iq) ** 2) / 1e3)).astype(np.complex64)
+    rx = receiver_mod.TpuReceiver(receiver_mod.RxConfig(
+        mode=mode, plp=plp, n_fec_per_frame=4, n_ti=1, use_pallas=False))
+    rx.prime(iq[0])
+    res = rx.receive(iq)
+    assert np.all(res.ldpc_ok)
+    got, sync = res.ts_bytes.tobytes(), ts.tobytes()
+    at = sync.find(got[:376])
+    assert at >= 0 and got == sync[at:at + len(got)]
