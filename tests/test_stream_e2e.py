@@ -222,3 +222,41 @@ def test_stream_l1_dynamic_change(tmp_path):
     probe = b[:376]
     at_out = got.find(probe[:188])
     assert at_out > 0, "second segment's TS never appeared"
+
+
+@pytest.mark.slow
+def test_stream_normal_mode(tmp_path):
+    """Normal Mode (NM) end to end: per-packet CRC-8 chain instead of HEM
+    sync-byte removal (the reference's tested path is HEM; NM exercises
+    the CRC/TEI machinery)."""
+    mode = T2Mode(fft_mode=FftMode.FFT_2K, guard=GuardInterval.G1_8,
+                  pilot_pattern=PilotPattern.PP7, extended_carriers=False,
+                  n_data_symbols=30)
+    plp = PlpConfig(constellation=Constellation.QAM16,
+                    code_rate=CodeRate.C1_2, fec_frame=FecFrame.SHORT,
+                    rotation=True, time_il_length=1)
+    tx = Transmitter(TxConfig(mode=mode, plp=plp, fec_blocks_per_frame=4,
+                              num_t2_frames=9, hem=False))
+    bytes_per_frame = 4 * (plp.k_bch // 8)
+    ts = random_ts_stream(10 * bytes_per_frame // 188, seed=51)
+    iq = tx.modulate(ts)
+    dev = impair(iq, ChannelConfig(device_rate=10e6, cfo_hz=9e3,
+                                   snr_db=28.0, seed=8))
+    path = tmp_path / "nm_0_10000000_16.raw"
+    quantize(dev, "s16", scale=0.4).tofile(path)
+
+    src = sources.RawFileSource(str(path))
+    sink = sinks.BufferTsSink()
+    cfg = stream_mod.StreamConfig(frames_per_batch=1,
+                                  acq_elem_samples=3 * mode.frame_samples,
+                                  use_pallas=False)
+    rx = stream_mod.StreamingReceiver(src, sink, cfg)
+    stats = rx.run(max_frames=4)
+    assert stats.state == "locked"
+    assert stats.ldpc_failures == 0 and stats.bch_dirty == 0
+    got = sink.data
+    pkts = got.reshape(-1, 188)
+    assert not np.any(pkts[:, 1] & 0x80)       # no TEI flags on clean RX
+    sync = ts.tobytes()
+    at = sync.find(got.tobytes()[:376])
+    assert at >= 0 and got.tobytes() == sync[at:at + len(got)]
