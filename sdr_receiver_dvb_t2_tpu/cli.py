@@ -49,6 +49,12 @@ def build_parser() -> argparse.ArgumentParser:
     rxg.add_argument("--max-frames", type=int, default=None)
     rxg.add_argument("--cpu", action="store_true",
                      help="force the CPU backend (no TPU)")
+    rxg.add_argument("--biastee", action="store_true",
+                     help="enable the antenna bias tee on sources that "
+                          "support it (live SDR daemons)")
+    rxg.add_argument("--threaded-ingest", action="store_true",
+                     help="read the source from a background thread via "
+                          "the native lock-free ring (live inputs)")
     dbg = p.add_argument_group("diagnostics")
     dbg.add_argument("--stats", type=float, default=5.0,
                      help="statistics print interval in seconds (0=off)")
@@ -79,6 +85,10 @@ def main(argv=None) -> int:
     else:
         src = sources.RawFileSource(args.input, sample_rate=args.rate,
                                     fmt=args.format, loop=args.loop)
+    if args.biastee and hasattr(src, "set_biastee"):
+        src.set_biastee(True)
+    if args.threaded_ingest:
+        src = sources.ThreadedSource(src)
     sink = sinks.make_sink(args.out)
 
     plp_index = None if args.plp == "all" else int(args.plp)

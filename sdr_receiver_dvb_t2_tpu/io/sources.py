@@ -139,3 +139,64 @@ class UdpIqSource:
 
     def close(self):
         self._sock.close()
+
+
+class ThreadedSource:
+    """Background ingest thread feeding the native SPSC ring.
+
+    Mirrors the reference's device-callback -> double-buffer handoff
+    (rx_base.cpp:154-199): a reader thread pulls from any source into the
+    lock-free ring; the compute thread pops fixed blocks.  On overrun the
+    ring drops whole blocks and counts them (the reference's policy).
+    """
+
+    def __init__(self, source, capacity_blocks: int = 64,
+                 block_samples: int = 1 << 17):
+        import threading
+        from .native import IqRing
+        self.src = source
+        self.info = source.info
+        self._dtype = {"u8": np.uint8, "s8": np.int8, "s16": np.int16,
+                       "f32": np.float32, "c64": np.complex64}[source.info.fmt]
+        unit = np.dtype(self._dtype).itemsize
+        self._sample_bytes = unit if self._dtype == np.complex64 else 2 * unit
+        self.ring = IqRing(capacity_blocks * block_samples
+                           * self._sample_bytes)
+        self._block = block_samples
+        self._eof = threading.Event()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._reader, daemon=True)
+        self._thread.start()
+
+    def _reader(self):
+        while not self._stop.is_set():
+            blk = self.src.read(self._block)
+            if blk is None:
+                self._eof.set()
+                return
+            self.ring.push(np.ascontiguousarray(blk))
+
+    @property
+    def dropped_samples(self) -> int:
+        return self.ring.dropped // self._sample_bytes
+
+    def read(self, n_samples: int) -> np.ndarray | None:
+        import time as _time
+        need = n_samples * self._sample_bytes
+        while self.ring.fill < need:
+            if self._eof.is_set() and self.ring.fill < need:
+                if self.ring.fill == 0:
+                    return None
+                break
+            _time.sleep(0.001)
+        out = self.ring.pop(need, dtype=self._dtype)
+        if self._dtype != np.complex64 and len(out) % 2:
+            out = out[:-1]
+        if len(out) < (2 if self._dtype != np.complex64 else 1):
+            return None
+        return out
+
+    def close(self):
+        self._stop.set()
+        self._thread.join(timeout=1.0)
+        self.src.close()

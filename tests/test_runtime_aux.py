@@ -79,3 +79,25 @@ def test_udp_sink_chunks(tmp_path):
     got += rx.recv(65536)
     assert got == data.tobytes()
     rx.close()
+
+
+def test_threaded_source_roundtrip(tmp_path):
+    from sdr_receiver_dvb_t2_tpu.io import sources
+    rng = np.random.default_rng(0)
+    # multiple of the ingest block: RawFileSource drops a partial tail
+    raw = rng.integers(0, 256, 2 * 18 * (1 << 14), dtype=np.uint8)
+    path = tmp_path / "x_1000000_8.raw"
+    raw.tofile(path)
+    src = sources.ThreadedSource(sources.RawFileSource(str(path)),
+                                 block_samples=1 << 14)
+    got = []
+    while True:
+        blk = src.read(50_000)
+        if blk is None:
+            break
+        got.append(blk)
+    out = np.concatenate(got)
+    np.testing.assert_array_equal(out, raw[:len(out)])
+    assert len(out) == len(raw)
+    assert src.dropped_samples == 0
+    src.close()
