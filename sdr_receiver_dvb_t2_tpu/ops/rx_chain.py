@@ -69,28 +69,38 @@ class ChainPlan:
         # segment of SEG consecutive carriers touches only a narrow window
         # of pilot ordinals.  Storing [n_seg, WIN, SEG] instead of the dense
         # [p_max, K] cuts the weight bytes ~400x (the dense matmul was
-        # HBM-read-bound on the weights).
+        # HBM-read-bound on the weights).  The window width is per pilot
+        # GROUP (the P2 symbol's every-3rd-carrier pilots need ~6x the data
+        # symbols' window; one global width would inflate every gather).
+        #
+        # The pilot values themselves are fetched with ONE composed
+        # carrier-plane gather per group: win_idx[s, w] holds the flat
+        # carrier index of pilot ordinal o(s)+w, so the per-symbol pilot
+        # extraction and the per-segment window gather collapse into a
+        # single static index table (a separate [L, p_max] pilot gather +
+        # a window re-gather measured 7.3 ms of the 47 ms batch; the
+        # composed form is ~0.8 ms).  The reference sign / amplitude
+        # normalization folds into a per-entry weight (sign_inv), with
+        # padded window slots zeroed.
         SEG = 256
         self.seg = SEG
         self.n_seg = -(-K // SEG)
-        win = 0
-        lo_frac = []
+        self.weights = []   # (win_idx [Lg,S,Wg] i32, sign_inv [Lg,S,Wg],
+        #                      wband [S,Wg,SEG])
         for syms in self.group_syms:
-            l = int(syms[0])
-            n_pil = int(ep.n_pilots[l])
-            pidx = np.asarray(ep.pilot_idx[l][:n_pil]).astype(np.int64)
+            l0 = int(syms[0])
+            n_pil = int(ep.n_pilots[l0])
+            pidx = np.asarray(ep.pilot_idx[l0][:n_pil]).astype(np.int64)
             k = np.arange(K)
             lo = np.clip(np.searchsorted(pidx, k) - 1, 0, n_pil - 2)
             span = np.maximum(pidx[lo + 1] - pidx[lo], 1)
             frac = (k - pidx[lo]) / span
-            lo_frac.append((lo, frac))
+            win = 0
             for s in range(self.n_seg):
                 seg_lo = lo[s * SEG:(s + 1) * SEG]
                 win = max(win, int(seg_lo.max() - seg_lo.min()) + 2)
-        self.win = win = -(-win // 8) * 8
-        self.weights = []          # (o_idx [n_seg] i32, Wband [n_seg,WIN,SEG])
-        for (lo, frac) in lo_frac:
-            o_idx = np.zeros(self.n_seg, np.int32)
+            win = -(-win // 8) * 8
+            o_idx = np.zeros(self.n_seg, np.int64)
             wband = np.zeros((self.n_seg, win, SEG), np.float32)
             for s in range(self.n_seg):
                 k0 = s * SEG
@@ -101,11 +111,32 @@ class ChainPlan:
                 cols = np.arange(k1 - k0)
                 wband[s, seg_lo - o, cols] = 1.0 - frac[k0:k1]
                 wband[s, seg_lo - o + 1, cols] = frac[k0:k1]
-            self.weights.append((o_idx, wband))
+            ords = np.minimum(o_idx[:, None] + np.arange(win)[None],
+                              n_pil - 1)                       # [S, Wg]
+            valid = (o_idx[:, None] + np.arange(win)[None]) < n_pil
+            win_idx = (syms[:, None, None].astype(np.int64) * K
+                       + pidx[ords][None]).astype(np.int32)    # [Lg, S, Wg]
+            sign = np.stack([np.asarray(ep.ref_vals[l][:n_pil])[ords]
+                             for l in syms])                   # [Lg, S, Wg]
+            inv_amp = np.stack([1.0 / np.asarray(ep.amp_vals[l][:n_pil])[ords]
+                                for l in syms])
+            sign_inv = (sign * inv_amp * valid[None]).astype(np.float32)
+            self.weights.append((win_idx, sign_inv, wband))
 
-        # pilot reference: h_p = pil * sign / amp (padded entries zeroed by W)
-        self.pil_sign = np.asarray(ep.ref_vals)          # [L, p_max] +-1
-        self.pil_inv_amp = np.asarray(1.0 / ep.amp_vals)
+        # dense +-1 sign masks for the common-phase-offset discriminator
+        # (sum of pilot phasors per half-spectrum): a masked row reduction
+        # over the carrier plane replaces the [L, p_max] pilot gather
+        ph1 = np.zeros((L, K), np.float32)
+        ph2 = np.zeros((L, K), np.float32)
+        half = K // 2
+        for l in range(L):
+            n_pil = int(ep.n_pilots[l])
+            pidx = np.asarray(ep.pilot_idx[l][:n_pil])
+            sign = np.asarray(ep.ref_vals[l][:n_pil])
+            fh = pidx < half
+            ph1[l, pidx[fh]] = sign[fh]
+            ph2[l, pidx[~fh]] = sign[~fh]
+        self.ph_mask = (ph1, ph2)
 
         # ---- composed cell gather: FEC cell -> flat [L*K] position ----------
         pay2carrier = []
@@ -145,9 +176,12 @@ class ChainPlan:
         wdt = (jnp.bfloat16 if _jax.default_backend() != "cpu"
                else jnp.float32)
         return dict(
-            w=tuple((_jax.device_put(jnp.asarray(o)),
+            w=tuple((_jax.device_put(jnp.asarray(wi)),
+                     _jax.device_put(jnp.asarray(si).astype(wdt)),
                      _jax.device_put(jnp.asarray(wb).astype(wdt)))
-                    for o, wb in self.weights),
+                    for wi, si, wb in self.weights),
+            ph_mask=tuple(_jax.device_put(jnp.asarray(m))
+                          for m in self.ph_mask),
             cell_idx=_jax.device_put(jnp.asarray(self.cell_idx)),
             bit_rows=_jax.device_put(jnp.asarray(self.bit_rows)),
         )
@@ -159,21 +193,48 @@ def get_plan(mode: T2Mode, plp: PlpConfig, n_fec: int, n_ti: int,
     return ChainPlan(mode, plp, n_fec, n_ti, l1_cells)
 
 
-def equalize_plane(carriers: C, plan: ChainPlan, w_consts):
+def _pack_bf16(x: C):
+    """Real pair -> one u32 plane (bf16 halves): re in the high 16 bits."""
+    hi = jax.lax.bitcast_convert_type(
+        x.re.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
+    lo = jax.lax.bitcast_convert_type(
+        x.im.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
+    return (hi << 16) | lo
+
+
+def _unpack_bf16(p, dtype=jnp.float32) -> C:
+    return C(
+        jax.lax.bitcast_convert_type((p >> 16).astype(jnp.uint16),
+                                     jnp.bfloat16).astype(dtype),
+        jax.lax.bitcast_convert_type((p & 0xFFFF).astype(jnp.uint16),
+                                     jnp.bfloat16).astype(dtype))
+
+
+_FAST_GATHER = jax.lax.GatherDimensionNumbers(
+    offset_dims=(), collapsed_slice_dims=(0,), start_index_map=(0,))
+
+
+def equalize_plane(carriers: C, plan: ChainPlan, consts):
     """[L, K] carriers -> ([L, K] equalized plane, diag dict)."""
     ep = plan.eq_plan
-    pil = cplx.take_along_axis(carriers, ep.pilot_idx, axis=1)   # [L, P]
-    h_p = pil * (plan.pil_sign * plan.pil_inv_amp)
+    K = plan.mode.k_total
+    # pack both IQ components into one u32 plane; all pilot fetches below
+    # are single composed gathers on it (gathers are element-count-bound
+    # on TPU; bf16 pilots sit ~55 dB below the channel estimate)
+    packed = _pack_bf16(carriers).reshape(-1)                 # [L*K]
 
     # grouped banded-interpolation matmuls (bf16 on the MXU): per segment
-    # of 256 carriers, gather the pilot window and multiply by the banded
-    # weight block
-    K = plan.mode.k_total
+    # of 256 carriers, gather the pilot window straight from the carrier
+    # plane and multiply by the banded weight block
     outs_re, outs_im = [], []
-    for syms, (o_idx, wband) in zip(plan.group_syms, w_consts):
-        idx = o_idx[:, None] + jnp.arange(plan.win, dtype=jnp.int32)[None]
-        hr = h_p.re[syms][:, idx].astype(wband.dtype)    # [Lg, S, WIN]
-        hi = h_p.im[syms][:, idx].astype(wband.dtype)
+    for syms, (win_idx, sign_inv, wband) in zip(plan.group_syms,
+                                                consts["w"]):
+        g = jax.lax.gather(
+            packed, win_idx.reshape(-1, 1), _FAST_GATHER, (1,),
+            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+        h = _unpack_bf16(g.reshape(win_idx.shape), wband.dtype)
+        hr = h.re * sign_inv                                  # [Lg, S, Wg]
+        hi = h.im * sign_inv
         er = jnp.einsum("lsw,swc->lsc", hr, wband,
                         preferred_element_type=jnp.float32)
         ei = jnp.einsum("lsw,swc->lsc", hi, wband,
@@ -186,14 +247,14 @@ def equalize_plane(carriers: C, plan: ChainPlan, w_consts):
     denom = jnp.maximum(h_d.abs2(), 1e-9)
     eq = carriers * h_d.conj() * (1.0 / denom)
 
-    # ---- diagnostics (the reference's tracking discriminators; masks
-    # precomputed in equalizer.EqualizerPlan) ----
-    est = pil * ep.ref_vals
-    vmask = ep.pilot_valid
-    fh = jnp.logical_and(vmask, ep.pilot_first_half)
-    sh = jnp.logical_and(vmask, jnp.logical_not(ep.pilot_first_half))
-    sum1 = cplx.sum(cplx.where(fh, est, 0.0), axis=1)
-    sum2 = cplx.sum(cplx.where(sh, est, 0.0), axis=1)
+    # ---- diagnostics (the reference's tracking discriminators) ----
+    # common phase offset: sum of pilot phasors per half-spectrum, as a
+    # dense +-1-masked row reduction (no gather)
+    m1, m2 = consts["ph_mask"]
+    sum1 = C(jnp.sum(carriers.re * m1, axis=1),
+             jnp.sum(carriers.im * m1, axis=1))
+    sum2 = C(jnp.sum(carriers.re * m2, axis=1),
+             jnp.sum(carriers.im * m2, axis=1))
     phase_offset = sum1.angle() + sum2.angle()
 
     sro_pil = cplx.take(carriers, ep.sro_idx, axis=1) * ep.sro_ref
@@ -220,11 +281,7 @@ def demap_planes_t(eq: C, plan: ChainPlan, consts):
     decoder its codewords-on-lanes layout.
     """
     f = eq.shape[0]
-    u16r = jax.lax.bitcast_convert_type(
-        eq.re.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
-    u16i = jax.lax.bitcast_convert_type(
-        eq.im.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
-    packed = (u16r << 16) | u16i                       # [F, L, K]
+    packed = _pack_bf16(eq)                            # [F, L, K]
 
     # per-frame gather (XLA gather cost grows with SOURCE size — keep the
     # source at one frame's plane, vmap over frames); the index set is a
@@ -242,11 +299,7 @@ def demap_planes_t(eq: C, plan: ChainPlan, consts):
 
     g = jax.vmap(one_plane)(packed)
     g = g.reshape(-1, consts["cell_idx"].shape[1])     # [F*n_fec, n_cells]
-    cells = C(
-        jax.lax.bitcast_convert_type((g >> 16).astype(jnp.uint16),
-                                     jnp.bfloat16).astype(jnp.float32),
-        jax.lax.bitcast_convert_type((g & 0xFFFF).astype(jnp.uint16),
-                                     jnp.bfloat16).astype(jnp.float32))
+    cells = _unpack_bf16(g)
     stream, snr = llr_mod.demap_cells_multi(cells, f, plan.demap)
     llr = stream[:, consts["bit_rows"]]        # [W, N] kernel bit order
     return llr.T, snr
@@ -260,7 +313,7 @@ def frames_to_llr_t(frames_iq: C, plan: ChainPlan, consts):
     """
     def demod_eq(frame):
         carriers, gi_cfo = ofdm.demod_frame(frame, plan.mode)
-        eq, diag = equalize_plane(carriers, plan, consts["w"])
+        eq, diag = equalize_plane(carriers, plan, consts)
         diag["gi_cfo"] = gi_cfo
         return eq, diag
 
