@@ -92,6 +92,9 @@ def make_pallas_decoder(table_name: str, batch: int = 128,
     c_tot = cnl + 2
     B = batch
     g_tab_np, s_tab_np, cnt_np = _build_tables(plan)
+    # every NORMAL table (and most SHORT) has identical weight for all
+    # check rows; the per-slot validity masking then folds away statically
+    uniform = bool((cnt_np == cnl).all())
 
     def kernel(g_tab, s_tab, cnt_tab, ch_data, ch_par,
                hard_ref, ok_ref,
@@ -108,8 +111,8 @@ def make_pallas_decoder(table_name: str, batch: int = 128,
             m1 = jnp.full((M, B), _BIG, jnp.float32)
             m2 = jnp.full((M, B), _BIG, jnp.float32)
             idx = jnp.zeros((M, B), jnp.int32)
-            par_acc = jnp.zeros((M, B), jnp.int32)      # sign parity
-            syn_acc = jnp.zeros((M, B), jnp.int32)      # syndrome parity
+            par_acc = jnp.zeros((M, B), jnp.bool_)      # sign parity (XOR)
+            syn_acc = jnp.zeros((M, B), jnp.bool_)      # syndrome parity
             cnt_i = cnt_tab[i]
 
             def slab_for(slot):
@@ -120,15 +123,25 @@ def make_pallas_decoder(table_name: str, batch: int = 128,
 
             # ---------------- pass 1: gather, mins, signs ----------------
             for slot in range(cnl):
-                valid = slot < cnt_i
-                slab = jnp.where(valid, slab_for(slot), _BIG)
-                old = c2v[i, slot].astype(jnp.float32)
-                t = jnp.where(valid, slab - old, _BIG)
+                if uniform:
+                    slab = slab_for(slot)
+                    old = c2v[i, slot].astype(jnp.float32)
+                    t = slab - old
+                    mag = jnp.maximum(jnp.abs(t) - beta, 0.0)
+                    syn_acc = jnp.logical_xor(syn_acc, slab < 0)
+                    par_acc = jnp.logical_xor(par_acc, t < 0)
+                else:
+                    valid = slot < cnt_i
+                    slab = jnp.where(valid, slab_for(slot), _BIG)
+                    old = c2v[i, slot].astype(jnp.float32)
+                    t = jnp.where(valid, slab - old, _BIG)
+                    mag = jnp.where(valid,
+                                    jnp.maximum(jnp.abs(t) - beta, 0.0), _BIG)
+                    syn_acc = jnp.logical_xor(
+                        syn_acc, jnp.logical_and(valid, slab < 0))
+                    par_acc = jnp.logical_xor(
+                        par_acc, jnp.logical_and(valid, t < 0))
                 tbuf[slot] = t.astype(jnp.bfloat16)
-                syn_acc = syn_acc + jnp.logical_and(valid, slab < 0).astype(jnp.int32)
-                mag = jnp.maximum(jnp.abs(t) - beta, 0.0)
-                mag = jnp.where(valid, mag, _BIG)
-                par_acc = par_acc + jnp.logical_and(valid, t < 0).astype(jnp.int32)
                 better = mag < m1
                 m2 = jnp.where(better, m1, jnp.minimum(m2, mag))
                 idx = jnp.where(better, slot, idx)
@@ -139,9 +152,9 @@ def make_pallas_decoder(table_name: str, batch: int = 128,
             old_self = c2v[i, cnl].astype(jnp.float32)
             t = p_self - old_self
             tbuf[cnl] = t.astype(jnp.bfloat16)
-            syn_acc = syn_acc + (p_self < 0).astype(jnp.int32)
+            syn_acc = jnp.logical_xor(syn_acc, p_self < 0)
             mag = jnp.maximum(jnp.abs(t) - beta, 0.0)
-            par_acc = par_acc + (t < 0).astype(jnp.int32)
+            par_acc = jnp.logical_xor(par_acc, t < 0)
             better = mag < m1
             m2 = jnp.where(better, m1, jnp.minimum(m2, mag))
             idx = jnp.where(better, cnl, idx)
@@ -157,17 +170,19 @@ def make_pallas_decoder(table_name: str, batch: int = 128,
             t = jnp.where(p_prev >= _BIG, _BIG, p_prev - old_prev)
             tbuf[cnl + 1] = t.astype(jnp.bfloat16)
             valid_prev = p_prev < _BIG
-            syn_acc = syn_acc + jnp.logical_and(valid_prev, p_prev < 0).astype(jnp.int32)
+            syn_acc = jnp.logical_xor(
+                syn_acc, jnp.logical_and(valid_prev, p_prev < 0))
             mag = jnp.where(valid_prev, jnp.maximum(jnp.abs(t) - beta, 0.0), _BIG)
-            par_acc = par_acc + jnp.logical_and(valid_prev, t < 0).astype(jnp.int32)
+            par_acc = jnp.logical_xor(
+                par_acc, jnp.logical_and(valid_prev, t < 0))
             better = mag < m1
             m2 = jnp.where(better, m1, jnp.minimum(m2, mag))
             idx = jnp.where(better, cnl + 1, idx)
             m1 = jnp.minimum(m1, mag)
 
             unsat_ref[0] = unsat_ref[0] + jnp.sum(
-                (syn_acc % 2).astype(jnp.float32), axis=0, keepdims=True)
-            sign_par = (par_acc % 2) == 1                 # [M, B] bool
+                syn_acc.astype(jnp.float32), axis=0, keepdims=True)
+            sign_par = par_acc                            # [M, B] bool
 
             # ---------------- pass 2: emit messages, update -------------
             def emit(slot):
@@ -180,19 +195,21 @@ def make_pallas_decoder(table_name: str, batch: int = 128,
                 delta = msg - old
                 return msg, delta
 
-            for slot in range(cnl):
-                valid = slot < cnt_i
+            def update_slot(slot):
+                msg, delta = emit(slot)
+                g = g_tab[i, slot]
+                s = s_tab[i, slot]
+                lam_g = lam_ref[pl.ds(g, 1)].reshape(M, B).astype(jnp.float32)
+                upd = lam_g + pltpu.roll(delta, jnp.mod(M - s, M), axis=0)
+                upd = jnp.clip(upd, -127.0, 127.0)
+                lam_ref[pl.ds(g, 1)] = upd.astype(jnp.bfloat16).reshape(1, M, B)
+                c2v[i, slot] = msg.astype(jnp.int8)
 
-                @pl.when(valid)
-                def _():
-                    msg, delta = emit(slot)
-                    g = g_tab[i, slot]
-                    s = s_tab[i, slot]
-                    lam_g = lam_ref[pl.ds(g, 1)].reshape(M, B).astype(jnp.float32)
-                    upd = lam_g + pltpu.roll(delta, jnp.mod(M - s, M), axis=0)
-                    upd = jnp.clip(upd, -127.0, 127.0)
-                    lam_ref[pl.ds(g, 1)] = upd.astype(jnp.bfloat16).reshape(1, M, B)
-                    c2v[i, slot] = msg.astype(jnp.int8)
+            for slot in range(cnl):
+                if uniform:
+                    update_slot(slot)
+                else:
+                    pl.when(slot < cnt_i)(lambda s=slot: update_slot(s))
 
             msg, delta = emit(cnl)
             p_self = par_ref[pl.ds(i, 1)].reshape(M, B).astype(jnp.float32)
