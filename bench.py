@@ -138,8 +138,11 @@ def main():
         f"iters={int(iters)} snr={float(snr):.1f} dB\n")
 
     # timed steady-state loop (value read forces completion; the tunnel's
-    # block_until_ready does not reliably sync)
-    reps = 10 if on_tpu else 1
+    # block_until_ready does not reliably sync).  reps must be large: the
+    # tunnel's first post-sync dispatch costs ~20 ms and only ~50+ queued
+    # dispatches amortize it to the ~1 ms sustained floor a continuously
+    # streaming receiver sees.
+    reps = 50 if on_tpu else 1
     t0 = time.perf_counter()
     for _ in range(reps):
         out = pipeline(dev_frames)

@@ -39,11 +39,11 @@ def _dft_parts(n: int, inverse: bool) -> tuple[np.ndarray, np.ndarray]:
 
 
 @functools.lru_cache(maxsize=None)
-def _twiddle_parts(n1: int, n2: int, inverse: bool):
+def _twiddle_parts(n1: int, n2: int, inverse: bool, scale: float = 1.0):
     k1 = np.arange(n1)[:, None]
     n2r = np.arange(n2)[None, :]
     sign = 2j if inverse else -2j
-    t = np.exp(sign * np.pi * k1 * n2r / (n1 * n2))
+    t = scale * np.exp(sign * np.pi * k1 * n2r / (n1 * n2))
     return t.real.astype(np.float32), t.imag.astype(np.float32)
 
 
@@ -77,13 +77,17 @@ def _cmatmul_left(fr, fi, a: C, sub: str) -> C:
     return C(pr[..., :m] - pi[..., m:], pr[..., m:] + pi[..., :m])
 
 
-def fft_mm(x: C, inverse: bool = False) -> C:
-    """DFT over the last axis via MXU matmuls (any leading batch dims)."""
+def fft_mm(x: C, inverse: bool = False, scale: float = 1.0) -> C:
+    """DFT over the last axis via MXU matmuls (any leading batch dims).
+
+    ``scale`` folds a global output scaling into the (host-cached) twiddle
+    table — one fewer full-plane multiply pass than scaling afterwards.
+    """
     n = x.shape[-1]
     n1, n2 = _factors(n)
     f1r, f1i = _dft_parts(n1, inverse)
     f2r, f2i = _dft_parts(n2, inverse)
-    twr, twi = _twiddle_parts(n1, n2, inverse)
+    twr, twi = _twiddle_parts(n1, n2, inverse, scale)
 
     a = x.reshape(*x.shape[:-1], n1, n2)
     # C[k1, n2] = sum_n1 F1[k1, n1] * A[..., n1, n2]
@@ -109,9 +113,9 @@ def fft_mm(x: C, inverse: bool = False) -> C:
     return out
 
 
-def fft(x: C) -> C:
+def fft(x: C, scale: float = 1.0) -> C:
     """Forward DFT over the last axis of a real-pair array."""
-    return fft_mm(x)
+    return fft_mm(x, scale=scale)
 
 
 def ifft(x: C) -> C:

@@ -8,6 +8,7 @@ computed for all symbols at once.  All IQ is real-pair (ops/cplx.C).
 """
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 
 from ..params.modes import T2Mode
@@ -44,11 +45,14 @@ def gi_cfo_estimate(symbols: C, mode: T2Mode) -> jnp.ndarray:
 def symbols_to_carriers(symbols: C, mode: T2Mode) -> C:
     """[L, symbol_size] -> [L, k_total] active carriers (fft + shift + crop)."""
     x = symbols[:, mode.guard_size:]
-    spec = fft_ops.fft(x)
-    spec = spec * jnp.float32(jnp.sqrt(mode.k_total) / mode.fft_size)
+    scale = float(np.sqrt(mode.k_total) / mode.fft_size)
+    spec = fft_ops.fft(x, scale=scale)
+    # fftshift + crop in one concat of only the two NEEDED slices
+    # (k_total > fft_size/2, so the active window always wraps once)
     half = mode.fft_size // 2
-    shifted = cplx.concatenate([spec[:, half:], spec[:, :half]], axis=1)
-    return shifted[:, mode.left_nulls:mode.left_nulls + mode.k_total]
+    lo = mode.left_nulls
+    hi = lo + mode.k_total - half          # columns taken from spec[:, :hi]
+    return cplx.concatenate([spec[:, half + lo:], spec[:, :hi]], axis=1)
 
 
 def demod_frame(frame_iq: C, mode: T2Mode):
