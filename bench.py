@@ -135,7 +135,7 @@ def main():
     sys.stderr.write(
         f"bench sanity: platform={jax.devices()[0].platform} n_cw={n_cw} "
         f"ldpc_ok={n_ok}/{n_cw} bch_clean={int(np.sum(np.asarray(clean)))} "
-        f"iters={int(iters)} snr={float(snr):.1f} dB\n")
+        f"iters={int(np.max(np.asarray(iters)))} snr={float(snr):.1f} dB\n")
 
     # timed steady-state loop (value read forces completion; the tunnel's
     # block_until_ready does not reliably sync).  reps must be large: the
@@ -146,7 +146,7 @@ def main():
     t0 = time.perf_counter()
     for _ in range(reps):
         out = pipeline(dev_frames)
-    _ = int(np.asarray(out[2]))
+    _ = int(np.asarray(out[2]).max())
     dt = time.perf_counter() - t0
     samples = n_frames * mode.frame_samples * reps
     msps = samples / dt / 1e6
@@ -156,7 +156,7 @@ def main():
     t0 = time.perf_counter()
     for _ in range(reps):
         f_out = fec(llr_probe)
-    _ = int(np.asarray(f_out[2]))
+    _ = int(np.asarray(f_out[2]).max())
     ldpc_dt = time.perf_counter() - t0
     ldpc_mbps = n_pad * 64800 * reps / ldpc_dt / 1e6
     sys.stderr.write(

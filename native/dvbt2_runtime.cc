@@ -69,12 +69,18 @@ uint8_t crc8_bits(const uint8_t* bits, int n) {
 
 struct BbParser {
   std::vector<uint8_t> partial;
-  std::vector<uint8_t> scrambler;   // cached PRBS bits
+  std::vector<uint8_t> scrambler;        // cached PRBS bits
+  std::vector<uint8_t> scrambler_bytes;  // cached PRBS packed to bytes
   int crc = -1;                     // -1 = NM CRC chain not established
   bool synced = false;
   int64_t header_errors = 0;
   int64_t crc_errors = 0;
+  int64_t unsupported = 0;          // frames rejected (ISSY / non-TS MATYPE)
+  int64_t truncated = 0;            // packets dropped: caller buffer full
+  int64_t null_reinserted = 0;      // null packets restored from DNP counts
   int hem = -1;
+  // last parsed MATYPE (reported like bb_de_header.cpp:110-155,497-510)
+  int ts_gs = -1, sis_mis = -1, ccm_acm = -1, issyi = -1, npd = -1, isi = -1;
 
   const uint8_t* prbs(int length) {
     if (static_cast<int>(scrambler.size()) < length) {
@@ -89,7 +95,34 @@ struct BbParser {
     }
     return scrambler.data();
   }
+
+  const uint8_t* prbs_bytes(int n_bytes) {
+    if (static_cast<int>(scrambler_bytes.size()) < n_bytes) {
+      const uint8_t* bits = prbs(n_bytes * 8);
+      scrambler_bytes.resize(n_bytes);
+      for (int i = 0; i < n_bytes; ++i) {
+        uint8_t b = 0;
+        for (int j = 0; j < 8; ++j)
+          b = static_cast<uint8_t>((b << 1) | bits[8 * i + j]);
+        scrambler_bytes[i] = b;
+      }
+    }
+    return scrambler_bytes.data();
+  }
 };
+
+namespace {
+
+// 188-byte TS null packet (PID 0x1FFF), re-inserted for DNP counts.
+void emit_null_packet(uint8_t* out) {
+  out[0] = 0x47;
+  out[1] = 0x1F;
+  out[2] = 0xFF;
+  out[3] = 0x10;
+  std::memset(out + 4, 0xFF, kTsLen - 4);
+}
+
+}  // namespace
 
 extern "C" {
 
@@ -97,19 +130,44 @@ BbParser* bb_parser_new() { return new BbParser(); }
 void bb_parser_free(BbParser* p) { delete p; }
 int64_t bb_parser_header_errors(const BbParser* p) { return p->header_errors; }
 int64_t bb_parser_crc_errors(const BbParser* p) { return p->crc_errors; }
+int64_t bb_parser_unsupported(const BbParser* p) { return p->unsupported; }
+int64_t bb_parser_null_reinserted(const BbParser* p) {
+  return p->null_reinserted;
+}
+int64_t bb_parser_truncated(const BbParser* p) { return p->truncated; }
 int bb_parser_hem(const BbParser* p) { return p->hem; }
+// Last parsed MATYPE, packed: ts_gs<<8 | sis_mis<<7 | ccm_acm<<6 |
+// issyi<<5 | npd<<4 | (isi & 0xF... isi returned separately); -1 = none.
+int bb_parser_matype(const BbParser* p) {
+  if (p->ts_gs < 0) return -1;
+  return (p->ts_gs << 8) | (p->sis_mis << 7) | (p->ccm_acm << 6) |
+         (p->issyi << 5) | (p->npd << 4);
+}
+int bb_parser_isi(const BbParser* p) { return p->isi; }
 
-// frame_bits: k_bch scrambled bits (one byte per bit, values 0/1).
-// out: caller buffer for TS bytes (capacity >= k_bch/8 + 188).
-// Returns the number of TS bytes written (multiple of 188), or -1 on a
-// header CRC failure.
-int bb_parser_parse(BbParser* p, const uint8_t* frame_bits, int k_bch,
-                    uint8_t* out) {
-  std::vector<uint8_t> bits(k_bch);
-  const uint8_t* sc = p->prbs(k_bch);
-  for (int i = 0; i < k_bch; ++i) bits[i] = (frame_bits[i] ^ sc[i]) & 1;
+// frame: k_bch/8 scrambled BB-frame BYTES (MSB-first bit packing — exactly
+// what the device-side pack_bits_t transfer produces).
+// out: caller buffer of out_cap bytes for TS output; packets that would
+// overflow it are dropped and counted in the `truncated` stat (NPD
+// re-insertion can expand output up to 256x, so callers size generously).
+// Returns TS bytes written (multiple of 188), or -1 on header CRC failure.
+// MATYPE handling (parity+: reference only displays these fields,
+// bb_de_header.cpp:110-155,497-510): TS_GS/SIS_MIS/CCM_ACM/ISSYI/NPD/ISI
+// are parsed and exposed via accessors; NPD streams have their deleted
+// null packets re-inserted from the per-UP DNP count; ISSYI or non-TS
+// streams are rejected loudly (unsupported counter, no silent desync).
+int bb_parser_parse_bytes(BbParser* p, const uint8_t* frame, int n_bytes,
+                          uint8_t* out, int64_t out_cap) {
+  std::vector<uint8_t> data_buf(n_bytes);
+  const uint8_t* sc = p->prbs_bytes(n_bytes);
+  for (int i = 0; i < n_bytes; ++i) data_buf[i] = frame[i] ^ sc[i];
+  const uint8_t* b = data_buf.data();
 
-  uint8_t check = crc8_bits(bits.data(), kHeaderBits);
+  // header CRC-8 runs bit-serial over the 80 header bits
+  uint8_t hdr_bits[kHeaderBits];
+  for (int i = 0; i < kHeaderBits; ++i)
+    hdr_bits[i] = (b[i / 8] >> (7 - i % 8)) & 1;
+  uint8_t check = crc8_bits(hdr_bits, kHeaderBits);
   bool hem;
   if (check == 0) {
     hem = false;
@@ -122,28 +180,29 @@ int bb_parser_parse(BbParser* p, const uint8_t* frame_bits, int k_bch,
   }
   p->hem = hem ? 1 : 0;
 
-  auto get16 = [&](int pos) {
-    int v = 0;
-    for (int i = 0; i < 16; ++i) v = (v << 1) | bits[pos + i];
-    return v;
-  };
-  int dfl = get16(32);
-  int syncd = get16(56);
-  if (dfl <= 0 || kHeaderBits + dfl > k_bch) return 0;
-
-  // pack the data field into bytes
-  int dfl_bytes = dfl / 8;
-  std::vector<uint8_t> data(dfl_bytes);
-  for (int i = 0; i < dfl_bytes; ++i) {
-    uint8_t b = 0;
-    const uint8_t* src = bits.data() + kHeaderBits + 8 * i;
-    for (int j = 0; j < 8; ++j) b = static_cast<uint8_t>((b << 1) | src[j]);
-    data[i] = b;
+  uint8_t matype1 = b[0];
+  p->ts_gs = matype1 >> 6;
+  p->sis_mis = (matype1 >> 5) & 1;
+  p->ccm_acm = (matype1 >> 4) & 1;
+  p->issyi = (matype1 >> 3) & 1;
+  p->npd = (matype1 >> 2) & 1;
+  p->isi = p->sis_mis ? -1 : b[1];  // MATYPE-2 carries ISI when MIS
+  if (p->ts_gs != 0b11 || p->issyi) {
+    // generic streams / ISSY timestamps are not consumed by this TS
+    // output path — reject the frame loudly instead of desyncing
+    p->unsupported++;
+    p->synced = false;
+    return 0;
   }
 
-  int unit = hem ? kTsLen - 1 : kTsLen;
-  const uint8_t* d = data.data();
-  int n = dfl_bytes;
+  int dfl = (b[4] << 8) | b[5];
+  int syncd = (b[7] << 8) | b[8];
+  if (dfl <= 0 || kHeaderBits + dfl > n_bytes * 8) return 0;
+
+  // UP length in the data field: TS payload (+1 DNP byte when NPD)
+  int unit = (hem ? kTsLen - 1 : kTsLen) + (p->npd ? 1 : 0);
+  const uint8_t* d = b + kHeaderBits / 8;
+  int n = dfl / 8;
   if (syncd == 0xFFFF) {
     // continuation-only frame: everything extends the in-flight packet
     if (!p->synced) return 0;
@@ -177,23 +236,67 @@ int bb_parser_parse(BbParser* p, const uint8_t* frame_bits, int k_bch,
   int n_units = static_cast<int>(stream.size()) / unit;
   p->partial.assign(stream.begin() + n_units * unit, stream.end());
 
+  int payload = hem ? kTsLen - 1 : kTsLen;   // bytes before any DNP suffix
   int written = 0;
   for (int u = 0; u < n_units; ++u) {
     const uint8_t* up = stream.data() + u * unit;
+    if (p->npd) {
+      // DNP byte appended to each UP counts the null packets deleted
+      // immediately before it (EN 302 755 clause 5.1.5) — restore them
+      int dnp = up[payload];
+      p->null_reinserted += dnp;
+      for (int z = 0; z < dnp && written + kTsLen <= out_cap; ++z) {
+        emit_null_packet(out + written);
+        written += kTsLen;
+      }
+    }
+    if (written + kTsLen > out_cap) { p->truncated++; break; }
     out[written] = 0x47;
     if (hem) {
-      std::memcpy(out + written + 1, up, unit);
+      std::memcpy(out + written + 1, up, payload);
     } else {
-      std::memcpy(out + written + 1, up + 1, unit - 1);
+      std::memcpy(out + written + 1, up + 1, payload - 1);
       if (p->crc >= 0 && p->crc != up[0]) {
         p->crc_errors++;
         out[written + 1] |= kTeiFlag;
       }
-      p->crc = crc8_bytes(up + 1, unit - 1);
+      p->crc = crc8_bytes(up + 1, payload - 1);
     }
     written += kTsLen;
   }
   return written;
+}
+
+// Batched packed-bytes parse: n_frames rows of bytes_each scrambled
+// BB-frame bytes.  Header-CRC failures are skipped (counters advance).
+// Returns total TS bytes written.
+int64_t bb_parser_parse_batch(BbParser* p, const uint8_t* frames,
+                              int n_frames, int bytes_each, uint8_t* out,
+                              int64_t out_cap) {
+  int64_t written = 0;
+  for (int f = 0; f < n_frames; ++f) {
+    int n = bb_parser_parse_bytes(p, frames + static_cast<int64_t>(f) *
+                                  bytes_each, bytes_each, out + written,
+                                  out_cap - written);
+    if (n > 0) written += n;
+  }
+  return written;
+}
+
+// Legacy bit-array interface (one byte per bit) — packs and delegates.
+int bb_parser_parse(BbParser* p, const uint8_t* frame_bits, int k_bch,
+                    uint8_t* out) {
+  std::vector<uint8_t> bytes(k_bch / 8);
+  for (int i = 0; i < static_cast<int>(bytes.size()); ++i) {
+    uint8_t v = 0;
+    for (int j = 0; j < 8; ++j)
+      v = static_cast<uint8_t>((v << 1) | (frame_bits[8 * i + j] & 1));
+    bytes[i] = v;
+  }
+  // legacy contract: out capacity k_bch/8 + 188 (no NPD expansion slack)
+  return bb_parser_parse_bytes(p, bytes.data(),
+                               static_cast<int>(bytes.size()), out,
+                               k_bch / 8 + kTsLen);
 }
 
 uint8_t dvbt2_crc8_bytes(const uint8_t* data, int n) {

@@ -94,22 +94,32 @@ class BBFramePacker:
     def __post_init__(self):
         self._pending = np.empty(0, dtype=np.uint8)   # unit-stream bytes
         self._offset_in_packet = 0                    # bytes already sent
-        self._unit = TS_LEN - 1 if self.hem else TS_LEN
+        self._unit = (TS_LEN - 1 if self.hem else TS_LEN) \
+            + (1 if self.npd else 0)
         self._last_crc = 0
+        self._dnp = 0                                 # nulls deleted so far
 
     def _push_packets(self, ts: np.ndarray):
         ts = np.asarray(ts, dtype=np.uint8).reshape(-1, TS_LEN)
         assert (ts[:, 0] == 0x47).all(), "TS packets must start with 0x47"
-        if self.hem:
-            units = ts[:, 1:]
-        else:
-            # replace sync byte with CRC-8 of previous packet payload
-            units = ts.copy()
-            for i in range(len(units)):
-                crc = crc8_bytes(units[i, 1:])
-                units[i, 0] = self._last_crc
+        units = []
+        for pkt in ts:
+            if self.npd and pkt[1] == 0x1F and pkt[2] == 0xFF \
+                    and self._dnp < 255:
+                self._dnp += 1          # delete null packet, bump DNP count
+                continue
+            body = pkt[1:] if self.hem else pkt.copy()
+            if not self.hem:
+                # replace sync byte with CRC-8 of previous packet payload
+                crc = crc8_bytes(body[1:])
+                body[0] = self._last_crc
                 self._last_crc = crc
-        self._pending = np.concatenate([self._pending, units.reshape(-1)])
+            if self.npd:
+                body = np.concatenate([body, [np.uint8(self._dnp)]])
+                self._dnp = 0
+            units.append(body)
+        if units:
+            self._pending = np.concatenate([self._pending] + units)
 
     def pack(self, ts_stream: np.ndarray) -> list[np.ndarray]:
         """Feed TS bytes; returns list of K_bch-bit scrambled BB frames."""
@@ -159,21 +169,47 @@ class _PlpState:
     synced: bool = False
 
 
+_NULL_PACKET = np.concatenate(
+    [np.array([0x47, 0x1F, 0xFF, 0x10], np.uint8),
+     np.full(TS_LEN - 4, 0xFF, np.uint8)])
+
+
 class BBFrameParser:
-    """Reassembles TS packets from descrambled BB frames (one PLP)."""
+    """Reassembles TS packets from descrambled BB frames (one PLP).
+
+    MATYPE fields (TS_GS/SIS_MIS/CCM_ACM/ISSYI/NPD/ISI,
+    bb_de_header.cpp:110-155) are parsed and exposed via ``matype``;
+    NPD streams get their deleted null packets re-inserted from the DNP
+    byte appended to each UP; ISSY or non-TS streams are rejected loudly
+    (``unsupported`` counter) rather than silently desyncing.
+    """
 
     def __init__(self):
         self.state = _PlpState()
         self.mode_hem: bool | None = None
         self.header_errors = 0
         self.crc_errors = 0
+        self.unsupported = 0
+        self.null_reinserted = 0
+        self.truncated = 0
+        self.matype: dict | None = None
 
     def parse(self, frame_bits: np.ndarray) -> np.ndarray:
-        """Descrambled K_bch bits -> TS bytes recovered from this frame."""
+        """Scrambled K_bch bits (one per byte) -> TS bytes."""
+        return self.parse_bytes(_bytes_of_bits(frame_bits))
+
+    def parse_batch(self, frames_bytes: np.ndarray) -> np.ndarray:
+        out = [self.parse_bytes(f) for f in np.asarray(frames_bytes)]
+        out = [o for o in out if len(o)]
+        return (np.concatenate(out) if out else np.empty(0, np.uint8))
+
+    def parse_bytes(self, frame_bytes: np.ndarray) -> np.ndarray:
+        """One packed scrambled BB frame (k_bch/8 bytes) -> TS bytes."""
         from ..params import prbs
-        bits = np.asarray(frame_bits, dtype=np.uint8)
-        bits = bits ^ prbs.bb_scrambler(len(bits))
-        check = crc8_bits(bits[:HEADER_BITS])
+        raw = np.asarray(frame_bytes, dtype=np.uint8)
+        by = raw ^ _bytes_of_bits(prbs.bb_scrambler(len(raw) * 8))
+        hdr_bits = _bits_of_bytes(by[:HEADER_BITS // 8])
+        check = crc8_bits(hdr_bits)
         if check == 0:
             hem = False
         elif check == CRC8_POLY_REFLECTED:
@@ -183,10 +219,23 @@ class BBFrameParser:
             self.state.synced = False
             return np.empty(0, dtype=np.uint8)
         self.mode_hem = hem
-        dfl = int(_bytes_of_bits(bits[32:48])[0]) << 8 | int(_bytes_of_bits(bits[32:48])[1])
-        syncd = int(_bytes_of_bits(bits[56:72])[0]) << 8 | int(_bytes_of_bits(bits[56:72])[1])
-        data = _bytes_of_bits(bits[HEADER_BITS:HEADER_BITS + dfl])
-        unit = TS_LEN - 1 if hem else TS_LEN
+        matype1 = int(by[0])
+        self.matype = dict(
+            ts_gs=matype1 >> 6, sis_mis=(matype1 >> 5) & 1,
+            ccm_acm=(matype1 >> 4) & 1, issyi=(matype1 >> 3) & 1,
+            npd=(matype1 >> 2) & 1,
+            isi=-1 if (matype1 >> 5) & 1 else int(by[1]))
+        if self.matype["ts_gs"] != 0b11 or self.matype["issyi"]:
+            self.unsupported += 1
+            self.state.synced = False
+            return np.empty(0, dtype=np.uint8)
+        npd = bool(self.matype["npd"])
+        dfl = int(by[4]) << 8 | int(by[5])
+        syncd = int(by[7]) << 8 | int(by[8])
+        if dfl <= 0 or HEADER_BITS + dfl > len(raw) * 8:
+            return np.empty(0, dtype=np.uint8)
+        data = by[HEADER_BITS // 8:HEADER_BITS // 8 + dfl // 8]
+        unit = (TS_LEN - 1 if hem else TS_LEN) + (1 if npd else 0)
         st = self.state
         out = []
         if syncd == 65535:
@@ -212,7 +261,15 @@ class BBFrameParser:
         n_units = len(stream) // unit
         st.partial = stream[n_units * unit:]
         units = stream[:n_units * unit].reshape(-1, unit)
+        payload_len = TS_LEN - 1 if hem else TS_LEN
         for u in units:
+            if npd:
+                # DNP byte appended to each UP: deleted null packets
+                # immediately before it (EN 302 755 clause 5.1.5)
+                dnp = int(u[payload_len])
+                self.null_reinserted += dnp
+                out.extend([_NULL_PACKET] * dnp)
+                u = u[:payload_len]
             if hem:
                 pkt = np.concatenate([[0x47], u]).astype(np.uint8)
             else:

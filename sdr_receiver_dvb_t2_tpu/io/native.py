@@ -43,12 +43,23 @@ def load():
     lib.bb_parser_free.argtypes = [ctypes.c_void_p]
     lib.bb_parser_parse.restype = ctypes.c_int
     lib.bb_parser_parse.argtypes = [ctypes.c_void_p, u8p, ctypes.c_int, u8p]
-    lib.bb_parser_header_errors.restype = ctypes.c_int64
-    lib.bb_parser_header_errors.argtypes = [ctypes.c_void_p]
-    lib.bb_parser_crc_errors.restype = ctypes.c_int64
-    lib.bb_parser_crc_errors.argtypes = [ctypes.c_void_p]
+    lib.bb_parser_parse_bytes.restype = ctypes.c_int
+    lib.bb_parser_parse_bytes.argtypes = [ctypes.c_void_p, u8p, ctypes.c_int,
+                                          u8p, ctypes.c_int64]
+    lib.bb_parser_parse_batch.restype = ctypes.c_int64
+    lib.bb_parser_parse_batch.argtypes = [ctypes.c_void_p, u8p, ctypes.c_int,
+                                          ctypes.c_int, u8p, ctypes.c_int64]
+    for name in ("header_errors", "crc_errors", "unsupported",
+                 "null_reinserted", "truncated"):
+        fn = getattr(lib, f"bb_parser_{name}")
+        fn.restype = ctypes.c_int64
+        fn.argtypes = [ctypes.c_void_p]
     lib.bb_parser_hem.restype = ctypes.c_int
     lib.bb_parser_hem.argtypes = [ctypes.c_void_p]
+    lib.bb_parser_matype.restype = ctypes.c_int
+    lib.bb_parser_matype.argtypes = [ctypes.c_void_p]
+    lib.bb_parser_isi.restype = ctypes.c_int
+    lib.bb_parser_isi.argtypes = [ctypes.c_void_p]
     lib.dvbt2_crc8_bytes.restype = ctypes.c_uint8
     lib.dvbt2_crc8_bytes.argtypes = [u8p, ctypes.c_int]
     lib.iq_ring_new.restype = ctypes.c_void_p
@@ -82,12 +93,36 @@ class NativeBBFrameParser:
         self._out = np.empty(1 << 16, dtype=np.uint8)
 
     def parse(self, frame_bits: np.ndarray) -> np.ndarray:
-        bits = np.ascontiguousarray(frame_bits, dtype=np.uint8)
-        n = self._lib.bb_parser_parse(self._h, _as_u8p(bits), len(bits),
-                                      _as_u8p(self._out))
+        """Bit-array interface (one byte per bit); packs and delegates so
+        NPD re-insertion gets the full-size output buffer."""
+        return self.parse_bytes(np.packbits(
+            np.ascontiguousarray(frame_bits, dtype=np.uint8)))
+
+    def parse_bytes(self, frame_bytes: np.ndarray) -> np.ndarray:
+        """One packed (scrambled) BB frame of k_bch/8 bytes -> TS bytes."""
+        b = np.ascontiguousarray(frame_bytes, dtype=np.uint8)
+        cap = max(len(self._out), 64 * len(b))
+        if cap > len(self._out):
+            self._out = np.empty(cap, dtype=np.uint8)
+        n = self._lib.bb_parser_parse_bytes(self._h, _as_u8p(b), len(b),
+                                            _as_u8p(self._out), cap)
         if n <= 0:
             return np.empty(0, dtype=np.uint8)
         return self._out[:n].copy()
+
+    def parse_batch(self, frames_bytes: np.ndarray) -> np.ndarray:
+        """[n_frames, k_bch/8] packed scrambled BB frames -> TS bytes.
+
+        One native call for the whole LDPC batch — replaces the per-codeword
+        Python loop on the streaming path (models/receiver.py).
+        """
+        f = np.ascontiguousarray(frames_bytes, dtype=np.uint8)
+        n_frames, bytes_each = f.shape
+        cap = 8 * n_frames * bytes_each + 256 * 188
+        out = np.empty(cap, dtype=np.uint8)
+        n = self._lib.bb_parser_parse_batch(self._h, _as_u8p(f), n_frames,
+                                            bytes_each, _as_u8p(out), cap)
+        return out[:n]
 
     @property
     def header_errors(self) -> int:
@@ -96,6 +131,28 @@ class NativeBBFrameParser:
     @property
     def crc_errors(self) -> int:
         return self._lib.bb_parser_crc_errors(self._h)
+
+    @property
+    def unsupported(self) -> int:
+        return self._lib.bb_parser_unsupported(self._h)
+
+    @property
+    def null_reinserted(self) -> int:
+        return self._lib.bb_parser_null_reinserted(self._h)
+
+    @property
+    def truncated(self) -> int:
+        return self._lib.bb_parser_truncated(self._h)
+
+    @property
+    def matype(self) -> dict | None:
+        """Last parsed MATYPE fields (the reference's L1/BB display set)."""
+        v = self._lib.bb_parser_matype(self._h)
+        if v < 0:
+            return None
+        return dict(ts_gs=v >> 8, sis_mis=(v >> 7) & 1, ccm_acm=(v >> 6) & 1,
+                    issyi=(v >> 5) & 1, npd=(v >> 4) & 1,
+                    isi=self._lib.bb_parser_isi(self._h))
 
     @property
     def mode_hem(self):

@@ -56,7 +56,7 @@ class FrameBatchResult:
     bch_clean: np.ndarray
     bch_corrected: np.ndarray
     snr_db: float
-    ldpc_iters: int
+    ldpc_iters: np.ndarray          # per-codeword first-clean iteration
     diag: dict
 
 
@@ -168,29 +168,31 @@ class TpuReceiver:
         else:
             llr_in = llr_t
         hard_t, ok, iters = decoder(llr_in)
-        hard_t, ok = hard_t[:, :n_cw], ok[:n_cw]
+        hard_t, ok, iters = hard_t[:, :n_cw], ok[:n_cw], iters[:n_cw]
         clean = bch_ops.syndrome_flags_t(hard_t[:self.plp.n_bch], self.plp)
+        # pack bits to bytes ON DEVICE: the device->host transfer shrinks 8x
+        # and the host receives BB-frame bytes directly (n_bch rather than
+        # k_bch so the rare dirty codewords can be BCH-corrected host-side
+        # without a second device round trip)
+        packed = bch_ops.pack_bits_t(hard_t[:self.plp.n_bch])
 
-        hard_np = np.asarray(hard_t[:self.plp.n_bch], dtype=np.uint8).T
+        packed_np = np.asarray(packed, dtype=np.uint8).T   # [n_cw, n_bch/8]
         clean_np = np.asarray(clean)
         corrected = np.zeros(n_cw, dtype=np.int64)
-        bb_frames = []
-        for i in range(n_cw):
-            if clean_np[i]:
-                bb_frames.append(hard_np[i, :self.plp.k_bch])
-            else:
-                bits, nerr = bch_ops.correct_host(hard_np[i], self.plp)
-                corrected[i] = nerr
-                bb_frames.append(bits)
-        ts = [self.bb.parse(f) for f in bb_frames]
-        ts_bytes = (np.concatenate([t for t in ts if len(t)])
-                    if any(len(t) for t in ts) else np.empty(0, np.uint8))
+        kb = self.plp.k_bch // 8
+        frames_bytes = np.ascontiguousarray(packed_np[:, :kb])
+        for i in np.nonzero(~clean_np)[0]:
+            bits = np.unpackbits(packed_np[i])[:self.plp.n_bch]
+            fixed, nerr = bch_ops.correct_host(bits, self.plp)
+            corrected[i] = nerr
+            frames_bytes[i] = np.packbits(fixed)
+        ts_bytes = self.bb.parse_batch(frames_bytes)
         return FrameBatchResult(
             ts_bytes=ts_bytes,
             ldpc_ok=np.asarray(ok),
             bch_clean=clean_np,
             bch_corrected=corrected,
             snr_db=float(np.mean(np.asarray(diags["snr_db"]))),
-            ldpc_iters=int(iters),
+            ldpc_iters=np.asarray(iters),
             diag={k: np.asarray(v) for k, v in diags.items()},
         )

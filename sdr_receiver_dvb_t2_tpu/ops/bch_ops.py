@@ -49,6 +49,22 @@ def syndrome_flags_t(bits_t: jnp.ndarray, plp: PlpConfig) -> jnp.ndarray:
     return jnp.logical_not(jnp.any((s & 1).astype(bool), axis=0))
 
 
+def pack_bits_t(bits_t: jnp.ndarray) -> jnp.ndarray:
+    """[n, W] hard bits (0/1 int8) -> [n//8, W] uint8, MSB-first per byte.
+
+    Device-side byte packing before the device->host transfer: the TS
+    output path moves 8x fewer bytes and the host receives BB-frame BYTES
+    directly (np.packbits convention), so de-encapsulation needs no
+    unpack.  n must be a multiple of 8 (every DVB-T2 K_bch/N_bch is).
+    """
+    n, w = bits_t.shape
+    assert n % 8 == 0, n
+    x = bits_t.astype(jnp.int32).reshape(n // 8, 8, w)
+    weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1],
+                          jnp.int32).reshape(1, 8, 1)
+    return jnp.sum(x * weights, axis=1).astype(jnp.uint8)
+
+
 def correct_host(cw_bits: np.ndarray, plp: PlpConfig):
     """Host-side BM/Chien correction; [n_bch] -> (k_bch bits, n_err)."""
     fixed, nerr = bch.decode(cw_bits, plp.bch_m, plp.bch_t)

@@ -85,7 +85,8 @@ def _check_update(stacked, mask, c2v, beta):
 
 
 def make_decoder(table_name: str, max_iters: int = 15, beta: float = 1.0):
-    """Returns decode(llr[B, N]) -> (hard_bits[B, N] int8, ok[B] bool, iters)."""
+    """Returns decode(llr[B, N]) -> (hard_bits[B, N] int8, ok[B] bool,
+    iters[B] int32 per-codeword first-clean iteration)."""
     plan = get_plan(table_name)
     k, r, q, cnl, g_data = plan.k, plan.r, plan.q, plan.cnl, plan.g_data
     c_total = cnl + 2
@@ -150,27 +151,31 @@ def make_decoder(table_name: str, max_iters: int = 15, beta: float = 1.0):
         ch_par = llr[:, k:]
         c2v0 = jnp.zeros((b, q, c_total, M), jnp.float32)
         stacked0 = align(ch_data, ch_par)
-        done0 = jnp.all(syndrome_ok(stacked0))
+        ok0 = syndrome_ok(stacked0)
 
         def cond(state):
-            it, done = state[-2], state[-1]
+            it, done = state[-3], state[-1]
             return jnp.logical_and(it < max_iters, jnp.logical_not(done))
 
         def body(state):
-            c2v, stacked, lam_data, lam_par, it, _ = state
+            c2v, stacked, lam_data, lam_par, it, first, _ = state
             c2v = _check_update(stacked, _mask, c2v, beta)
             lam_data, lam_par = back(c2v, ch_data, ch_par)
             stacked = align(lam_data, lam_par)
-            done = jnp.all(syndrome_ok(stacked))
-            return c2v, stacked, lam_data, lam_par, it + 1, done
+            okv = syndrome_ok(stacked)
+            first = jnp.where(jnp.logical_and(first < 0, okv), it + 1, first)
+            return (c2v, stacked, lam_data, lam_par, it + 1, first,
+                    jnp.all(okv))
 
-        state = (c2v0, stacked0, ch_data, ch_par, 0, done0)
-        _, stacked, lam_data, lam_par, iters, _ = jax.lax.while_loop(
+        first0 = jnp.where(ok0, 0, -1)
+        state = (c2v0, stacked0, ch_data, ch_par, 0, first0, jnp.all(ok0))
+        _, stacked, lam_data, lam_par, _, first, _ = jax.lax.while_loop(
             cond, body, state)
         ok = syndrome_ok(stacked)
+        iters = jnp.where(ok, jnp.maximum(first, 0), max_iters)
         hard = jnp.concatenate(
             [(lam_data < 0).reshape(b, k), lam_par < 0], axis=1)
-        return hard.astype(jnp.int8), ok, iters
+        return hard.astype(jnp.int8), ok, iters.astype(jnp.int32)
 
     return decode
 

@@ -44,16 +44,34 @@ _BIG = 3.0e4
 
 
 def _build_tables(plan):
+    """Per-row edge tables, slot-permuted so that within every check row a
+    repeated variable group (the tables have up to two edges into the same
+    360-group per row) lands in the LAST slots.  Slot order is free — the
+    min-sum row update is commutative — and this permutation lets pass 2
+    use the fused rolled write (lam <- roll(t + msg), no posterior re-read)
+    for every slot that is a FIRST occurrence in all rows; only the tail
+    slots fall back to the read-modify-write delta update.
+
+    Returns (g_tab, s_tab, cnt, rmw): rmw = sorted slot indices that are a
+    second occurrence of their group in at least one row.
+    """
     q, cnl = plan.q, plan.cnl
     g_tab = np.zeros((q, cnl), dtype=np.int32)
     s_tab = np.zeros((q, cnl), dtype=np.int32)
     cnt = np.zeros((q,), dtype=np.int32)
+    rmw = set()
     for i, es in enumerate(plan.edges_by_row):
-        cnt[i] = len(es)
-        for slot, (g, s, _) in enumerate(es):
+        seen, first, dups = set(), [], []
+        for g, s, _ in es:
+            (dups if g in seen else first).append((g, s))
+            seen.add(g)
+        es2 = first + dups
+        cnt[i] = len(es2)
+        for slot, (g, s) in enumerate(es2):
             g_tab[i, slot] = g
             s_tab[i, slot] = s
-    return g_tab, s_tab, cnt
+        rmw.update(range(len(first), len(es2)))
+    return g_tab, s_tab, cnt, sorted(rmw)
 
 
 def kernel_bit_order(table_name: str) -> "np.ndarray":
@@ -78,7 +96,9 @@ def kernel_bit_order(table_name: str) -> "np.ndarray":
 def make_pallas_decoder(table_name: str, batch: int = 128,
                         max_iters: int = 15, beta: float = 1.0,
                         n_tiles: int = 1, interpret: bool = False):
-    """Returns decode(llr_T[N, W]) -> (hard_T[k, W] int8, ok[W] bool, iters).
+    """Returns decode(llr_T[N, W]) -> (hard_T[k, W] int8, ok[W] bool,
+    iters[W] int32 — per-codeword first-clean iteration, the reference's
+    trials statistic).
 
     Transposed, kernel-ordered interface: llr_T rows are kernel bit rows
     (see kernel_bit_order), columns are W = batch * n_tiles codewords.
@@ -91,17 +111,16 @@ def make_pallas_decoder(table_name: str, batch: int = 128,
     k, r, q, cnl, g_data = plan.k, plan.r, plan.q, plan.cnl, plan.g_data
     c_tot = cnl + 2
     B = batch
-    g_tab_np, s_tab_np, cnt_np = _build_tables(plan)
+    g_tab_np, s_tab_np, cnt_np, rmw_slots = _build_tables(plan)
     # every NORMAL table (and most SHORT) has identical weight for all
     # check rows; the per-slot validity masking then folds away statically
     uniform = bool((cnt_np == cnl).all())
 
     def kernel(g_tab, s_tab, cnt_tab, ch_data, ch_par,
                hard_ref, ok_ref,
-               tbuf, c2v, lam_ref, par_ref, unsat_ref):
+               tbuf, c2v, lam_ref, par_ref, unsat_ref, first_ref):
         sub_iota = jax.lax.broadcasted_iota(jnp.int32, (M, B), 0)
         sub0_mask = sub_iota == 0
-        sub_last_mask = sub_iota == M - 1
         # initialize posteriors from channel LLRs, zero the message memory
         lam_ref[...] = ch_data[...].reshape(g_data, M, B)
         par_ref[...] = ch_par[...].reshape(q, M, B)
@@ -163,9 +182,10 @@ def make_pallas_decoder(table_name: str, batch: int = 128,
             # parity prev slot (index cnl+1)
             ip = jnp.where(i > 0, i - 1, q - 1)
             p_prev_raw = par_ref[pl.ds(ip, 1)].reshape(M, B).astype(jnp.float32)
+            p_prev_roll1 = pltpu.roll(p_prev_raw, 1, axis=0)
             p_prev = jnp.where(
                 i > 0, p_prev_raw,
-                jnp.where(sub0_mask, _BIG, pltpu.roll(p_prev_raw, 1, axis=0)))
+                jnp.where(sub0_mask, _BIG, p_prev_roll1))
             old_prev = c2v[i, cnl + 1].astype(jnp.float32)
             t = jnp.where(p_prev >= _BIG, _BIG, p_prev - old_prev)
             tbuf[cnl + 1] = t.astype(jnp.bfloat16)
@@ -187,44 +207,61 @@ def make_pallas_decoder(table_name: str, batch: int = 128,
             # ---------------- pass 2: emit messages, update -------------
             def emit(slot):
                 t = tbuf[slot].astype(jnp.float32)
-                old = c2v[i, slot].astype(jnp.float32)
                 mag_out = jnp.where(idx == slot, m2, m1)
-                t_neg = t < 0
-                out_neg = jnp.logical_xor(sign_par, t_neg)
+                out_neg = jnp.logical_xor(sign_par, t < 0)
                 msg = jnp.clip(jnp.where(out_neg, -mag_out, mag_out), -32.0, 31.0)
-                delta = msg - old
-                return msg, delta
+                return t, msg
 
-            def update_slot(slot):
-                msg, delta = emit(slot)
+            def update_slot_fused(slot):
+                # layered update in the ROLLED domain: lam_new = lam + msg
+                # - old = (t + old) + msg - old = t + msg, written back with
+                # one inverse roll — no posterior re-read, no delta.  Valid
+                # because _build_tables guarantees this slot's group is not
+                # touched by any earlier slot of the same row.
+                t, msg = emit(slot)
+                g = g_tab[i, slot]
+                s = s_tab[i, slot]
+                upd = jnp.clip(t + msg, -127.0, 127.0)
+                lam_ref[pl.ds(g, 1)] = pltpu.roll(
+                    upd, jnp.mod(M - s, M), axis=0
+                ).astype(jnp.bfloat16).reshape(1, M, B)
+                c2v[i, slot] = msg.astype(jnp.int8)
+
+            def update_slot_rmw(slot):
+                # a later duplicate of a group already updated this row:
+                # accumulate via the posterior (always-correct delta form)
+                t, msg = emit(slot)
+                old = c2v[i, slot].astype(jnp.float32)
                 g = g_tab[i, slot]
                 s = s_tab[i, slot]
                 lam_g = lam_ref[pl.ds(g, 1)].reshape(M, B).astype(jnp.float32)
-                upd = lam_g + pltpu.roll(delta, jnp.mod(M - s, M), axis=0)
+                upd = lam_g + pltpu.roll(msg - old, jnp.mod(M - s, M), axis=0)
                 upd = jnp.clip(upd, -127.0, 127.0)
                 lam_ref[pl.ds(g, 1)] = upd.astype(jnp.bfloat16).reshape(1, M, B)
                 c2v[i, slot] = msg.astype(jnp.int8)
 
             for slot in range(cnl):
+                upd_fn = (update_slot_rmw if slot in rmw_slots
+                          else update_slot_fused)
                 if uniform:
-                    update_slot(slot)
+                    upd_fn(slot)
                 else:
-                    pl.when(slot < cnt_i)(lambda s=slot: update_slot(s))
+                    pl.when(slot < cnt_i)(lambda s=slot, f=upd_fn: f(s))
 
-            msg, delta = emit(cnl)
-            p_self = par_ref[pl.ds(i, 1)].reshape(M, B).astype(jnp.float32)
-            par_ref[pl.ds(i, 1)] = jnp.clip(p_self + delta, -127.0, 127.0
+            t, msg = emit(cnl)
+            par_ref[pl.ds(i, 1)] = jnp.clip(t + msg, -127.0, 127.0
                                             ).astype(jnp.bfloat16).reshape(1, M, B)
             c2v[i, cnl] = msg.astype(jnp.int8)
 
-            msg, delta = emit(cnl + 1)
-            delta = jnp.where(valid_prev, delta, 0.0)
-            delta_b = jnp.where(
-                i > 0, delta,
-                jnp.where(sub_last_mask, 0.0, pltpu.roll(delta, M - 1, axis=0)))
-            p_tgt = par_ref[pl.ds(ip, 1)].reshape(M, B).astype(jnp.float32)
-            par_ref[pl.ds(ip, 1)] = jnp.clip(p_tgt + delta_b, -127.0, 127.0
-                                             ).astype(jnp.bfloat16).reshape(1, M, B)
+            t, msg = emit(cnl + 1)
+            # fused write for the staircase neighbour: invalid lanes (the
+            # wrapped sublane 0 of row 0) keep their original value, which
+            # in the rolled domain is p_prev_roll1
+            upd = jnp.where(valid_prev, jnp.clip(t + msg, -127.0, 127.0),
+                            p_prev_roll1)
+            par_ref[pl.ds(ip, 1)] = pltpu.roll(
+                upd, jnp.where(i > 0, 0, M - 1), axis=0
+            ).astype(jnp.bfloat16).reshape(1, M, B)
             c2v[i, cnl + 1] = jnp.where(valid_prev, msg, 0.0).astype(jnp.int8)
             return 0
 
@@ -236,13 +273,23 @@ def make_pallas_decoder(table_name: str, batch: int = 128,
             it, _ = state
             unsat_ref[0] = jnp.zeros((1, B), jnp.float32)
             jax.lax.fori_loop(0, q, layer_body, 0)
+            clean = unsat_ref[0] == 0.0                  # [1, B] per codeword
+            # first iteration whose (pre-update, layered) syndrome sweep saw
+            # every check clean — the reference's per-codeword trials stat
+            # (ldpc_decoder.cpp:242-270); 0 = not yet clean
+            first_ref[...] = jnp.where(
+                jnp.logical_and(first_ref[...] == 0.0, clean),
+                jnp.float32(it + 1), first_ref[...])
             done = jnp.sum(unsat_ref[0]) == 0.0
             return it + 1, done
 
+        first_ref[...] = jnp.zeros((1, B), jnp.float32)
         it, _ = jax.lax.while_loop(iter_cond, iter_body, (0, False))
         hard_ref[...] = (lam_ref[...].astype(jnp.float32) < 0).astype(jnp.int8).reshape(k, B)
-        ok = jnp.broadcast_to((unsat_ref[0] == 0.0), (1, 1, B)).astype(jnp.int8)
-        itv = jnp.full((1, 7, B), it, jnp.int8)
+        okb = unsat_ref[0] == 0.0                            # [1, B] bool
+        ok = jnp.broadcast_to(okb, (1, 1, B)).astype(jnp.int8)
+        trials = jnp.where(okb, first_ref[...], jnp.float32(max_iters))
+        itv = jnp.broadcast_to(trials.astype(jnp.int8), (1, 7, B))
         ok_ref[...] = jnp.concatenate([ok, itv], axis=1)
 
     g_tab = g_tab_np
@@ -270,6 +317,7 @@ def make_pallas_decoder(table_name: str, batch: int = 128,
             pltpu.VMEM((g_data, M, B), jnp.bfloat16),    # lam posteriors
             pltpu.VMEM((q, M, B), jnp.bfloat16),         # parity posteriors
             pltpu.VMEM((1, 1, B), jnp.float32),          # unsat
+            pltpu.VMEM((1, B), jnp.float32),             # first-clean iter
         ],
     )
 
@@ -300,7 +348,7 @@ def make_pallas_decoder(table_name: str, batch: int = 128,
         else:
             hard_t, stats = pallas_fn(g_tab, s_tab, cnt_tab, x[:k], x[k:])
         ok = stats[:, 0, :].reshape(T * B).astype(bool)
-        iters = jnp.max(stats[:, 1, :].astype(jnp.int32))
+        iters = stats[:, 1, :].reshape(T * B).astype(jnp.int32)
         return hard_t, ok, iters
 
     return decode

@@ -69,8 +69,10 @@ def _axis_llrs(v, per_axis, norm, precision):
     return out
 
 
-def demap_cells_multi(cells: C, n_frames: int, plan: DemapPlan):
-    """Multi-frame demap: cells [W, n_cells] -> (stream [W, N], snr [F]).
+def demap_cells_planes(cells: C, n_frames: int, plan: DemapPlan):
+    """Multi-frame demap to per-bit planes: cells [W, n_cells] ->
+    (planes list of eta int8 [W, n_cells] arrays in stream-stack order
+    [i0, q0, i1, q1, ...], snr_db [F]).
 
     W = n_frames * n_fec codeword rows; SNR/precision computed per frame
     over its row block (matching the reference's per-frame adaptation).
@@ -103,5 +105,12 @@ def demap_cells_multi(cells: C, n_frames: int, plan: DemapPlan):
         # materializes 105 MB instead of 420 MB per 8-frame batch
         bits.append(jnp.clip(a, -127, 127).astype(jnp.int8))
         bits.append(jnp.clip(b, -127, 127).astype(jnp.int8))
+    return bits, snr_db
+
+
+def demap_cells_multi(cells: C, n_frames: int, plan: DemapPlan):
+    """Multi-frame demap: cells [W, n_cells] -> (stream [W, N], snr [F])."""
+    w, n_cells = cells.shape
+    bits, snr_db = demap_cells_planes(cells, n_frames, plan)
     stream = jnp.stack(bits, axis=-1).reshape(w, n_cells * plan.eta)
     return stream, snr_db

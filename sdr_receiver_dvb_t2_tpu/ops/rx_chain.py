@@ -162,6 +162,45 @@ class ChainPlan:
         self.bit_rows = np.asarray(
             self.demap.bit_gather[kernel_bit_order(plp.ldpc_table_name)]
             .astype(np.int32))                           # [fec_size]
+        # ... and, when the composed permutation is block/roll-structured
+        # (all bit-interleaved modes except NORMAL C3_5: the column-twist
+        # interleaver reads rows across columns, so each run of kernel rows
+        # is one demap bit plane at stride Nc/eta with a cyclic offset),
+        # the whole N-element gather collapses to eta*Nc/eta strided slices
+        # + rolls: (plane, slice phase, slice step, roll offset) per block.
+        self.bit_blocks = self._decompose_bit_rows()
+
+    def _decompose_bit_rows(self):
+        """bit_rows as concat of rolled stride-g slices of demap planes.
+
+        Returns list of (plane, phase, step, roll, length) with
+        rows == concat_j [ (phase + step*((roll + i) % L)) * eta + plane ]
+        cell-index form, or None when no such structure exists (QPSK's
+        staircase-only map, NORMAL C3_5's different twist set).
+        """
+        from math import gcd
+        rows = self.bit_rows.astype(np.int64)
+        eta = self.plp.bits_per_cell
+        n_cells = len(rows) // eta
+        cell, bit = rows // eta, rows % eta
+        blocks = np.split(np.arange(len(rows)),
+                          np.nonzero(np.diff(bit))[0] + 1)
+        out = []
+        for blk in blocks:
+            if len(blk) < 2:
+                return None
+            b = int(bit[blk[0]])
+            c = cell[blk]
+            s = int((c[1] - c[0]) % n_cells)
+            if s == 0 or not np.array_equal(
+                    (c[0] + s * np.arange(len(blk))) % n_cells, c):
+                return None
+            g = gcd(s, n_cells)
+            if s // g != 1 or len(blk) != n_cells // g:
+                return None
+            phase = int(c[0] % g)
+            out.append((b, phase, g, int((c[0] - phase) // g), len(blk)))
+        return out
 
 
     def device_consts(self):
@@ -300,8 +339,19 @@ def demap_planes_t(eq: C, plan: ChainPlan, consts):
     g = jax.vmap(one_plane)(packed)
     g = g.reshape(-1, consts["cell_idx"].shape[1])     # [F*n_fec, n_cells]
     cells = _unpack_bf16(g)
-    stream, snr = llr_mod.demap_cells_multi(cells, f, plan.demap)
-    llr = stream[:, consts["bit_rows"]]        # [W, N] kernel bit order
+    planes, snr = llr_mod.demap_cells_planes(cells, f, plan.demap)
+    if plan.bit_blocks is not None:
+        # structured path: each kernel-row block is one bit plane sliced at
+        # stride `step` and cyclically rolled — no N-element gather at all
+        segs = []
+        for b, phase, step, roll, ln in plan.bit_blocks:
+            v = planes[b][:, phase::step] if step > 1 else planes[b]
+            segs.append(v if roll == 0 else
+                        jnp.concatenate([v[:, roll:], v[:, :roll]], axis=1))
+        llr = jnp.concatenate(segs, axis=1)            # [W, N] kernel order
+    else:
+        stream = jnp.stack(planes, axis=-1).reshape(cells.re.shape[0], -1)
+        llr = stream[:, consts["bit_rows"]]    # [W, N] kernel bit order
     return llr.T, snr
 
 

@@ -77,18 +77,34 @@ class MultiChannelReceiver:
     _MU_LO = 32.0
 
     def stream(self, raw: np.ndarray, mu0: float, step: float,
-               freq: float = 0.0, max_steps: int | None = None):
+               freq: float = 0.0, max_steps: int | None = None,
+               track: bool = False, cfo_gain: float = 0.3,
+               sro_gain: float = 0.5):
         """Generator over consecutive steps of a continuous capture.
 
         raw: [C, N] complex64 (one continuous stream per channel);
         mu0: raw-domain position of elementary sample 0 relative to raw[0]
         (the caller's frame alignment; see tests for the derivation).
         Yields (hard, stats) per step until the capture is exhausted.
+
+        ``track=True`` closes the CFO / sampling-rate loops on the mesh
+        path: the psum'd guard-interval and pilot-drift discriminators from
+        ``stats`` trim the NCO frequency and the resample step between
+        steps, exactly like the single-chip loop (runtime/stream.py:344-357)
+        — so a sharded deployment holds lock under residual CFO and clock
+        offset instead of relying on oracle alignment.  Host-applied state
+        is reported in stats as cfo_hz_applied / sro_ppm_applied.
         """
+        from ..ops import equalizer as eq_mod
+        from ..params.modes import SAMPLE_RATE
+        # the raw window size stays FIXED at the initial step (SRO trims are
+        # <= 2e-5 relative; re-deriving it per step would change jit shapes)
         rb = self.rx.raw_block_for(step)
         window = self.n_time * rb
         # elementary samples consumed per step (exact, by construction)
         elem_per_step = self.n_time * self.rx.k_loc
+        sro_coeff = eq_mod.sro_coefficient(self.rx.mode)
+        raw_per_elem0 = 2.0 * step          # raw samples per elementary
         pos = 0
         mu = float(mu0)
         assert self._MU_LO <= mu < self._MU_LO + 2, (
@@ -96,9 +112,26 @@ class MultiChannelReceiver:
             "into the window start instead (see test_pod_stream_continuity)")
         n = 0
         phase = 0.0
+        cfo_hz_applied = 0.0
         while pos + window <= raw.shape[1]:
-            yield self.step(raw[:, pos:pos + window], mu, step,
-                            phase=phase, freq=freq)
+            idx0, frac0, phase0 = self.rx.host_bases(mu, step, phase, freq,
+                                                     rb)
+            hard, stats = self.rx.step(raw[:, pos:pos + window], idx0,
+                                       frac0, phase0, freq, step)
+            if track:
+                # CFO: rad/elementary-sample residual -> rad/raw-sample NCO
+                cfo_res = float(stats["gi_cfo"])
+                freq += cfo_gain * cfo_res / raw_per_elem0
+                cfo_hz_applied += (cfo_gain * cfo_res * SAMPLE_RATE
+                                   / (2 * np.pi))
+                # sampling rate: pilot-drift slip -> resample step trim
+                slip = float(stats["sro"]) / sro_coeff
+                trim = float(np.clip(-sro_gain * slip, -2e-5, 2e-5))
+                step *= (1.0 + trim)
+                stats = dict(stats, cfo_hz_applied=cfo_hz_applied,
+                             sro_ppm_applied=(step * 2.0 / raw_per_elem0
+                                              - 1.0) * 1e6)
+            yield hard, stats
             n += 1
             if max_steps is not None and n >= max_steps:
                 return

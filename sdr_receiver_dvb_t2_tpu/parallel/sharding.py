@@ -177,9 +177,12 @@ class ShardedReceiver:
 
             def frames_to_llr(fr):
                 llr_t, diag = rx_chain.frames_to_llr_t(fr, chain_plan, consts)
-                return llr_t, jnp.mean(diag["snr_db"])
+                # means use the same conventions as the single-chip loop
+                # (stream.py:345,353) so sro_coefficient applies unchanged
+                return (llr_t, jnp.mean(diag["snr_db"]),
+                        jnp.mean(diag["gi_cfo"]), jnp.mean(diag["sro"]))
 
-            llr_t, snr = jax.vmap(frames_to_llr)(frames)  # [C_loc, N, n_cw]
+            llr_t, snr, gi_cfo, sro = jax.vmap(frames_to_llr)(frames)
             c_loc, n_cw = llr_t.shape[0], llr_t.shape[2]
             llr_t = jnp.moveaxis(llr_t, 0, 2).reshape(llr_t.shape[1], -1)
             hard_t, ok, iters = self.decoder(llr_t)       # [k, C_loc*n_cw]
@@ -196,7 +199,13 @@ class ShardedReceiver:
                                 cfg.n_fec_per_frame, plp.n_bch)
             stats = dict(ldpc_failures=n_fail, bch_dirty=n_dirty,
                          snr_db=snr_mean,
-                         ldpc_iters=jax.lax.pmax(iters, ("ch", "time")))
+                         # tracking discriminators for the host loops
+                         # (mesh analogue of stream.py:344-357)
+                         gi_cfo=jax.lax.pmean(jnp.mean(gi_cfo),
+                                              ("ch", "time")),
+                         sro=jax.lax.pmean(jnp.mean(sro), ("ch", "time")),
+                         ldpc_iters=jax.lax.pmax(jnp.max(iters),
+                                                 ("ch", "time")))
             return hard, stats
 
         mesh = self.mesh

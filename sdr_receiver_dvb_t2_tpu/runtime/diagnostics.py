@@ -56,9 +56,14 @@ class LdpcStats:
         if self.hist is None:
             self.hist = np.zeros(self.max_iters + 1, dtype=np.int64)
 
-    def update(self, iters: int, ok: np.ndarray):
+    def update(self, iters, ok: np.ndarray):
+        """``iters``: per-codeword first-clean iteration array (scalar also
+        accepted); builds the same per-codeword trials histogram the
+        reference prints (ldpc_decoder.cpp:242-270)."""
         ok = np.asarray(ok)
-        self.hist[min(int(iters), self.max_iters)] += len(ok)
+        iters = np.broadcast_to(np.asarray(iters), ok.shape)
+        self.hist += np.bincount(np.minimum(iters, self.max_iters),
+                                 minlength=self.max_iters + 1)
         self.failures += int(np.sum(~ok))
         self.total += len(ok)
 

@@ -25,7 +25,7 @@ def test_decode_corrects_awgn(name, snr):
     hard, ok, iters = dec(llr)
     assert np.array(ok).all()
     assert (np.array(hard) == cw).all()
-    assert int(iters) > 0
+    assert np.asarray(iters).max() > 0
 
 
 def test_decode_clean_zero_iters():
@@ -35,7 +35,7 @@ def test_decode_clean_zero_iters():
     dec = make_decoder("SHORT_C1_2", max_iters=40)
     hard, ok, iters = dec(llr)
     assert np.array(ok).all()
-    assert int(iters) == 0
+    assert (np.asarray(iters) == 0).all()
     assert (np.array(hard) == cw).all()
 
 
@@ -46,4 +46,4 @@ def test_decode_reports_failure_on_garbage():
     dec = make_decoder("SHORT_C1_2", max_iters=8)
     _, ok, iters = dec(llr)
     assert not np.array(ok).any()
-    assert int(iters) == 8
+    assert (np.asarray(iters) == 8).all()

