@@ -151,6 +151,12 @@ def main():
     samples = n_frames * mode.frame_samples * reps
     msps = samples / dt / 1e6
     rtf = msps * 1e6 / ELEM_RATE
+    # the headline goes out FIRST (and flushed): the secondary metrics
+    # below compile additional programs through the (slow) tunnel compiler
+    # and must not cost the primary result if a runner timeout hits
+    print(json.dumps({"metric": "iq_msps_per_chip_32k",
+                      "value": round(msps, 3), "unit": "Msps",
+                      "vs_baseline": round(rtf, 3)}), flush=True)
 
     # secondary metrics (BASELINE.md headline set), stderr only
     t0 = time.perf_counter()
@@ -162,9 +168,31 @@ def main():
     sys.stderr.write(
         f"secondary: ldpc {ldpc_mbps:.0f} Mbit/s coded "
         f"({n_pad} codewords/batch); pipeline {rtf:.1f}x real time\n")
-    print(json.dumps({"metric": "iq_msps_per_chip_32k",
-                      "value": round(msps, 3), "unit": "Msps",
-                      "vs_baseline": round(rtf, 3)}))
+
+    # TRUE end-to-end streaming rate: the full receiver surface including
+    # the packed device->host transfer and native BB de-encapsulation to TS
+    # bytes (the compute-only headline excludes those).  On this tunnel
+    # runtime the d2h link (~30 MB/s) bounds it; on a directly-attached
+    # chip the 8x-packed transfer (~5.4 MB per 15.9M-sample batch) rides
+    # PCIe and the end-to-end rate tracks the compute rate.
+    from sdr_receiver_dvb_t2_tpu.models.receiver import TpuReceiver, RxConfig
+    rx = TpuReceiver(RxConfig(mode=mode, plp=plp, n_fec_per_frame=n_fec,
+                              n_ti=1, use_pallas=on_tpu))
+    rx._l1_post_cells = l1_post_cells
+    res = rx.receive(frames)                     # warm-up/compile
+    e2e_reps = 6 if on_tpu else 1
+    t0 = time.perf_counter()
+    ts_total = 0
+    for _ in range(e2e_reps):
+        res = rx.receive(frames)
+        ts_total += len(res.ts_bytes)
+    e2e_dt = time.perf_counter() - t0
+    e2e_msps = n_frames * mode.frame_samples * e2e_reps / e2e_dt / 1e6
+    sys.stderr.write(
+        f"secondary: end-to-end (incl. d2h + TS out) {e2e_msps:.1f} Msps = "
+        f"{e2e_msps * 1e6 / ELEM_RATE:.1f}x real time, "
+        f"{ts_total // 188 // e2e_reps} TS pkts/batch "
+        f"(tunnel d2h-bound; see BENCH notes)\n")
 
 
 if __name__ == "__main__":

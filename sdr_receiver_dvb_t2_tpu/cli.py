@@ -34,6 +34,10 @@ def build_parser() -> argparse.ArgumentParser:
     src.add_argument("--loop", action="store_true",
                      help="loop the input file at EOF (like the reference "
                           "rx_raw player)")
+    src.add_argument("--control-port", type=int, default=None,
+                     help="TCP gain-control port of an sdr_daemon bridge "
+                          "(with udp:// input: enables live AGC/biastee; "
+                          "rate and format come from the daemon)")
     out = p.add_argument_group("output")
     out.add_argument("--out", default="udp://127.0.0.1:7654",
                      help="TS sink: udp://host:port or a file path")
@@ -59,8 +63,12 @@ def build_parser() -> argparse.ArgumentParser:
     dbg.add_argument("--stats", type=float, default=5.0,
                      help="statistics print interval in seconds (0=off)")
     dbg.add_argument("--dump-constellation", metavar="NPZ", default=None,
-                     help="save equalized cells of the first batch to a "
-                          ".npz (constellation / spectrum diagnostics)")
+                     help="save diagnostics of the first locked frame to a "
+                          ".npz: equalized constellation cells, spectrum, "
+                          "P1 correlation trace (the reference's plot set)")
+    dbg.add_argument("--dump-l1", action="store_true",
+                     help="print the parsed L1-pre/post signalling (the "
+                          "reference's L1 text display)")
     dbg.add_argument("--profile", metavar="DIR", default=None,
                      help="write a jax.profiler trace of the steady-state "
                           "loop to DIR (view with TensorBoard/Perfetto)")
@@ -77,11 +85,18 @@ def main(argv=None) -> int:
     from .runtime import stream as stream_mod
 
     if args.input.startswith("udp://"):
-        port = int(args.input.rsplit(":", 1)[1])
-        if args.rate is None:
-            print("--rate is required for UDP input", file=sys.stderr)
+        body = args.input[6:]
+        host, _, port = body.rpartition(":")
+        port = int(port)
+        if args.control_port is not None:
+            src = sources.RemoteSdrSource(port, host or "127.0.0.1",
+                                          args.control_port)
+        elif args.rate is None:
+            print("--rate is required for UDP input without --control-port",
+                  file=sys.stderr)
             return 2
-        src = sources.UdpIqSource(port, args.rate, args.format or "s16")
+        else:
+            src = sources.UdpIqSource(port, args.rate, args.format or "s16")
     else:
         src = sources.RawFileSource(args.input, sample_rate=args.rate,
                                     fmt=args.format, loop=args.loop)
@@ -113,13 +128,26 @@ def main(argv=None) -> int:
           f"r={rx.rx.plp.code_rate.name} {rx.rx.plp.fec_frame.name}; "
           f"CFO {rx.stats.cfo_hz:+.0f} Hz", file=sys.stderr)
 
+    if args.dump_l1:
+        from .runtime import diagnostics
+        print(diagnostics.format_l1(rx._l1_pre, rx._l1_post),
+              file=sys.stderr)
+
     if args.dump_constellation:
         import numpy as np
+        from .ops import cplx, p1_detect
+        from .runtime import diagnostics
         fs = m.frame_samples
         rx._need_elem(rx.frame_pos + fs)
         frame = rx._elem[rx.frame_pos:rx.frame_pos + fs]
         spec = np.fft.fftshift(np.fft.fft(frame[:m.fft_size]))
-        np.savez(args.dump_constellation, frame_iq=frame, spectrum=spec)
+        # equalized constellation of the first locked frame (the
+        # reference's constellation view, main_window.cpp:416-476)
+        cells = rx.rx.equalized_cells(frame[None, :])
+        metric, _, _ = p1_detect.correlate(cplx.from_np(frame[:4 * 2048]))
+        np.savez(args.dump_constellation, frame_iq=frame, spectrum=spec,
+                 constellation=diagnostics.constellation(cells),
+                 p1_metric=np.asarray(metric))
         print(f"diagnostics written to {args.dump_constellation}",
               file=sys.stderr)
 

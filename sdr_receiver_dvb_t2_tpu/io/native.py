@@ -14,11 +14,18 @@ import numpy as np
 
 _SRC = Path(__file__).resolve().parent.parent.parent / "native"
 _LIB_PATH = _SRC / "libdvbt2_runtime.so"
+# wheel installs ship the prebuilt library as package data (see setup.py)
+_PKG_LIB = Path(__file__).resolve().parent.parent / "_native" \
+    / "libdvbt2_runtime.so"
 _lib = None
 
 
 def _build() -> Path:
     src = _SRC / "dvbt2_runtime.cc"
+    if not src.exists():
+        if _PKG_LIB.exists():
+            return _PKG_LIB
+        raise FileNotFoundError(src)
     if (_LIB_PATH.exists()
             and _LIB_PATH.stat().st_mtime >= src.stat().st_mtime):
         return _LIB_PATH

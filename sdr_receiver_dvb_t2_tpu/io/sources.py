@@ -119,6 +119,10 @@ class UdpIqSource:
         self._dtype = {"u8": np.uint8, "s8": np.int8, "s16": np.int16,
                        "f32": np.float32}[fmt]
         self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        # deep kernel buffer: the compute thread services the socket in
+        # bursts (one jit dispatch at a time), sized like the reference's
+        # 128-1024 x 512 KiB ingest queue (rx_base.h:44-45)
+        self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, 1 << 23)
         self._sock.bind((host, port))
         self._sock.settimeout(timeout)
         self._rem = b""
@@ -139,6 +143,57 @@ class UdpIqSource:
 
     def close(self):
         self._sock.close()
+
+
+class RemoteSdrSource(UdpIqSource):
+    """Live SDR behind a bridge daemon (tools/sdr_daemon.py).
+
+    IQ arrives as UDP datagrams; the daemon's TCP control channel serves
+    the reference's rx_interface gain contract (set_gain_db / gain_min /
+    gain_max, rx_interface.h:21-48) so runtime.agc.Agc drives real hardware
+    gain.  Sample rate and format come from the daemon's INFO reply.
+    """
+
+    def __init__(self, port: int, control_host: str, control_port: int,
+                 host: str = "0.0.0.0", timeout: float = 5.0):
+        self._ctl = socket.create_connection((control_host, control_port),
+                                            timeout=timeout)
+        self._ctl_f = self._ctl.makefile("rw")
+        info = self._cmd("INFO").split()
+        assert info[0] == "INFO", info
+        rate, fmt = float(info[1]), info[2]
+        self._gain_min, self._gain_max = float(info[3]), float(info[4])
+        self.gain_db = float(info[5])
+        super().__init__(port, rate, fmt, host=host, timeout=timeout)
+
+    def _cmd(self, line: str) -> str:
+        self._ctl_f.write(line + "\n")
+        self._ctl_f.flush()
+        return self._ctl_f.readline().strip()
+
+    # ---- the rx_interface gain contract (drives the AGC) --------------
+    def gain_min(self) -> float:
+        return self._gain_min
+
+    def gain_max(self) -> float:
+        return self._gain_max
+
+    def set_gain_db(self, db: float) -> float:
+        resp = self._cmd(f"GAIN {db}").split()
+        if resp and resp[0] == "OK":
+            self.gain_db = float(resp[1])
+        return self.gain_db
+
+    def set_biastee(self, on: bool):
+        self._cmd(f"BIASTEE {int(on)}")
+
+    def close(self):
+        try:
+            self._cmd("QUIT")
+            self._ctl.close()
+        except OSError:
+            pass
+        super().close()
 
 
 class ThreadedSource:
@@ -179,6 +234,13 @@ class ThreadedSource:
     @property
     def dropped_samples(self) -> int:
         return self.ring.dropped // self._sample_bytes
+
+    def __getattr__(self, name):
+        # forward the rx_interface gain/biastee contract to the wrapped
+        # source so the AGC stays live through the ingest thread
+        if name in ("set_gain_db", "gain_min", "gain_max", "set_biastee"):
+            return getattr(self.src, name)
+        raise AttributeError(name)
 
     def read(self, n_samples: int) -> np.ndarray | None:
         import time as _time

@@ -105,15 +105,41 @@ class TpuReceiver:
 
     # ------------------------------------------------------------------
     @functools.cached_property
-    def _frame_fn(self):
-        """Jitted fused frames->LLR chain (needs L1 for the PLP offset)."""
-        plan = rx_chain.get_plan(
+    def _plan(self):
+        return rx_chain.get_plan(
             self.mode, self.plp, self.cfg.n_fec_per_frame, self.cfg.n_ti,
             l1_mod.L1_PRE_CELLS + self._l1_post_cells + self.cfg.plp_start)
-        consts = plan.device_consts()
+
+    @functools.cached_property
+    def _consts(self):
+        return self._plan.device_consts()
+
+    @functools.cached_property
+    def _plane_fn(self):
+        """Jitted PLP-independent half: frames -> packed eq plane."""
+        plan, consts = self._plan, self._consts
         fn = jax.jit(
-            lambda frames, c: rx_chain.frames_to_llr_t(frames, plan, c))
+            lambda frames, c: rx_chain.frames_to_eq(frames, plan, c))
         return lambda frames: fn(frames, consts)
+
+    @functools.cached_property
+    def _demap_fn(self):
+        """Jitted per-PLP half: packed plane -> kernel-ordered LLRs."""
+        plan, consts = self._plan, self._consts
+        fn = jax.jit(
+            lambda packed, c: rx_chain.packed_to_llr_t(packed, plan, c))
+        return lambda packed: fn(packed, consts)
+
+    def compute_plane(self, frames_iq: np.ndarray):
+        """Demod+equalize once; the result feeds every PLP's demap."""
+        return self._plane_fn(cplx.from_np(np.asarray(frames_iq)))
+
+    def equalized_cells(self, frames_iq: np.ndarray) -> np.ndarray:
+        """Deinterleaved constellation cells (complex) for diagnostics —
+        the reference's constellation plot data (main_window.cpp:416-476)."""
+        cells = rx_chain.frames_to_cells(cplx.from_np(np.asarray(frames_iq)),
+                                         self._plan, self._consts)
+        return np.asarray(cells.re) + 1j * np.asarray(cells.im)
 
     # ------------------------------------------------------------------
     def acquire_l1(self, frame_iq: np.ndarray):
@@ -158,7 +184,17 @@ class TpuReceiver:
     # ------------------------------------------------------------------
     def receive(self, frames_iq: np.ndarray) -> FrameBatchResult:
         """[F, frame_samples] complex ndarray -> decoded TS + statistics."""
-        llr_t, diags = self._frame_fn(cplx.from_np(frames_iq))
+        return self.receive_plane(*self.compute_plane(frames_iq))
+
+    def receive_plane(self, packed, diags) -> FrameBatchResult:
+        """Decode this PLP from a shared packed eq plane (compute_plane).
+
+        Multi-PLP: one compute_plane per batch, one receive_plane per PLP
+        (runtime/stream.py:step_batch) — N PLPs cost one demod/equalize
+        pass plus N cheap demap+FEC passes, not N full pipelines.
+        """
+        llr_t, snr = self._demap_fn(packed)
+        diags = dict(diags, snr_db=snr)
         n_cw = llr_t.shape[1]
         decoder = self._get_decoder(n_cw)
         if self._ldpc_batch > n_cw:

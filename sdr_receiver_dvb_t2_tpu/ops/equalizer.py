@@ -100,7 +100,11 @@ def sro_coefficient(mode: T2Mode) -> float:
         tau = l * mode.symbol_size * sro
         vals.append(np.exp(2j * np.pi * bin_rel * tau / mode.fft_size))
     est = np.stack(vals)
-    drift = (est[1:] * np.conj(est[:-1])).imag
+    # same CPO-derotated formulation as rx_chain.equalize_plane: z phasors
+    # are derotated by their sum before the half-spectrum difference
+    z = est[1:] * np.conj(est[:-1])
+    zs = np.sum(z, axis=1, keepdims=True)
+    drift = (z * np.conj(zs / np.maximum(np.abs(zs), 1e-12))).imag
     fh = np.asarray(plan.sro_first_half)[None]
     d1 = np.sum(np.where(fh, drift, 0), axis=1)
     d2 = np.sum(np.where(fh, 0, drift), axis=1)

@@ -68,7 +68,11 @@ def _cmatmul_left(fr, fi, a: C, sub: str) -> C:
         ar_ai = ar_ai.astype(jnp.bfloat16)
         fr = jnp.asarray(fr).astype(jnp.bfloat16)
         fi = jnp.asarray(fi).astype(jnp.bfloat16)
-        kw = dict(preferred_element_type=jnp.float32)
+        # bf16 OUT: the MXU still accumulates in f32; materializing the
+        # [.., n1, n2] intermediate in bf16 halves the HBM traffic of the
+        # twiddle pass and stage 2's reload (the transform floor stays
+        # ~-48 dB, far under DVB-T2's operating MER)
+        kw = dict(preferred_element_type=jnp.bfloat16)
     else:
         kw = dict(precision=jax.lax.Precision.HIGHEST)
     pr = jnp.einsum(sub, fr, ar_ai, **kw)
@@ -82,6 +86,9 @@ def fft_mm(x: C, inverse: bool = False, scale: float = 1.0) -> C:
 
     ``scale`` folds a global output scaling into the (host-cached) twiddle
     table — one fewer full-plane multiply pass than scaling afterwards.
+    In fast mode every inter-stage tensor is bfloat16 (the output too):
+    the four-step is HBM-bandwidth-bound, not MXU-bound, so halving the
+    bytes is worth more than the mantissa.
     """
     n = x.shape[-1]
     n1, n2 = _factors(n)
@@ -92,14 +99,18 @@ def fft_mm(x: C, inverse: bool = False, scale: float = 1.0) -> C:
     a = x.reshape(*x.shape[:-1], n1, n2)
     # C[k1, n2] = sum_n1 F1[k1, n1] * A[..., n1, n2]
     c = _cmatmul_left(f1r, f1i, a, "kn,...nm->...km")
-    c = c * C(twr, twi)
+    if FAST_STAGE1:
+        c = c * C(jnp.asarray(twr).astype(jnp.bfloat16),
+                  jnp.asarray(twi).astype(jnp.bfloat16))
+    else:
+        c = c * C(twr, twi)
     # X[..., k1, k2] = sum_n2 C[..., k1, n2] * F2[n2, k2]
     cr_ci = jnp.concatenate([c.re, c.im], axis=-2)         # stack on k1 rows
     if FAST_STAGE1:
         cr_ci = cr_ci.astype(jnp.bfloat16)
         f2r = jnp.asarray(f2r).astype(jnp.bfloat16)
         f2i = jnp.asarray(f2i).astype(jnp.bfloat16)
-        kw = dict(preferred_element_type=jnp.float32)
+        kw = dict(preferred_element_type=jnp.bfloat16)
     else:
         kw = dict(precision=jax.lax.Precision.HIGHEST)
     pr = jnp.einsum("...km,mj->...kj", cr_ci, f2r, **kw)

@@ -3,7 +3,7 @@
 demap_cells_multi turns already time/cell-deinterleaved cells (the
 composed gather lives in ops/rx_chain) into int8-scaled LLRs in STREAM
 order — bit deinterleaving into LDPC codeword order happens afterwards in
-rx_chain.demap_planes_t via the precomputed bit_rows map:
+rx_chain.packed_to_llr_t via the precomputed bit_rows map:
 
 1. cyclic Q-delay removal (roll of the imaginary part within FEC blocks),
 2. constellation derotation,

@@ -39,18 +39,13 @@ from . import llr as llr_mod
 from .cplx import C
 
 
-class ChainPlan:
-    """All device constants for frames -> LLR, one T2Mode + PLP config."""
+class EqTables:
+    """Mode-only equalizer tables (shared by every PLP of a mux)."""
 
-    def __init__(self, mode: T2Mode, plp: PlpConfig, n_fec: int, n_ti: int,
-                 l1_cells: int):
+    def __init__(self, mode: T2Mode):
         self.mode = mode
-        self.plp = plp
-        self.n_fec = n_fec
-        self.l1_cells = l1_cells
         L, K = mode.frame_symbols, mode.k_total
         self.eq_plan = eq_mod.get_plan(mode)       # pilot gather tables, diag
-        self.demap = llr_mod.get_plan(plp, n_fec, n_ti)
 
         # ---- group symbols by pilot layout; build interp weight matmuls ----
         ep = self.eq_plan
@@ -138,6 +133,59 @@ class ChainPlan:
             ph2[l, pidx[~fh]] = sign[~fh]
         self.ph_mask = (ph1, ph2)
 
+    def device_consts(self):
+        """Eq tables as device arrays — ONE copy per mode per process (the
+        interpolation weights are the big tensors; PLPs share them)."""
+        import jax as _jax
+        key = id(self)
+        cached = _EQ_DEVICE_CONSTS.get(key)
+        if cached is not None:
+            return cached
+        # CPU XLA lacks batched bf16 dot thunks; bf16 weights are TPU-only
+        wdt = (jnp.bfloat16 if _jax.default_backend() != "cpu"
+               else jnp.float32)
+        consts = dict(
+            w=tuple((_jax.device_put(jnp.asarray(wi)),
+                     _jax.device_put(jnp.asarray(si).astype(wdt)),
+                     _jax.device_put(jnp.asarray(wb).astype(wdt)))
+                    for wi, si, wb in self.weights),
+            ph_mask=tuple(_jax.device_put(jnp.asarray(m))
+                          for m in self.ph_mask),
+        )
+        _EQ_DEVICE_CONSTS[key] = consts
+        return consts
+
+
+_EQ_DEVICE_CONSTS: dict = {}
+
+
+@functools.lru_cache(maxsize=8)
+def get_eq_tables(mode: T2Mode) -> EqTables:
+    return EqTables(mode)
+
+
+class ChainPlan:
+    """All device constants for frames -> LLR, one T2Mode + PLP config.
+
+    The mode-only equalizer tables live in a shared :class:`EqTables`
+    (multi-PLP receivers demod/equalize ONCE per frame batch and run only
+    the per-PLP gather + demap + FEC per PLP)."""
+
+    def __init__(self, mode: T2Mode, plp: PlpConfig, n_fec: int, n_ti: int,
+                 l1_cells: int):
+        self.mode = mode
+        self.plp = plp
+        self.n_fec = n_fec
+        self.l1_cells = l1_cells
+        L, K = mode.frame_symbols, mode.k_total
+        self.eq = get_eq_tables(mode)
+        self.eq_plan = self.eq.eq_plan
+        self.group_syms = self.eq.group_syms
+        self.regroup = self.eq.regroup
+        self.weights = self.eq.weights
+        self.ph_mask = self.eq.ph_mask
+        self.demap = llr_mod.get_plan(plp, n_fec, n_ti)
+
         # ---- composed cell gather: FEC cell -> flat [L*K] position ----------
         pay2carrier = []
         for l in range(L):
@@ -209,18 +257,12 @@ class ChainPlan:
         They must not be closed over: closure constants are embedded in the
         compile request (the interpolation weights alone are ~0.5 GB, which
         overflows the remote-compile body limit and bloats every program).
+        The eq part is shared per mode (EqTables.device_consts); only
+        cell_idx/bit_rows are per-PLP.
         """
         import jax as _jax
-        # CPU XLA lacks batched bf16 dot thunks; bf16 weights are TPU-only
-        wdt = (jnp.bfloat16 if _jax.default_backend() != "cpu"
-               else jnp.float32)
         return dict(
-            w=tuple((_jax.device_put(jnp.asarray(wi)),
-                     _jax.device_put(jnp.asarray(si).astype(wdt)),
-                     _jax.device_put(jnp.asarray(wb).astype(wdt)))
-                    for wi, si, wb in self.weights),
-            ph_mask=tuple(_jax.device_put(jnp.asarray(m))
-                          for m in self.ph_mask),
+            self.eq.device_consts(),
             cell_idx=_jax.device_put(jnp.asarray(self.cell_idx)),
             bit_rows=_jax.device_put(jnp.asarray(self.bit_rows)),
         )
@@ -297,8 +339,20 @@ def equalize_plane(carriers: C, plan: ChainPlan, consts):
     phase_offset = sum1.angle() + sum2.angle()
 
     sro_pil = cplx.take(carriers, ep.sro_idx, axis=1) * ep.sro_ref
-    drift = (sro_pil.im[1:] * sro_pil.re[:-1]
-             - sro_pil.re[1:] * sro_pil.im[:-1])
+    # per-pilot symbol-pair phasor z = p_l * conj(p_{l-1}); its angle is
+    # (common rotation) + (timing slope * bin).  Derotate by the common
+    # rotation (the summed phasor Z) BEFORE the half-spectrum difference so
+    # uncorrected CFO cannot leak into the timing estimate — without this,
+    # a mesh deployment that hasn't converged its CFO loop yet reads a
+    # large false SRO (sin(theta) times the half-count imbalance)
+    z_re = (sro_pil.re[1:] * sro_pil.re[:-1]
+            + sro_pil.im[1:] * sro_pil.im[:-1])
+    z_im = (sro_pil.im[1:] * sro_pil.re[:-1]
+            - sro_pil.re[1:] * sro_pil.im[:-1])
+    zs_re = jnp.sum(z_re, axis=1, keepdims=True)
+    zs_im = jnp.sum(z_im, axis=1, keepdims=True)
+    mag = jnp.sqrt(jnp.maximum(zs_re ** 2 + zs_im ** 2, 1e-18))
+    drift = (z_im * zs_re - z_re * zs_im) / mag
     d1 = jnp.sum(jnp.where(ep.sro_first_half[None], drift, 0), axis=1)
     d2 = jnp.sum(jnp.where(ep.sro_first_half[None], 0, drift), axis=1)
     pwr = jnp.mean(sro_pil.abs2(), axis=1)
@@ -307,8 +361,8 @@ def equalize_plane(carriers: C, plan: ChainPlan, consts):
     return eq, dict(phase_offset=phase_offset, sro=sro)
 
 
-def demap_planes_t(eq: C, plan: ChainPlan, consts):
-    """Equalized [F, L, K] planes -> (llr_T [N, F*n_fec] f32, snr_db [F]).
+def packed_to_llr_t(packed, plan: ChainPlan, consts):
+    """Packed eq planes u32 [F, L, K] -> (llr_T [N, F*n_fec], snr_db [F]).
 
     The deinterleave gather moves both IQ components in ONE u32 gather by
     packing them as bf16 halves (gathers are index-bound on TPU; halving
@@ -317,10 +371,10 @@ def demap_planes_t(eq: C, plan: ChainPlan, consts):
     (codeword rows — XLA's gather is much faster in the deinterleave's
     natural output order); the bit deinterleave folds the LDPC kernel's
     bit-row order in, and ONE cheap 2-D transpose at the end hands the
-    decoder its codewords-on-lanes layout.
+    decoder its codewords-on-lanes layout.  This is the per-PLP half of
+    the chain; the packed plane is shared across PLPs.
     """
-    f = eq.shape[0]
-    packed = _pack_bf16(eq)                            # [F, L, K]
+    f = packed.shape[0]
 
     # per-frame gather (XLA gather cost grows with SOURCE size — keep the
     # source at one frame's plane, vmap over frames); the index set is a
@@ -355,19 +409,50 @@ def demap_planes_t(eq: C, plan: ChainPlan, consts):
     return llr.T, snr
 
 
+def frames_to_cells(frames_iq: C, plan: ChainPlan, consts):
+    """[F, frame_samples] -> deinterleaved PLP cells C [W, n_cells].
+
+    Diagnostics surface: the equalized, frequency/time/cell-deinterleaved
+    constellation points right before the demapper — what the reference
+    plots in its constellation view (main_window.cpp:416-476).
+    """
+    packed, _ = frames_to_eq(frames_iq, plan, consts)
+    flat_idx = consts["cell_idx"].reshape(-1, 1)
+
+    def one_plane(p):
+        return jax.lax.gather(
+            p.reshape(-1), flat_idx, _FAST_GATHER, (1,),
+            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+            unique_indices=True)
+
+    g = jax.vmap(one_plane)(packed)
+    return _unpack_bf16(g.reshape(-1, consts["cell_idx"].shape[1]))
+
+
+def frames_to_eq(frames_iq: C, plan: ChainPlan, consts):
+    """[F, frame_samples] -> (packed eq planes u32 [F, L, K], diag pytree).
+
+    The PLP-independent half (demod + pilot equalization): multi-PLP
+    receivers run it once per batch and feed every PLP's demap from the
+    same packed plane (the reference re-runs its whole symbol pipeline per
+    PLP; here the plane costs ~60% of the chain and is shared).
+    """
+    def demod_eq(frame):
+        carriers, gi_cfo = ofdm.demod_frame(frame, plan.mode)
+        eq, diag = equalize_plane(carriers, plan, consts)
+        diag["gi_cfo"] = gi_cfo
+        return _pack_bf16(eq), diag
+
+    return jax.vmap(demod_eq)(frames_iq)
+
+
 def frames_to_llr_t(frames_iq: C, plan: ChainPlan, consts):
     """[F, frame_samples] -> (llr_T [N, F*n_fec], diag pytree).
 
     ``consts`` = plan.device_consts(), passed through jit as arguments.
     llr_T rows are in LDPC-kernel bit order; columns are codewords.
     """
-    def demod_eq(frame):
-        carriers, gi_cfo = ofdm.demod_frame(frame, plan.mode)
-        eq, diag = equalize_plane(carriers, plan, consts)
-        diag["gi_cfo"] = gi_cfo
-        return eq, diag
-
-    eq, diag = jax.vmap(demod_eq)(frames_iq)
-    llr_t, snr = demap_planes_t(eq, plan, consts)
+    packed, diag = frames_to_eq(frames_iq, plan, consts)
+    llr_t, snr = packed_to_llr_t(packed, plan, consts)
     diag["snr_db"] = snr
     return llr_t, diag

@@ -128,3 +128,23 @@ def undo_l1_post_interleave(stream_bits: np.ndarray, l1_post_mod: int) -> np.nda
     u = np.empty_like(v)
     u[(i % cols) * rows + i // cols] = v
     return u
+
+
+def undo_l1_post_interleave_soft(stream_llr: np.ndarray,
+                                 l1_post_mod: int) -> np.ndarray:
+    """Same permutation applied to float LLRs (the soft FEC path)."""
+    stream_llr = np.asarray(stream_llr, dtype=np.float32)
+    eta = ETA_L1[l1_post_mod]
+    if eta <= 2:
+        return stream_llr
+    n_post = len(stream_llr)
+    cols = 2 * eta
+    rows = n_post // cols
+    i = np.arange(n_post)
+    mux = tables.carriers()["mux16" if eta == 4 else "mux64"]
+    v = np.empty_like(stream_llr)
+    group = (i // cols) * cols
+    v[group + mux[i % cols]] = stream_llr
+    u = np.empty_like(v)
+    u[(i % cols) * rows + i // cols] = v
+    return u

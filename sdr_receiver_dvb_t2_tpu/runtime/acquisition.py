@@ -88,9 +88,16 @@ class AcquisitionResult:
 
 
 def decode_l1_from_p2(cells: np.ndarray, pre: l1.L1Pre):
-    """L1-post decode given equalized P2 cells and a parsed L1-pre."""
+    """L1-post decode given equalized P2 cells and a parsed L1-pre.
+
+    Hard-decision systematic slice first (free, matches p2_symbol.cpp:
+    514-648); on CRC failure, the soft FEC path (ops/l1_soft: depuncture +
+    LDPC BP + BCH) — a beyond-reference capability that holds acquisition
+    near threshold SNR.
+    """
     mod = pre.l1_post_mod
     post_cells = cells[l1.L1_PRE_CELLS:l1.L1_PRE_CELLS + pre.l1_post_size]
+    k_sig = pre.l1_post_info_size + 32
     if mod == 0:
         stream = (post_cells.real < 0).astype(np.uint8)
     else:
@@ -99,8 +106,19 @@ def decode_l1_from_p2(cells: np.ndarray, pre: l1.L1Pre):
                  3: Constellation.QAM64}[mod]
         stream = qam.hard_bits(post_cells, const)
     coded = l1_fec.undo_l1_post_interleave(stream, mod)
-    k_sig = pre.l1_post_info_size + 32
     info = coded[:k_sig]
+    if pre.l1_post_scrambled:
+        info = info ^ prbs.l1_scrambler(k_sig)
+    post = l1.parse_l1_post_info(info, pre)
+    if post is not None:
+        return post
+    # soft fallback: LLRs through the punctured SHORT_C1_2 code
+    from ..ops import l1_soft
+    llr_stream = l1_soft.cell_llrs(post_cells, mod)
+    llr_coded = l1_fec.undo_l1_post_interleave_soft(llr_stream, mod)
+    info = l1_soft.decode_l1_post_fec(llr_coded, k_sig)
+    if info is None:
+        return None
     if pre.l1_post_scrambled:
         info = info ^ prbs.l1_scrambler(k_sig)
     return l1.parse_l1_post_info(info, pre)
@@ -135,6 +153,13 @@ def acquire_mode(elem: np.ndarray, s1: int, s2_field1: int
             cells = _equalize_p2(carriers, mode)
             pre_bits = (cells[:l1.L1_PRE_CELLS].real < 0).astype(np.uint8)
             pre = l1.parse_l1_pre(l1_fec.decode_l1_pre_systematic(pre_bits))
+            if pre is None:
+                # soft fallback: BPSK LLRs through the punctured SHORT_C1_4
+                # code (ops/l1_soft) — holds acquisition near threshold
+                from ..ops import l1_soft
+                info = l1_soft.decode_l1_pre_fec(
+                    l1_soft.cell_llrs(cells[:l1.L1_PRE_CELLS], 0))
+                pre = None if info is None else l1.parse_l1_pre(info)
             if pre is None:
                 continue
             if GuardInterval(pre.guard_interval) != gi:

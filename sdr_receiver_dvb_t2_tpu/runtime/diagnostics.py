@@ -41,6 +41,37 @@ def p1_correlation_trace(metric: np.ndarray) -> np.ndarray:
     return np.asarray(metric)
 
 
+def format_l1(pre, post) -> str:
+    """Parsed L1-pre/post as a text dump — the reference's L1 display
+    (p2_symbol.cpp:482-509, 680-699) for a headless CLI."""
+    lines = ["L1-pre:"]
+    for f in dataclasses.fields(pre):
+        lines.append(f"  {f.name:<22}= {getattr(pre, f.name)}")
+    lines.append("L1-post:")
+    for f in dataclasses.fields(post):
+        v = getattr(post, f.name)
+        if f.name in ("plp", "rf", "aux") and isinstance(v, (list, tuple)):
+            lines.append(f"  {f.name} ({len(v)}):")
+            for i, item in enumerate(v):
+                for g in dataclasses.fields(item):
+                    lines.append(f"    [{i}].{g.name:<18}= "
+                                 f"{getattr(item, g.name)}")
+        elif f.name == "dyn":
+            lines.append("  dyn:")
+            for g in dataclasses.fields(v):
+                w = getattr(v, g.name)
+                if isinstance(w, (list, tuple)):
+                    for i, item in enumerate(w):
+                        for h in dataclasses.fields(item):
+                            lines.append(f"    plp[{i}].{h.name:<16}= "
+                                         f"{getattr(item, h.name)}")
+                else:
+                    lines.append(f"    {g.name:<20}= {w}")
+        else:
+            lines.append(f"  {f.name:<22}= {v}")
+    return "\n".join(lines)
+
+
 @dataclasses.dataclass
 class LdpcStats:
     """Trials histogram + failure counter, printed every ``period`` frames

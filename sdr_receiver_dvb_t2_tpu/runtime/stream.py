@@ -239,6 +239,7 @@ class StreamingReceiver:
             return False
         self.mode = acq.mode
         self._l1_pre = acq.l1_pre
+        self._l1_post = acq.l1_post
         plp_indices = (range(acq.l1_post.num_plp)
                        if self.cfg.plp_index is None
                        else [self.cfg.plp_index])
@@ -329,11 +330,14 @@ class StreamingReceiver:
         frames = self._elem[self.frame_pos:self.frame_pos + f * fs]
         frames = frames.reshape(f, fs)
         self._check_l1_dynamic(frames[0])
-        result = self.rx.receive(frames)
+        # demod+equalize ONCE; every PLP demaps from the same packed plane
+        # (the plane is ~60% of the chain and is PLP-independent)
+        plane, diag = self.rx.compute_plane(frames)
+        result = self.rx.receive_plane(plane, diag)
         self.sink.write(result.ts_bytes)
         # additional PLPs (plp_index=None): route to per-PLP sinks
         for extra_i, rx in enumerate(self.rxs[1:], start=1):
-            res_i = rx.receive(frames)
+            res_i = rx.receive_plane(plane, diag)
             sink_i = self.plp_sinks.get(extra_i)
             if sink_i is not None:
                 sink_i.write(res_i.ts_bytes)

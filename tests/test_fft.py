@@ -15,7 +15,9 @@ def test_fft_mm_matches_numpy(n):
     want = np.fft.fft(x.astype(np.complex128), axis=-1)
     got = cplx.to_np(fft_ops.fft_mm(cplx.from_np(x)))
     rel = np.linalg.norm(got - want) / np.linalg.norm(want)
-    assert rel < 5e-3, (n, rel)         # bf16 first stage: ~-53 dB floor
+    assert rel < 8.5e-3, (n, rel)       # bf16 end-to-end: ~-46 dB floor
+    # (bf16 twiddles + bf16 einsum outputs halve HBM traffic; the floor
+    # sits ~19 dB under the 27 dB operating point -> ~0.1 dB SNR cost)
     fft_ops.FAST_STAGE1 = False
     try:
         got = cplx.to_np(fft_ops.fft_mm(cplx.from_np(x)))

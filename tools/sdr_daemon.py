@@ -1,0 +1,208 @@
+#!/usr/bin/env python3
+"""SDR bridge daemon: any IQ producer -> UDP datagrams + gain control.
+
+The TPU receiver host has no USB SDR drivers in-process (PARITY.md); this
+daemon runs next to the hardware and bridges it over the network, making
+the live-SDR path of the reference (rx_hackrf.cpp:117-221, rx_usrp.cpp:
+75-196 — device callback into ring buffer, gain slots) real for the
+framework:
+
+* IQ transport: raw sample bytes in UDP datagrams to --dest (the
+  receiver's io.sources.UdpIqSource / RemoteSdrSource).
+* producers: --cmd "rtl_sdr -f 650000000 -s 10000000 -g {gain} -" (any CLI
+  writing raw IQ to stdout; restarted when the gain changes if the command
+  templates {gain}), or --file capture playback (gain applied digitally,
+  which exercises the same AGC control path end to end).
+* control: TCP line protocol on --control-port serving the rx_interface
+  gain contract (runtime/agc.py drives it):
+      INFO               -> INFO <rate> <fmt> <gain_min> <gain_max> <gain>
+      GAIN <db>          -> OK <applied_db>
+      BIASTEE <0|1>      -> OK
+
+Example (loopback test):
+  python tools/sdr_daemon.py --file cap_10000000_8.raw --dest 127.0.0.1:4950 \
+      --control-port 4951 --pace 2.0 --loop
+"""
+from __future__ import annotations
+
+import argparse
+import shlex
+import socket
+import subprocess
+import sys
+import threading
+import time
+
+import numpy as np
+
+CHUNK = 32768            # bytes per datagram (multiple of every pair size)
+
+_FMT_DTYPE = {"u8": np.uint8, "s8": np.int8, "s16": np.int16,
+              "f32": np.float32}
+
+
+class GainState:
+    def __init__(self, gain, lo, hi):
+        self.lock = threading.Lock()
+        self.gain = float(gain)
+        self.lo, self.hi = float(lo), float(hi)
+        self.biastee = False
+        self.changed = threading.Event()
+
+    def set(self, db: float) -> float:
+        with self.lock:
+            self.gain = float(np.clip(db, self.lo, self.hi))
+            self.changed.set()
+            return self.gain
+
+
+def control_server(port: int, rate: float, fmt: str, g: GainState,
+                   stop: threading.Event):
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("0.0.0.0", port))
+    srv.listen(4)
+    srv.settimeout(0.5)
+    while not stop.is_set():
+        try:
+            conn, _ = srv.accept()
+        except socket.timeout:
+            continue
+        with conn:
+            f = conn.makefile("rw")
+            for line in f:
+                parts = line.split()
+                if not parts:
+                    continue
+                cmd = parts[0].upper()
+                if cmd == "INFO":
+                    f.write(f"INFO {rate} {fmt} {g.lo} {g.hi} {g.gain}\n")
+                elif cmd == "GAIN" and len(parts) > 1:
+                    f.write(f"OK {g.set(float(parts[1]))}\n")
+                elif cmd == "BIASTEE" and len(parts) > 1:
+                    g.biastee = bool(int(parts[1]))
+                    f.write("OK\n")
+                elif cmd == "QUIT":
+                    f.write("OK\n")
+                    f.flush()
+                    break
+                else:
+                    f.write("ERR\n")
+                f.flush()
+    srv.close()
+
+
+def stream_file(path: str, fmt: str, rate: float, sock, dest, g: GainState,
+                stop: threading.Event, loop: bool, pace: float):
+    """File playback with DIGITAL gain (relative to the initial gain)."""
+    dtype = _FMT_DTYPE[fmt]
+    g0 = g.gain
+    bytes_per_s = 2 * rate * np.dtype(dtype).itemsize
+    f = open(path, "rb")
+    t0, sent = time.monotonic(), 0
+    while not stop.is_set():
+        buf = f.read(CHUNK)
+        if len(buf) < CHUNK:
+            if not loop:
+                break
+            f.seek(0)
+            buf += f.read(CHUNK - len(buf))
+        scale = 10.0 ** ((g.gain - g0) / 20.0)
+        if abs(scale - 1.0) > 1e-6:
+            x = np.frombuffer(buf, dtype=dtype).astype(np.float32)
+            if fmt == "u8":
+                x = (x - 127.5) * scale + 127.5
+                buf = np.clip(np.round(x), 0, 255).astype(np.uint8).tobytes()
+            elif fmt in ("s8", "s16"):
+                lim = 127 if fmt == "s8" else 32767
+                buf = np.clip(np.round(x * scale), -lim - 1, lim
+                              ).astype(dtype).tobytes()
+            else:
+                buf = (x * scale).astype(np.float32).tobytes()
+        sock.sendto(buf, dest)
+        sent += len(buf)
+        if pace > 0:
+            ahead = sent / (bytes_per_s * pace) - (time.monotonic() - t0)
+            if ahead > 0.002:
+                time.sleep(ahead)
+    f.close()
+
+
+def stream_cmd(cmd: str, sock, dest, g: GainState, stop: threading.Event):
+    """Spawn the SDR CLI; restart it when {gain}/{biastee} change."""
+    while not stop.is_set():
+        g.changed.clear()
+        argv = shlex.split(cmd.format(gain=g.gain,
+                                      biastee=int(g.biastee)))
+        proc = subprocess.Popen(argv, stdout=subprocess.PIPE)
+        restart = "{gain}" in cmd or "{biastee}" in cmd
+        try:
+            while not stop.is_set():
+                if restart and g.changed.is_set():
+                    break
+                buf = proc.stdout.read(CHUNK)
+                if not buf:
+                    return
+                sock.sendto(buf, dest)
+        finally:
+            proc.terminate()
+            proc.wait(timeout=2.0)
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--file", help="raw IQ capture to play back")
+    src.add_argument("--cmd", help="SDR CLI writing raw IQ to stdout; "
+                                   "may template {gain} and {biastee}")
+    p.add_argument("--dest", required=True, help="receiver host:port (UDP)")
+    p.add_argument("--control-port", type=int, required=True)
+    p.add_argument("--rate", type=float, default=None,
+                   help="sample rate in Hz (from the filename if omitted)")
+    p.add_argument("--fmt", choices=list(_FMT_DTYPE), default=None)
+    p.add_argument("--gain", type=float, default=24.0)
+    p.add_argument("--gain-min", type=float, default=0.0)
+    p.add_argument("--gain-max", type=float, default=49.0)
+    p.add_argument("--loop", action="store_true")
+    p.add_argument("--pace", type=float, default=1.0,
+                   help="file playback speed multiple (0 = unpaced)")
+    p.add_argument("--duration", type=float, default=None,
+                   help="stop after this many seconds")
+    args = p.parse_args(argv)
+
+    rate, fmt = args.rate, args.fmt
+    if args.file and (rate is None or fmt is None):
+        sys.path.insert(0, str(__import__("pathlib").Path(
+            __file__).resolve().parent.parent))
+        from sdr_receiver_dvb_t2_tpu.io.sources import parse_raw_filename
+        rate_f, fmt_f = parse_raw_filename(args.file)
+        rate, fmt = rate or rate_f, fmt or fmt_f
+    if rate is None or fmt is None:
+        p.error("--rate and --fmt are required with --cmd")
+
+    host, _, port = args.dest.rpartition(":")
+    dest = (host or "127.0.0.1", int(port))
+    sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    g = GainState(args.gain, args.gain_min, args.gain_max)
+    stop = threading.Event()
+    ctl = threading.Thread(target=control_server,
+                           args=(args.control_port, rate, fmt, g, stop),
+                           daemon=True)
+    ctl.start()
+    if args.duration:
+        threading.Timer(args.duration, stop.set).start()
+    try:
+        if args.file:
+            stream_file(args.file, fmt, rate, sock, dest, g, stop,
+                        args.loop, args.pace)
+        else:
+            stream_cmd(args.cmd, sock, dest, g, stop)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        stop.set()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
