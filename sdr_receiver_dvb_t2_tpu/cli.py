@@ -53,6 +53,9 @@ def build_parser() -> argparse.ArgumentParser:
     rxg.add_argument("--max-frames", type=int, default=None)
     rxg.add_argument("--cpu", action="store_true",
                      help="force the CPU backend (no TPU)")
+    rxg.add_argument("--notch-spur", action="store_true",
+                     help="detect, track and notch a CW spur in the raw "
+                          "spectrum (the reference's anti-spur option)")
     rxg.add_argument("--biastee", action="store_true",
                      help="enable the antenna bias tee on sources that "
                           "support it (live SDR daemons)")
@@ -109,7 +112,8 @@ def main(argv=None) -> int:
     plp_index = None if args.plp == "all" else int(args.plp)
     cfg = stream_mod.StreamConfig(
         fir_preset=args.fir, frames_per_batch=args.frames_per_batch,
-        ldpc_max_iters=args.ldpc_iters, plp_index=plp_index)
+        ldpc_max_iters=args.ldpc_iters, plp_index=plp_index,
+        notch_spur=args.notch_spur)
     rx = stream_mod.StreamingReceiver(src, sink, cfg)
     if plp_index is None and args.out.startswith("udp://"):
         host, _, port = args.out[6:].rpartition(":")

@@ -138,6 +138,76 @@ def nco_derotate(x: C, phase0: jnp.ndarray, freq: jnp.ndarray):
     return y, phase_end
 
 
+def spur_notch(x: C, phase0: jnp.ndarray, omega: jnp.ndarray,
+               a_re: jnp.ndarray, a_im: jnp.ndarray):
+    """Subtract a tracked CW spur a*exp(j(phase0 + omega*n)); returns
+    (y, (m_re, m_im)) with m = the block's measured complex spur amplitude
+    at omega (correlation of the INPUT against the ramp).
+
+    Block-recurrent replacement for the reference's per-sample anti-spur
+    loop (dvbt2_demodulator.h:120-127): the host smooths m into the next
+    block's amplitude and refines omega from m's block-to-block rotation
+    (runtime/stream.py).  Phase continuity across blocks is host float64.
+
+    Numerics: omega can sit anywhere in (-pi, pi], so a plain f32
+    omega*arange ramp would lose ~0.16 rad over a 5e5-sample block.  The
+    ramp is built per 1024-sample chunk from a mod-reduced chunk base
+    (error < 1e-3 rad end to end, notch depth ~60 dB).
+    """
+    n_tot = x.shape[-1]
+    ch = 1024
+    n = jnp.arange(n_tot, dtype=jnp.int32)
+    c = (n // ch).astype(jnp.float32)
+    r = (n % ch).astype(jnp.float32)
+    two_pi = jnp.float32(2 * np.pi)
+    step_c = jnp.mod(omega * ch, two_pi)
+    ph = phase0 + jnp.mod(step_c * c, two_pi) + omega * r
+    co, si = jnp.cos(ph), jnp.sin(ph)
+    m_re = jnp.mean(x.re * co + x.im * si)
+    m_im = jnp.mean(x.im * co - x.re * si)
+    y = C(x.re - (a_re * co - a_im * si), x.im - (a_re * si + a_im * co))
+    return y, (m_re, m_im)
+
+
+def detect_spur(iq: np.ndarray, min_ratio: float = 8.0):
+    """Host-side CW spur search: (omega rad/sample, amp complex) or None.
+
+    A spur stands out of the noise-like OFDM spectrum as a single FFT bin
+    at >> the median magnitude (the reference arms its anti-spur by hand;
+    here detection is automatic at acquisition time).  The FFT bin only
+    localizes omega to ~1e-4 rad/sample — far too coarse for a notch whose
+    phase must stay coherent over 1e5+-sample blocks — so the estimate is
+    ladder-refined by phase differences over geometrically growing spans
+    (each stage's unambiguous range covers the previous stage's residual),
+    reaching ~1e-7 rad/sample.
+    """
+    x = np.asarray(iq)
+    x = x - np.mean(x)
+    n = 1 << 16
+    if len(x) < n:
+        n = 1 << int(np.floor(np.log2(max(len(x), 2))))
+    spec = np.fft.fft(x[:n])
+    mag = np.abs(spec)
+    k = int(np.argmax(mag))
+    med = float(np.median(mag))
+    if mag[k] < min_ratio * med:
+        return None
+    omega = 2 * np.pi * (k if k < n // 2 else k - n) / n
+
+    ns = 2048
+    while 2 * ns <= len(x):
+        seg = np.arange(ns)
+        ramp = np.exp(-1j * omega * seg)
+        m_a = np.mean(x[:ns] * ramp)
+        m_b = np.mean(x[ns:2 * ns] * ramp * np.exp(-1j * omega * ns))
+        if abs(m_a) > 0 and abs(m_b) > 0:
+            omega += float(np.angle(m_b * np.conj(m_a))) / ns
+        ns *= 4
+    m = np.mean(x[:ns // 4 * 2] *
+                np.exp(-1j * omega * np.arange(ns // 4 * 2)))
+    return float(omega), complex(m)
+
+
 # ---------------------------------------------------------------------------
 # cubic Farrow fractional resampler
 # (reference: DSP/interpolator_farrow.hh:41-68, sample-serial accumulator)

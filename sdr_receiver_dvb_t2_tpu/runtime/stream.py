@@ -68,6 +68,7 @@ class StreamConfig:
     n_up_block: int = 1 << 19       # farrow outputs per front-end block
     acq_elem_samples: int = 3_500_000   # covers one max-size frame + P1
     use_pallas: bool | None = None
+    notch_spur: bool = False        # track + notch a CW spur (anti-spur)
 
 
 @dataclasses.dataclass
@@ -113,6 +114,7 @@ class StreamingReceiver:
         self.hb2_hist = cplx.czeros(len(self.hb_taps) - 1)
 
         self._raw = np.empty(0, np.complex64)   # host raw ring (complex)
+        self.spur = None                         # anti-spur tracker state
         self._elem = np.empty(0, np.complex64)  # elementary-rate buffer
         self._fe_fn = self._build_frontend()
         self.agc = Agc(source)                  # active only for live SDRs
@@ -132,17 +134,25 @@ class StreamingReceiver:
         taps = jnp.asarray(self.taps)
         hb = jnp.asarray(self.hb_taps)
         n_up = self.n_up
+        notch = self.cfg.notch_spur
 
         @jax.jit
         def fn(raw, c1, c2, phase0, freq, mu0, s_hi, s_lo,
-               hist, hb1, hb2):
+               hist, hb1, hb2, sp_phase, sp_omega, sp_re, sp_im):
             x, cond_stats = fe.iq_condition(raw, c1, c2)
+            if notch:
+                # anti-spur: subtract the tracked CW before the NCO (the
+                # spur lives in the RAW spectrum; the retune would move it)
+                x, spur_m = fe.spur_notch(x, sp_phase, sp_omega,
+                                          sp_re, sp_im)
+            else:
+                spur_m = (jnp.float32(0), jnp.float32(0))
             x, _ = fe.nco_derotate(x, phase0, freq)
             x, hb1n = fe.upsample2(x, hb1, hb)           # x2
             x, hb2n = fe.upsample2(x, hb2, hb)           # x4 grid
             up = fe.farrow_resample(x, mu0, s_hi, s_lo, n_up)
             elem, hist2 = fe.fir_decimate2(up, hist, taps)
-            return elem, hist2, hb1n, hb2n, cond_stats
+            return elem, hist2, hb1n, hb2n, cond_stats, spur_m
 
         return fn
 
@@ -161,14 +171,24 @@ class StreamingReceiver:
                 iq = raw_to_complex_np(blk, self.src.info.fmt)
             self._raw = np.concatenate([self._raw, iq])
 
+        if self.cfg.notch_spur and self.spur is None:
+            det = fe.detect_spur(self._raw[:self.n_in])
+            # arm the tracker even without a detection (amp 0 = no-op);
+            # a spur appearing later is picked up on relock
+            self.spur = dict(omega=det[0] if det else 0.0,
+                             amp=det[1] if det else 0j,
+                             phase=0.0, m_prev=None)
+        sp = self.spur or dict(omega=0.0, amp=0j, phase=0.0)
         window = cplx.from_np(self._raw[:self.n_in])
         s_hi, s_lo = fe.split_step(self.step)
-        elem, hist2, hb1n, hb2n, cond_stats = self._fe_fn(
+        elem, hist2, hb1n, hb2n, cond_stats, spur_m = self._fe_fn(
             window,
             jnp.float32(self.cond.c1), jnp.float32(self.cond.c2),
             jnp.float32(self.phase), jnp.float32(self.freq),
             jnp.float32(self.mu), jnp.asarray(s_hi), jnp.asarray(s_lo),
-            self.fir_hist, self.hb1_hist, self.hb2_hist)
+            self.fir_hist, self.hb1_hist, self.hb2_hist,
+            jnp.float32(sp["phase"]), jnp.float32(sp["omega"]),
+            jnp.float32(sp["amp"].real), jnp.float32(sp["amp"].imag))
         self.fir_hist, self.hb1_hist, self.hb2_hist = hist2, hb1n, hb2n
         self.cond = fe.fold_iq_stats(
             self.cond, [np.asarray(s) for s in cond_stats],
@@ -181,6 +201,22 @@ class StreamingReceiver:
         self.mu = p_next - 4 * consumed_raw
         self.phase = float((self.phase + self.freq * consumed_raw)
                            % (2 * np.pi))
+        if self.cfg.notch_spur and self.spur is not None:
+            # spur tracking: smooth the measured amplitude, refine omega
+            # from the block-to-block rotation of the residual phasor
+            m = complex(float(np.asarray(spur_m[0])),
+                        float(np.asarray(spur_m[1])))
+            sp = self.spur
+            sp["amp"] += 0.5 * (m - sp["amp"])
+            # residual frequency error rotates m by delta*consumed between
+            # consecutive (continuously-phased) windows
+            if sp["m_prev"] is not None and abs(sp["m_prev"]) > 0:
+                rot = m * np.conj(sp["m_prev"])
+                if abs(rot) > 0:
+                    sp["omega"] += 0.5 * float(np.angle(rot)) / consumed_raw
+            sp["m_prev"] = m
+            sp["phase"] = float((sp["phase"] + sp["omega"] * consumed_raw)
+                                % (2 * np.pi))
         self._raw = self._raw[consumed_raw:]
         self._elem = np.concatenate([self._elem, cplx.to_np(elem)])
         return True

@@ -260,3 +260,44 @@ def test_stream_normal_mode(tmp_path):
     sync = ts.tobytes()
     at = sync.find(got.tobytes()[:376])
     assert at >= 0 and got.tobytes() == sync[at:at + len(got)]
+
+
+@pytest.mark.slow
+def test_stream_anti_spur_tracker(tmp_path):
+    """A strong CW spur in the raw spectrum is auto-detected, tracked and
+    notched (the reference's anti-spur option, dvbt2_demodulator.h:120-127
+    — there armed by hand, here automatic)."""
+    path, ts_in, mode = _make_capture(tmp_path, n_frames=8, cfo_hz=9e3,
+                                      sro_ppm=4.0, snr_db=28.0)
+    rate, _fmt = sources.parse_raw_filename(path)
+    raw = np.fromfile(path, np.uint8).astype(np.float32)
+    iq = (raw[0::2] - 127.5) / 128 + 1j * (raw[1::2] - 127.5) / 128
+    rms = float(np.sqrt(np.mean(np.abs(iq) ** 2)))
+    omega_true = 2 * np.pi * 1.31e6 / rate
+    n = np.arange(len(iq))
+    spur_amp = 0.5 * rms
+    iq = 0.75 * (iq + spur_amp * np.exp(1j * (omega_true * n + 0.7)))
+    spurred = tmp_path / "cap_spur_0_10000000_8.raw"
+    out = np.empty(2 * len(iq), np.float32)
+    out[0::2], out[1::2] = iq.real, iq.imag
+    np.clip(np.round(out * 128 + 127.5), 0, 255).astype(np.uint8
+                                                        ).tofile(spurred)
+
+    src = sources.RawFileSource(str(spurred))
+    sink = sinks.BufferTsSink()
+    cfg = stream_mod.StreamConfig(frames_per_batch=1,
+                                  acq_elem_samples=3 * mode.frame_samples,
+                                  notch_spur=True, use_pallas=False)
+    rx = stream_mod.StreamingReceiver(src, sink, cfg)
+    stats = rx.run(max_frames=5)
+
+    assert stats.state == "locked", stats
+    assert rx.spur is not None and rx.spur["amp"] != 0j
+    # the tracker must have found the spur's frequency and amplitude
+    assert abs(rx.spur["omega"] - omega_true) < 1e-5, rx.spur
+    want_amp = 0.75 * spur_amp
+    assert abs(abs(rx.spur["amp"]) - want_amp) < 0.3 * want_amp, rx.spur
+    assert stats.bch_dirty == 0, stats
+    got, sync = sink.data.tobytes(), ts_in.tobytes()
+    idx = sync.find(got[:376])
+    assert idx >= 0 and got == sync[idx:idx + len(got)]
