@@ -115,6 +115,13 @@ def make_pallas_decoder(table_name: str, batch: int = 128,
     # every NORMAL table (and most SHORT) has identical weight for all
     # check rows; the per-slot validity masking then folds away statically
     uniform = bool((cnt_np == cnl).all())
+    # c2v messages in bf16 when VMEM allows (SHORT codes): int8<->f32
+    # converts cost a couple of VPU ops/edge more than bf16<->f32; the
+    # NORMAL tables keep int8 (bf16 c2v would not fit VMEM)
+    vmem_need = (plan.q * c_tot * M * B * 2
+                 + (g_data + plan.q + c_tot) * M * B * 2
+                 + 2 * (k + r) * B * 2 + 2 * k * B)
+    c2v_dtype = jnp.bfloat16 if vmem_need < 100 * 1024 * 1024 else jnp.int8
 
     def kernel(g_tab, s_tab, cnt_tab, ch_data, ch_par,
                hard_ref, ok_ref,
@@ -124,7 +131,7 @@ def make_pallas_decoder(table_name: str, batch: int = 128,
         # initialize posteriors from channel LLRs, zero the message memory
         lam_ref[...] = ch_data[...].reshape(g_data, M, B)
         par_ref[...] = ch_par[...].reshape(q, M, B)
-        c2v[...] = jnp.zeros((q, c_tot, M, B), jnp.int8)
+        c2v[...] = jnp.zeros((q, c_tot, M, B), c2v_dtype)
 
         def layer_body(i, _):
             m1 = jnp.full((M, B), _BIG, jnp.float32)
@@ -225,7 +232,7 @@ def make_pallas_decoder(table_name: str, batch: int = 128,
                 lam_ref[pl.ds(g, 1)] = pltpu.roll(
                     upd, jnp.mod(M - s, M), axis=0
                 ).astype(jnp.bfloat16).reshape(1, M, B)
-                c2v[i, slot] = msg.astype(jnp.int8)
+                c2v[i, slot] = msg.astype(c2v_dtype)
 
             def update_slot_rmw(slot):
                 # a later duplicate of a group already updated this row:
@@ -238,7 +245,7 @@ def make_pallas_decoder(table_name: str, batch: int = 128,
                 upd = lam_g + pltpu.roll(msg - old, jnp.mod(M - s, M), axis=0)
                 upd = jnp.clip(upd, -127.0, 127.0)
                 lam_ref[pl.ds(g, 1)] = upd.astype(jnp.bfloat16).reshape(1, M, B)
-                c2v[i, slot] = msg.astype(jnp.int8)
+                c2v[i, slot] = msg.astype(c2v_dtype)
 
             for slot in range(cnl):
                 upd_fn = (update_slot_rmw if slot in rmw_slots
@@ -251,7 +258,7 @@ def make_pallas_decoder(table_name: str, batch: int = 128,
             t, msg = emit(cnl)
             par_ref[pl.ds(i, 1)] = jnp.clip(t + msg, -127.0, 127.0
                                             ).astype(jnp.bfloat16).reshape(1, M, B)
-            c2v[i, cnl] = msg.astype(jnp.int8)
+            c2v[i, cnl] = msg.astype(c2v_dtype)
 
             t, msg = emit(cnl + 1)
             # fused write for the staircase neighbour: invalid lanes (the
@@ -262,7 +269,7 @@ def make_pallas_decoder(table_name: str, batch: int = 128,
             par_ref[pl.ds(ip, 1)] = pltpu.roll(
                 upd, jnp.where(i > 0, 0, M - 1), axis=0
             ).astype(jnp.bfloat16).reshape(1, M, B)
-            c2v[i, cnl + 1] = jnp.where(valid_prev, msg, 0.0).astype(jnp.int8)
+            c2v[i, cnl + 1] = jnp.where(valid_prev, msg, 0.0).astype(c2v_dtype)
             return 0
 
         def iter_cond(state):
@@ -313,7 +320,7 @@ def make_pallas_decoder(table_name: str, batch: int = 128,
         ],
         scratch_shapes=[
             pltpu.VMEM((c_tot, M, B), jnp.bfloat16),     # tbuf
-            pltpu.VMEM((q, c_tot, M, B), jnp.int8),      # c2v messages
+            pltpu.VMEM((q, c_tot, M, B), c2v_dtype),     # c2v messages
             pltpu.VMEM((g_data, M, B), jnp.bfloat16),    # lam posteriors
             pltpu.VMEM((q, M, B), jnp.bfloat16),         # parity posteriors
             pltpu.VMEM((1, 1, B), jnp.float32),          # unsat
