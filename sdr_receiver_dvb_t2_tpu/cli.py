@@ -46,7 +46,7 @@ def build_parser() -> argparse.ArgumentParser:
                      help="PLP index to decode, or 'all' to decode every "
                           "PLP (UDP sinks use port+i per PLP, like the "
                           "reference's per-PLP output table)")
-    rxg.add_argument("--fir", choices=["soft", "medium", "sharp"],
+    rxg.add_argument("--fir", choices=["soft", "medium", "sharp", "test1", "test2"],
                      default="medium", help="channel filter preset")
     rxg.add_argument("--frames-per-batch", type=int, default=2)
     rxg.add_argument("--ldpc-iters", type=int, default=15)

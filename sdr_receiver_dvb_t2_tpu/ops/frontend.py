@@ -354,6 +354,10 @@ FIR_PRESETS = {
     "soft": (16, 0.25, 3.0),
     "medium": (32, 0.25, 5.0),
     "sharp": (64, 0.25, 7.0),
+    # the reference's Test1/Test2 16-tap equiripple variants (pass 3.7/3.8
+    # MHz, stop 5.4 MHz at ~2x elementary) as clean-room Kaiser designs
+    "test1": (16, 0.249, 2.6),
+    "test2": (16, 0.252, 2.6),
 }
 
 

@@ -145,7 +145,12 @@ def make_decoder(table_name: str, max_iters: int = 15, beta: float = 1.0):
 
     @jax.jit
     def decode(llr):
-        llr = llr.astype(jnp.float32)
+        # clamp the channel intrinsics below the weakest bit's total
+        # extrinsic correction capacity (degree-2 staircase parity: 2*31):
+        # a saturated WRONG bit would otherwise be permanently stuck, since
+        # lam = ch + sum(clamped messages) can never cross zero.  Same
+        # clamp as the Pallas kernel (ops/ldpc_pallas.py).
+        llr = jnp.clip(llr.astype(jnp.float32), -56.0, 56.0)
         b = llr.shape[0]
         ch_data = llr[:, :k].reshape(b, g_data, M)
         ch_par = llr[:, k:]

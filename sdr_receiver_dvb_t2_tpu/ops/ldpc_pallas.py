@@ -342,14 +342,23 @@ def make_pallas_decoder(table_name: str, batch: int = 128,
         interpret=interpret,
     )
 
+    # Channel-LLR clamp: offset-min-sum messages saturate at +-31, so a
+    # WRONG bit with intrinsic |llr| > degree * 31 can never be corrected
+    # (lam = ch + sum(msg) sticks at the wrong sign forever).  The weakest
+    # bits are the degree-2 staircase parities (capacity 62); clamping the
+    # channel input at 56 keeps every bit correctable while preserving the
+    # full reliability ordering below saturation.  Without this, ONE
+    # saturated-wrong cell (e.g. a DC-spur-hit center carrier at high SNR)
+    # permanently kills its codeword — measured on real 32K captures, and
+    # a latent defect in the reference's int8 pipeline too (its posteriors
+    # saturate the same way, ldpc_decoder.h:30-58).
+    _CLAMP = 56.0
+
     @jax.jit
     def decode(llr_t):
         assert llr_t.shape == (plan.n, T * B), (llr_t.shape, (plan.n, T * B))
-        if llr_t.dtype == jnp.int8:
-            x = llr_t.astype(jnp.bfloat16)      # int8 is exact in bf16
-        else:
-            x = jnp.clip(llr_t.astype(jnp.float32), -127, 127
-                         ).astype(jnp.bfloat16)
+        x = jnp.clip(llr_t.astype(jnp.float32), -_CLAMP, _CLAMP
+                     ).astype(jnp.bfloat16)
         if k % r == 0:
             hard_t, stats = pallas_fn(g_tab, s_tab, cnt_tab, x, x)
         else:

@@ -47,3 +47,26 @@ def test_decode_reports_failure_on_garbage():
     _, ok, iters = dec(llr)
     assert not np.array(ok).any()
     assert (np.asarray(iters) == 8).all()
+
+
+def test_saturated_wrong_bits_recoverable():
+    """Regression: a confidently-wrong bit must stay correctable.
+
+    Offset-min-sum messages clamp at +-31, so a wrong bit whose intrinsic
+    exceeds its degree * 31 total extrinsic capacity would be permanently
+    stuck (lam = ch + sum(msg) can never cross zero).  The decoders clamp
+    channel LLRs below the weakest (degree-2 staircase) bit's capacity —
+    without it, ONE saturated-wrong cell killed its whole codeword on real
+    high-SNR captures."""
+    code = ldpc.get_code("SHORT_C1_2")
+    rng = np.random.default_rng(3)
+    bits = rng.integers(0, 2, code.k, dtype=np.uint8)
+    cw = code.encode(bits)
+    dec = make_decoder("SHORT_C1_2", max_iters=15)
+    for amp, n_flip in [(127, 1), (127, 8), (127, 32), (96, 4)]:
+        llr = (1 - 2 * cw.astype(np.float32)) * amp
+        idx = rng.choice(code.n, n_flip, replace=False)
+        llr[idx] = -llr[idx]
+        hard, ok, _ = dec(llr[None, :])
+        assert np.asarray(ok)[0], (amp, n_flip)
+        assert (np.asarray(hard)[0] == cw).all(), (amp, n_flip)
