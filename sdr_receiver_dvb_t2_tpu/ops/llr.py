@@ -85,11 +85,16 @@ def demap_cells_planes(cells: C, n_frames: int, plan: DemapPlan):
     per_axis = plan.eta // 2
     step = 2 * plan.norm
     lim = plan.levels_max * plan.norm
-    hard_i = jnp.clip(jnp.round((cells.re - plan.norm) / step) * step
+    # SNR / precision from a 1/8 stride sample of the cells: the estimate
+    # averages over >1M cells per frame either way (sampling error well
+    # under 0.01 dB), and the hard-decision error math is ~half the
+    # demap's elementwise op budget
+    sub = C(cells.re.reshape(w, -1)[:, ::8], cells.im.reshape(w, -1)[:, ::8])
+    hard_i = jnp.clip(jnp.round((sub.re - plan.norm) / step) * step
                       + plan.norm, -lim, lim)
-    hard_q = jnp.clip(jnp.round((cells.im - plan.norm) / step) * step
+    hard_q = jnp.clip(jnp.round((sub.im - plan.norm) / step) * step
                       + plan.norm, -lim, lim)
-    err = (cells.re - hard_i) ** 2 + (cells.im - hard_q) ** 2
+    err = (sub.re - hard_i) ** 2 + (sub.im - hard_q) ** 2
     sig = hard_i ** 2 + hard_q ** 2
     sum_s = jnp.sum(sig.reshape(n_frames, -1), axis=1)
     sum_e = jnp.maximum(jnp.sum(err.reshape(n_frames, -1), axis=1), 1e-12)
