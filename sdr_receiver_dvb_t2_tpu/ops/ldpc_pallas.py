@@ -129,8 +129,16 @@ def make_pallas_decoder(table_name: str, batch: int = 128,
         sub_iota = jax.lax.broadcasted_iota(jnp.int32, (M, B), 0)
         sub0_mask = sub_iota == 0
         # initialize posteriors from channel LLRs, zero the message memory
-        lam_ref[...] = ch_data[...].reshape(g_data, M, B)
-        par_ref[...] = ch_par[...].reshape(q, M, B)
+        # init posteriors from int8 channel LLRs, clamped below the
+        # weakest bit's extrinsic correction capacity (see _CLAMP below):
+        # taking int8 blocks directly saves a full [n, W] bf16
+        # materialization (216 MB per 8-frame batch) in the wrapper
+        lam_ref[...] = jnp.clip(ch_data[...].astype(jnp.float32),
+                                -56.0, 56.0
+                                ).astype(jnp.bfloat16).reshape(g_data, M, B)
+        par_ref[...] = jnp.clip(ch_par[...].astype(jnp.float32),
+                                -56.0, 56.0
+                                ).astype(jnp.bfloat16).reshape(q, M, B)
         c2v[...] = jnp.zeros((q, c_tot, M, B), c2v_dtype)
 
         def layer_body(i, _):
@@ -357,8 +365,11 @@ def make_pallas_decoder(table_name: str, batch: int = 128,
     @jax.jit
     def decode(llr_t):
         assert llr_t.shape == (plan.n, T * B), (llr_t.shape, (plan.n, T * B))
-        x = jnp.clip(llr_t.astype(jnp.float32), -_CLAMP, _CLAMP
-                     ).astype(jnp.bfloat16)
+        if llr_t.dtype == jnp.int8:
+            x = llr_t                        # straight into the kernel
+        else:
+            x = jnp.clip(jnp.round(llr_t.astype(jnp.float32)),
+                         -127, 127).astype(jnp.int8)
         if k % r == 0:
             hard_t, stats = pallas_fn(g_tab, s_tab, cnt_tab, x, x)
         else:
