@@ -301,3 +301,43 @@ def test_stream_anti_spur_tracker(tmp_path):
     got, sync = sink.data.tobytes(), ts_in.tobytes()
     idx = sync.find(got[:376])
     assert idx >= 0 and got == sync[idx:idx + len(got)]
+
+
+@pytest.mark.slow
+def test_stream_saturated_llr_regime(tmp_path):
+    """High-SNR, high-order streaming: at >30 dB the demapper saturates
+    LLRs, the regime where the round-2 stuck-bit defect lived (a wrong bit
+    with intrinsic above its extrinsic capacity was uncorrectable; see
+    BENCH.md).  256QAM through the full front end must decode clean."""
+    mode = T2Mode(fft_mode=FftMode.FFT_2K, guard=GuardInterval.G1_8,
+                  pilot_pattern=PilotPattern.PP7, extended_carriers=False,
+                  n_data_symbols=30)
+    plp = PlpConfig(constellation=Constellation.QAM256,
+                    code_rate=CodeRate.C2_3, fec_frame=FecFrame.SHORT,
+                    rotation=True, time_il_length=1)
+    tx = Transmitter(TxConfig(mode=mode, plp=plp, fec_blocks_per_frame=2,
+                              num_t2_frames=7))
+    n_pkts = 9 * 2 * (plp.k_bch // 8 - 10) // 188
+    ts = random_ts_stream(n_pkts, seed=77)
+    dev = impair(tx.modulate(ts), ChannelConfig(device_rate=10e6,
+                                                cfo_hz=4e3, snr_db=33.0,
+                                                seed=8))
+    path = tmp_path / "sat_0_10000000_16.raw"
+    quantize(dev, "s16", scale=0.4).tofile(path)
+
+    src = sources.RawFileSource(str(path))
+    sink = sinks.BufferTsSink()
+    cfg = stream_mod.StreamConfig(frames_per_batch=1,
+                                  acq_elem_samples=3 * mode.frame_samples,
+                                  use_pallas=False)
+    rx = stream_mod.StreamingReceiver(src, sink, cfg)
+    stats = rx.run(max_frames=4)
+    assert stats.state == "locked", stats
+    assert stats.ldpc_failures == 0, stats
+    assert stats.bch_dirty == 0, stats
+    assert stats.snr_db > 28
+    got, sync = sink.data.tobytes(), ts.tobytes()
+    idx = sync.find(got[:376])
+    assert idx >= 0
+    n = min(len(got), len(sync) - idx)
+    assert got[:n] == sync[idx:idx + n]
