@@ -71,6 +71,7 @@ struct BbParser {
   std::vector<uint8_t> partial;
   std::vector<uint8_t> scrambler;        // cached PRBS bits
   std::vector<uint8_t> scrambler_bytes;  // cached PRBS packed to bytes
+  std::vector<uint8_t> outbuf;           // retained output of the last parse
   int crc = -1;                     // -1 = NM CRC chain not established
   bool synced = false;
   int64_t header_errors = 0;
@@ -145,19 +146,18 @@ int bb_parser_matype(const BbParser* p) {
 }
 int bb_parser_isi(const BbParser* p) { return p->isi; }
 
-// frame: k_bch/8 scrambled BB-frame BYTES (MSB-first bit packing — exactly
-// what the device-side pack_bits_t transfer produces).
-// out: caller buffer of out_cap bytes for TS output; packets that would
-// overflow it are dropped and counted in the `truncated` stat (NPD
-// re-insertion can expand output up to 256x, so callers size generously).
-// Returns TS bytes written (multiple of 188), or -1 on header CRC failure.
+namespace {
+
+// Core parse of one frame, appending TS packets to p->outbuf (growable —
+// NPD re-insertion can legally expand output ~256x, so no fixed caller
+// buffer can bound it; the retained vector never drops packets).
+// Returns appended TS bytes (multiple of 188), or -1 on header CRC failure.
 // MATYPE handling (parity+: reference only displays these fields,
 // bb_de_header.cpp:110-155,497-510): TS_GS/SIS_MIS/CCM_ACM/ISSYI/NPD/ISI
 // are parsed and exposed via accessors; NPD streams have their deleted
 // null packets re-inserted from the per-UP DNP count; ISSYI or non-TS
 // streams are rejected loudly (unsupported counter, no silent desync).
-int bb_parser_parse_bytes(BbParser* p, const uint8_t* frame, int n_bytes,
-                          uint8_t* out, int64_t out_cap) {
+int64_t parse_frame_into(BbParser* p, const uint8_t* frame, int n_bytes) {
   std::vector<uint8_t> data_buf(n_bytes);
   const uint8_t* sc = p->prbs_bytes(n_bytes);
   for (int i = 0; i < n_bytes; ++i) data_buf[i] = frame[i] ^ sc[i];
@@ -237,7 +237,8 @@ int bb_parser_parse_bytes(BbParser* p, const uint8_t* frame, int n_bytes,
   p->partial.assign(stream.begin() + n_units * unit, stream.end());
 
   int payload = hem ? kTsLen - 1 : kTsLen;   // bytes before any DNP suffix
-  int written = 0;
+  int64_t written = 0;
+  std::vector<uint8_t>& ob = p->outbuf;
   for (int u = 0; u < n_units; ++u) {
     const uint8_t* up = stream.data() + u * unit;
     if (p->npd) {
@@ -245,20 +246,22 @@ int bb_parser_parse_bytes(BbParser* p, const uint8_t* frame, int n_bytes,
       // immediately before it (EN 302 755 clause 5.1.5) — restore them
       int dnp = up[payload];
       p->null_reinserted += dnp;
-      for (int z = 0; z < dnp && written + kTsLen <= out_cap; ++z) {
-        emit_null_packet(out + written);
+      for (int z = 0; z < dnp; ++z) {
+        ob.resize(ob.size() + kTsLen);
+        emit_null_packet(ob.data() + ob.size() - kTsLen);
         written += kTsLen;
       }
     }
-    if (written + kTsLen > out_cap) { p->truncated++; break; }
-    out[written] = 0x47;
+    size_t at = ob.size();
+    ob.resize(at + kTsLen);
+    ob[at] = 0x47;
     if (hem) {
-      std::memcpy(out + written + 1, up, payload);
+      std::memcpy(ob.data() + at + 1, up, payload);
     } else {
-      std::memcpy(out + written + 1, up + 1, payload - 1);
+      std::memcpy(ob.data() + at + 1, up + 1, payload - 1);
       if (p->crc >= 0 && p->crc != up[0]) {
         p->crc_errors++;
-        out[written + 1] |= kTeiFlag;
+        ob[at + 1] |= kTeiFlag;
       }
       p->crc = crc8_bytes(up + 1, payload - 1);
     }
@@ -267,23 +270,60 @@ int bb_parser_parse_bytes(BbParser* p, const uint8_t* frame, int n_bytes,
   return written;
 }
 
+}  // namespace
+
+// Copy-out of the retained output from the last parse call: whole TS
+// packets only; anything beyond out_cap stays retained (re-fetch with a
+// larger buffer via bb_parser_copy_out — nothing is ever dropped by the
+// parser itself).  Returns bytes copied.
+int64_t bb_parser_copy_out(BbParser* p, uint8_t* out, int64_t out_cap) {
+  int64_t n = static_cast<int64_t>(p->outbuf.size());
+  if (n > out_cap) n = out_cap - out_cap % kTsLen;
+  if (n < 0) n = 0;
+  std::memcpy(out, p->outbuf.data(), n);
+  return n;
+}
+
+// Total TS bytes retained from the last parse (may exceed the cap the
+// caller passed; compare and re-fetch with bb_parser_copy_out).
+int64_t bb_parser_out_size(const BbParser* p) {
+  return static_cast<int64_t>(p->outbuf.size());
+}
+
+// frame: k_bch/8 scrambled BB-frame BYTES (MSB-first bit packing — exactly
+// what the device-side pack_bits_t transfer produces).
+// Parses into the retained buffer, copies up to out_cap whole packets into
+// `out`, and returns the TOTAL bytes produced (which can exceed out_cap —
+// NPD re-insertion expands up to ~256x; callers must then re-fetch via
+// bb_parser_copy_out).  Returns -1 on header CRC failure.
+int bb_parser_parse_bytes(BbParser* p, const uint8_t* frame, int n_bytes,
+                          uint8_t* out, int64_t out_cap) {
+  p->outbuf.clear();
+  int64_t n = parse_frame_into(p, frame, n_bytes);
+  if (n < 0) return -1;
+  bb_parser_copy_out(p, out, out_cap);
+  return static_cast<int>(n);
+}
+
 // Batched packed-bytes parse: n_frames rows of bytes_each scrambled
 // BB-frame bytes.  Header-CRC failures are skipped (counters advance).
-// Returns total TS bytes written.
+// Parses everything into the retained buffer, copies up to out_cap whole
+// packets, and returns the TOTAL bytes produced (re-fetch the remainder
+// with bb_parser_copy_out when it exceeds out_cap).
 int64_t bb_parser_parse_batch(BbParser* p, const uint8_t* frames,
                               int n_frames, int bytes_each, uint8_t* out,
                               int64_t out_cap) {
-  int64_t written = 0;
-  for (int f = 0; f < n_frames; ++f) {
-    int n = bb_parser_parse_bytes(p, frames + static_cast<int64_t>(f) *
-                                  bytes_each, bytes_each, out + written,
-                                  out_cap - written);
-    if (n > 0) written += n;
-  }
-  return written;
+  p->outbuf.clear();
+  for (int f = 0; f < n_frames; ++f)
+    parse_frame_into(p, frames + static_cast<int64_t>(f) * bytes_each,
+                     bytes_each);
+  bb_parser_copy_out(p, out, out_cap);
+  return static_cast<int64_t>(p->outbuf.size());
 }
 
 // Legacy bit-array interface (one byte per bit) — packs and delegates.
+// Fixed caller-buffer contract (k_bch/8 + 188 bytes): output beyond it is
+// dropped here, counted per dropped packet in the `truncated` stat.
 int bb_parser_parse(BbParser* p, const uint8_t* frame_bits, int k_bch,
                     uint8_t* out) {
   std::vector<uint8_t> bytes(k_bch / 8);
@@ -293,10 +333,14 @@ int bb_parser_parse(BbParser* p, const uint8_t* frame_bits, int k_bch,
       v = static_cast<uint8_t>((v << 1) | (frame_bits[8 * i + j] & 1));
     bytes[i] = v;
   }
-  // legacy contract: out capacity k_bch/8 + 188 (no NPD expansion slack)
-  return bb_parser_parse_bytes(p, bytes.data(),
-                               static_cast<int>(bytes.size()), out,
-                               k_bch / 8 + kTsLen);
+  int64_t cap = k_bch / 8 + kTsLen;
+  int total = bb_parser_parse_bytes(p, bytes.data(),
+                                    static_cast<int>(bytes.size()), out, cap);
+  if (total <= 0) return total;
+  int64_t copied = cap - cap % kTsLen;
+  if (total <= copied) return total;
+  p->truncated += (total - copied) / kTsLen;
+  return static_cast<int>(copied);
 }
 
 uint8_t dvbt2_crc8_bytes(const uint8_t* data, int n) {

@@ -78,6 +78,36 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _plp_sink_factory(out_spec: str):
+    """Per-PLP sink factory for --plp all (reference parity: every PLP is
+    routed to UDP or file from its table, main_window.cpp:608-632).
+
+    udp://host:port      -> PLP ordinal i gets port+i
+    path with '%d'       -> '%d' replaced by the PLP id
+    'ts:dir/' (trailing /) -> dir/plp<id>.ts, one file per PLP
+    other file path      -> '<stem>-plp<id><suffix>'
+    """
+    from .io import sinks
+
+    def factory(ordinal: int, plp_id: int):
+        if out_spec.startswith("udp://"):
+            host, _, port = out_spec[6:].rpartition(":")
+            return sinks.UdpTsSink(host or "127.0.0.1", int(port) + ordinal)
+        path = out_spec.split(":", 1)[1] if out_spec.startswith(
+            ("file:", "ts:")) else out_spec
+        if "%d" in path:
+            return sinks.FileTsSink(path % plp_id)
+        import os
+        if path.endswith(os.sep) or os.path.isdir(path):
+            os.makedirs(path, exist_ok=True)
+            return sinks.FileTsSink(os.path.join(path, f"plp{plp_id}.ts"))
+        stem, dot, suffix = path.rpartition(".")
+        return sinks.FileTsSink(f"{stem}-plp{plp_id}.{suffix}" if dot
+                                else f"{path}-plp{plp_id}")
+
+    return factory
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if args.cpu:
@@ -107,19 +137,20 @@ def main(argv=None) -> int:
         src.set_biastee(True)
     if args.threaded_ingest:
         src = sources.ThreadedSource(src)
-    sink = sinks.make_sink(args.out)
-
     plp_index = None if args.plp == "all" else int(args.plp)
+    # --plp all: ALL sinks (the primary too) come from the per-PLP factory
+    # so directory/pattern outputs can name files by the decoded PLP id
+    sink = None if plp_index is None else sinks.make_sink(args.out)
     cfg = stream_mod.StreamConfig(
         fir_preset=args.fir, frames_per_batch=args.frames_per_batch,
         ldpc_max_iters=args.ldpc_iters, plp_index=plp_index,
         notch_spur=args.notch_spur)
     rx = stream_mod.StreamingReceiver(src, sink, cfg)
-    if plp_index is None and args.out.startswith("udp://"):
-        host, _, port = args.out[6:].rpartition(":")
-        for i in range(1, 8):                 # sinks for PLPs 1..7 (lazy)
-            rx.plp_sinks[i] = sinks.UdpTsSink(host or "127.0.0.1",
-                                              int(port) + i)
+    if plp_index is None:
+        # lazily create one sink per PLP announced in L1, whatever their
+        # count — UDP gets port+i (the reference's per-PLP port table,
+        # main_window.cpp:608-632), files get a %d pattern or a directory
+        rx.sink_factory = _plp_sink_factory(args.out)
 
     print(f"input: {args.input} @ {src.info.sample_rate/1e6:.3f} Msps "
           f"({src.info.fmt}); output: {args.out}", file=sys.stderr)
@@ -173,7 +204,11 @@ def main(argv=None) -> int:
         import jax
         jax.profiler.stop_trace()
         print(f"profiler trace written to {args.profile}", file=sys.stderr)
-    sink.close()
+    if rx.sink is not None:
+        rx.sink.close()
+    for extra in rx.plp_sinks.values():
+        if extra is not None:
+            extra.close()
     s = rx.stats
     print(f"done: frames={s.frames} ts_packets={s.ts_packets} "
           f"ldpc_failures={s.ldpc_failures} bch_dirty={s.bch_dirty}",

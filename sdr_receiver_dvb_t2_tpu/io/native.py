@@ -56,6 +56,10 @@ def load():
     lib.bb_parser_parse_batch.restype = ctypes.c_int64
     lib.bb_parser_parse_batch.argtypes = [ctypes.c_void_p, u8p, ctypes.c_int,
                                           ctypes.c_int, u8p, ctypes.c_int64]
+    lib.bb_parser_copy_out.restype = ctypes.c_int64
+    lib.bb_parser_copy_out.argtypes = [ctypes.c_void_p, u8p, ctypes.c_int64]
+    lib.bb_parser_out_size.restype = ctypes.c_int64
+    lib.bb_parser_out_size.argtypes = [ctypes.c_void_p]
     for name in ("header_errors", "crc_errors", "unsupported",
                  "null_reinserted", "truncated"):
         fn = getattr(lib, f"bb_parser_{name}")
@@ -105,6 +109,16 @@ class NativeBBFrameParser:
         return self.parse_bytes(np.packbits(
             np.ascontiguousarray(frame_bits, dtype=np.uint8)))
 
+    def _refetch(self, out: np.ndarray, total: int) -> np.ndarray:
+        """Total produced exceeded the guess buffer (heavy NPD expansion —
+        up to ~256x is legal): re-copy from the parser's retained buffer.
+        Nothing is ever dropped on this path."""
+        if total <= len(out):
+            return out[:total]
+        big = np.empty(total, dtype=np.uint8)
+        n = self._lib.bb_parser_copy_out(self._h, _as_u8p(big), total)
+        return big[:n]
+
     def parse_bytes(self, frame_bytes: np.ndarray) -> np.ndarray:
         """One packed (scrambled) BB frame of k_bch/8 bytes -> TS bytes."""
         b = np.ascontiguousarray(frame_bytes, dtype=np.uint8)
@@ -115,7 +129,7 @@ class NativeBBFrameParser:
                                             _as_u8p(self._out), cap)
         if n <= 0:
             return np.empty(0, dtype=np.uint8)
-        return self._out[:n].copy()
+        return self._refetch(self._out, n).copy()
 
     def parse_batch(self, frames_bytes: np.ndarray) -> np.ndarray:
         """[n_frames, k_bch/8] packed scrambled BB frames -> TS bytes.
@@ -129,7 +143,7 @@ class NativeBBFrameParser:
         out = np.empty(cap, dtype=np.uint8)
         n = self._lib.bb_parser_parse_batch(self._h, _as_u8p(f), n_frames,
                                             bytes_each, _as_u8p(out), cap)
-        return out[:n]
+        return self._refetch(out, n)
 
     @property
     def header_errors(self) -> int:

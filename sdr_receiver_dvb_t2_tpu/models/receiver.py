@@ -134,6 +134,34 @@ class TpuReceiver:
         """Demod+equalize once; the result feeds every PLP's demap."""
         return self._plane_fn(cplx.from_np(np.asarray(frames_iq)))
 
+    @functools.cached_property
+    def _l1_cells_fn(self):
+        """Jitted gather of the L1-pre/post cells from a packed eq plane.
+
+        Steady-state L1-dynamic tracking reads ~10k cells per batch; doing
+        it on the plane (symbol 0 is the equalized P2) replaces a host-side
+        32K FFT + interpolation per batch and uses the full banded-matmul
+        equalizer instead of the acquisition-path interp."""
+        n_sig = l1_mod.L1_PRE_CELLS + self._l1_post_cells
+        idx = jnp.asarray(self._plan.sig_idx[:n_sig].reshape(-1, 1))
+
+        @jax.jit
+        def fn(packed):
+            return jax.lax.gather(
+                packed[0].reshape(-1), idx, rx_chain._FAST_GATHER, (1,),
+                mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+                unique_indices=True)
+
+        return fn
+
+    def l1_cells(self, packed_plane) -> np.ndarray:
+        """L1 signalling cells (complex) of the batch's first frame, read
+        from the shared packed plane (compute_plane output)."""
+        g = np.asarray(self._l1_cells_fn(packed_plane)).astype(np.uint32)
+        re = ((g >> np.uint32(16)) << np.uint32(16)).view(np.float32)
+        im = ((g & np.uint32(0xFFFF)) << np.uint32(16)).view(np.float32)
+        return re + 1j * im
+
     def equalized_cells(self, frames_iq: np.ndarray) -> np.ndarray:
         """Deinterleaved constellation cells (complex) for diagnostics —
         the reference's constellation plot data (main_window.cpp:416-476)."""

@@ -11,6 +11,12 @@ extending blind-acquisition reach by several dB.
 
 Used as the fallback when the hard-decision path fails
 (runtime/acquisition.py); the hard path stays first because it is free.
+
+LIMITATION: parity depuncture placement follows the framework's tail
+convention, not EN 302 755 Tables 17/18 (constants unavailable here) —
+against a real spec transmitter the soft path degrades to a CRC-gated
+no-op and acquisition keeps hard-decision reach only.  See the prominent
+note in params/l1_fec.py; the group orders are pluggable there.
 """
 from __future__ import annotations
 
@@ -77,32 +83,45 @@ def _decode(table: str, llr_full: np.ndarray, k_bch: int):
 
 
 def decode_l1_pre_fec(llr1840: np.ndarray) -> np.ndarray | None:
-    """L1-pre soft decode: 1840 tx-bit LLRs -> 200 systematic bits."""
+    """L1-pre soft decode: 1840 tx-bit LLRs -> 200 systematic bits.
+
+    Padding/puncturing placement comes from params.l1_fec's group-order
+    hooks — the SAME convention the modulator uses (see the LIMITATION
+    note in params/l1_fec.py about EN 302 755 Tables 17/18)."""
     llr = np.clip(np.asarray(llr1840, np.float32), -_BIG, _BIG)
     assert llr.shape == (L1_PRE_TX_BITS,), llr.shape
     code = ldpc_decode.get_plan("SHORT_C1_4")
     full = np.zeros(code.n, dtype=np.float32)
-    full[:_KSIG_PRE] = llr[:_KSIG_PRE]
-    full[_KSIG_PRE:_KBCH_PRE] = _BIG            # known zero padding
+    pos = l1_fec.info_bit_positions(_KBCH_PRE, _KSIG_PRE)
+    full[:_KBCH_PRE] = _BIG                     # known zero padding ...
+    full[pos] = llr[:_KSIG_PRE]                 # ... except the info bits
     full[_KBCH_PRE:_KBCH_PRE + _NBCH_PARITY] = \
         llr[_KSIG_PRE:_KSIG_PRE + _NBCH_PARITY]
     keep = L1_PRE_TX_BITS - _KSIG_PRE - _NBCH_PARITY
-    full[code.k:code.k + keep] = llr[_KSIG_PRE + _NBCH_PARITY:]
+    keep_pos = l1_fec.parity_keep_positions(
+        code.n - code.k, keep, l1_fec.L1_PRE_PUNCT_GROUP_ORDER)
+    full[code.k + keep_pos] = llr[_KSIG_PRE + _NBCH_PARITY:]
     out = _decode("SHORT_C1_4", full, _KBCH_PRE)
-    return None if out is None else out[:_KSIG_PRE]
+    return None if out is None else out[pos]
 
 
 def decode_l1_post_fec(llr_coded: np.ndarray, k_sig: int) -> np.ndarray | None:
     """L1-post soft decode: N_post coded-bit LLRs (FEC order, i.e. after
-    undoing the column interleave/demux) -> k_sig info bits."""
+    undoing the column interleave/demux) -> k_sig info bits.
+
+    Same group-order hooks as the L1-pre path (params/l1_fec.py)."""
     llr = np.clip(np.asarray(llr_coded, np.float32), -_BIG, _BIG)
     code = ldpc_decode.get_plan("SHORT_C1_2")
     full = np.zeros(code.n, dtype=np.float32)
-    full[:k_sig] = llr[:k_sig]
-    full[k_sig:_KBCH_POST] = _BIG               # known zero padding
+    pos = l1_fec.info_bit_positions(_KBCH_POST, k_sig,
+                                    l1_fec.L1_POST_PAD_GROUP_ORDER)
+    full[:_KBCH_POST] = _BIG                    # known zero padding ...
+    full[pos] = llr[:k_sig]                     # ... except the info bits
     full[_KBCH_POST:_KBCH_POST + _NBCH_PARITY] = \
         llr[k_sig:k_sig + _NBCH_PARITY]
     keep = len(llr) - k_sig - _NBCH_PARITY
-    full[code.k:code.k + keep] = llr[k_sig + _NBCH_PARITY:]
+    keep_pos = l1_fec.parity_keep_positions(
+        code.n - code.k, keep, l1_fec.L1_POST_PUNCT_GROUP_ORDER)
+    full[code.k + keep_pos] = llr[k_sig + _NBCH_PARITY:]
     out = _decode("SHORT_C1_2", full, _KBCH_POST)
-    return None if out is None else out[:k_sig]
+    return None if out is None else out[pos]

@@ -199,6 +199,11 @@ class ChainPlan:
         pay2carrier = np.concatenate(pay2carrier)
         assert len(pay2carrier) == mode.frame_cells, (
             len(pay2carrier), mode.frame_cells)
+        # carrier positions of the leading payload cells (L1-pre/post live
+        # here): lets the steady-state L1-dynamic tracker read its cells
+        # straight off the equalized plane instead of re-demodulating the
+        # P2 symbol on the host every batch (runtime/stream.py)
+        self.sig_idx = np.asarray(pay2carrier[:l1_cells].astype(np.int32))
         stream = pay2carrier[l1_cells:l1_cells
                              + n_fec * plp.cells_per_fec_block]
         self.cell_idx = np.asarray(stream[self.demap.ti_gather]

@@ -6,15 +6,29 @@ L1-post uses BCH(7032) + LDPC 16200 rate 1/2 with puncturing sized by the
 6/5 rule, then (for 16/64-QAM) a column interleaver without twist and the
 bit-to-cell demux.
 
-Note on padding/puncturing order: the zero-padding group order and parity
-puncturing order of tables 17/18 affect only *which parity* bits survive;
-the systematic K_sig information bits are always transmitted first and
-un-padded (clause 7.3.2.2 removes the padding before transmission).  This
-implementation pads the tail groups and punctures the tail parity bits,
-which is self-consistent between this framework's modulator and receiver and
-byte-identical in the systematic part to a spec transmitter.  The reference
-receiver likewise only consumes the systematic part
-(/root/reference/src/DVB_T2/p2_symbol.cpp:282-312,514-648).
+LIMITATION — padding/puncturing group order (EN 302 755 Tables 17/18):
+the spec scatters the zero-padding across specific bit groups and
+punctures parity in a specific group order; this implementation pads the
+TAIL groups and punctures the TAIL parity bits instead.  Consequences:
+
+* The systematic K_sig information bits are always transmitted first and
+  un-padded (clause 7.3.2.2 removes padding before transmission), so the
+  HARD-decision L1 decode — the only path the reference has
+  (/root/reference/src/DVB_T2/p2_symbol.cpp:282-312,514-648) — is
+  byte-identical against a real spec transmitter.  Off-air reception is
+  unaffected on the hard path.
+* The SOFT FEC fallback (ops/l1_soft) places surviving parity LLRs by
+  this tail convention, so against a real spec transmitter its parity
+  bits land on the wrong LDPC variable nodes and BP will not converge;
+  CRC gating then degrades it to a no-op and acquisition falls back to
+  hard-decision reach.  The soft path's extra ~dB of reach currently
+  holds only against this framework's own modulator.
+* Fixing this needs the Table 17/18 group-order constants, which are not
+  derivable from the reference (it never implements the encoder) and are
+  not available in this build environment; the orders are isolated in the
+  `*_GROUP_ORDER` hooks + `info_bit_positions`/`parity_keep_positions`
+  below, so dropping in the spec tables is a one-place change that fixes
+  the modulator and the soft depuncture together.
 """
 from __future__ import annotations
 
@@ -31,6 +45,56 @@ _KBCH_POST = 7032
 _NBCH_PARITY = 168
 
 ETA_L1 = {0: 1, 1: 2, 2: 4, 3: 6}   # L1_POST_MOD -> bits/cell
+
+# --- EN 302 755 Table 17/18 group-order hooks -----------------------------
+# None = tail convention (pad the tail info groups / puncture the tail
+# parity bits).  Dropping the spec's table arrays in here makes the soft
+# path bit-exact off-air; BOTH the modulator and the soft depuncture route
+# through the two functions below, so this is the single switch point.
+L1_POST_PAD_GROUP_ORDER: "list[int] | None" = None
+L1_PRE_PUNCT_GROUP_ORDER: "list[int] | None" = None
+L1_POST_PUNCT_GROUP_ORDER: "list[int] | None" = None
+_GROUP = 360
+
+
+def info_bit_positions(k_bch: int, k_sig: int, order=None) -> np.ndarray:
+    """Sorted positions within the K_bch info block that carry the K_sig
+    transmitted signalling bits (the rest are zero padding).
+
+    With a Table-17 ``order`` the first floor(n_pad/360) groups of the
+    order are fully padded and the remainder pads the next group's tail;
+    info bits fill the remaining positions in natural order (the spec
+    transmits them in that order after removing the padding)."""
+    n_pad = k_bch - k_sig
+    if order is None:
+        return np.arange(k_sig)
+    pad = np.zeros(k_bch, dtype=bool)
+    full, rem = divmod(n_pad, _GROUP)
+    for g in order[:full]:
+        pad[g * _GROUP:(g + 1) * _GROUP] = True
+    if rem:
+        g = order[full]
+        pad[g * _GROUP: g * _GROUP + rem] = True
+    return np.nonzero(~pad)[0][:k_sig]
+
+
+def parity_keep_positions(n_parity: int, keep: int, order=None) -> np.ndarray:
+    """Sorted positions of the LDPC parity bits that SURVIVE puncturing.
+
+    With a Table-18 ``order`` the first floor(n_punc/360) groups of the
+    order are fully punctured and the remainder punctures the next group's
+    head; survivors transmit in natural order."""
+    n_punc = n_parity - keep
+    if order is None:
+        return np.arange(keep)
+    punct = np.zeros(n_parity, dtype=bool)
+    full, rem = divmod(n_punc, _GROUP)
+    for g in order[:full]:
+        punct[g * _GROUP:(g + 1) * _GROUP] = True
+    if rem:
+        g = order[full]
+        punct[g * _GROUP: g * _GROUP + rem] = True
+    return np.nonzero(~punct)[0][:keep]
 
 
 def l1_post_sizes(k_sig: int, l1_post_mod: int, n_p2: int) -> tuple[int, int]:
@@ -49,17 +113,19 @@ def encode_l1_pre(bits200: np.ndarray) -> np.ndarray:
     bits200 = np.asarray(bits200, dtype=np.uint8)
     assert bits200.shape == (_KSIG_PRE,)
     padded = np.zeros(_KBCH_PRE, dtype=np.uint8)
-    padded[:_KSIG_PRE] = bits200
+    padded[info_bit_positions(_KBCH_PRE, _KSIG_PRE)] = bits200
     bch_cw = bch.encode(padded, 14)                       # 3240 bits
     code = ldpc.get_code("SHORT_C1_4")
     assert code.k == len(bch_cw), (code.k, len(bch_cw))
     ldpc_cw = code.encode(bch_cw)
     parity = ldpc_cw[code.k:]
     keep_parity = L1_PRE_TX_BITS - _KSIG_PRE - _NBCH_PARITY
+    keep_pos = parity_keep_positions(len(parity), keep_parity,
+                                     L1_PRE_PUNCT_GROUP_ORDER)
     tx = np.concatenate([
         bits200,
         bch_cw[_KBCH_PRE:],                               # BCH parity
-        parity[:keep_parity],                             # punctured LDPC parity
+        parity[keep_pos],                                 # punctured LDPC parity
     ])
     assert len(tx) == L1_PRE_TX_BITS
     return tx
@@ -81,14 +147,17 @@ def encode_l1_post(info_bits: np.ndarray, l1_post_mod: int, n_p2: int,
         info_bits = info_bits ^ prbs.l1_scrambler(k_sig)
 
     padded = np.zeros(_KBCH_POST, dtype=np.uint8)
-    padded[:k_sig] = info_bits
+    padded[info_bit_positions(_KBCH_POST, k_sig,
+                              L1_POST_PAD_GROUP_ORDER)] = info_bits
     bch_cw = bch.encode(padded, 14)                       # 7200 bits
     code = ldpc.get_code("SHORT_C1_2")
     assert code.k == len(bch_cw)
     ldpc_cw = code.encode(bch_cw)
     parity = ldpc_cw[code.k:]
     keep_parity = n_post - k_sig - _NBCH_PARITY
-    u = np.concatenate([info_bits, bch_cw[_KBCH_POST:], parity[:keep_parity]])
+    keep_pos = parity_keep_positions(len(parity), keep_parity,
+                                     L1_POST_PUNCT_GROUP_ORDER)
+    u = np.concatenate([info_bits, bch_cw[_KBCH_POST:], parity[keep_pos]])
     assert len(u) == n_post
 
     eta = ETA_L1[l1_post_mod]

@@ -93,7 +93,9 @@ class LdpcStats:
         reference prints (ldpc_decoder.cpp:242-270)."""
         ok = np.asarray(ok)
         iters = np.broadcast_to(np.asarray(iters), ok.shape)
-        self.hist += np.bincount(np.minimum(iters, self.max_iters),
+        # clip both ends: a decoder configured beyond the kernel's int8
+        # trials range reports wrapped values; never feed bincount negatives
+        self.hist += np.bincount(np.clip(iters, 0, self.max_iters),
                                  minlength=self.max_iters + 1)
         self.failures += int(np.sum(~ok))
         self.total += len(ok)

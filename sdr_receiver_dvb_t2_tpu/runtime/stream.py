@@ -120,9 +120,12 @@ class StreamingReceiver:
         self.agc = Agc(source)                  # active only for live SDRs
         self.ldpc_stats = LdpcStats(max_iters=self.cfg.ldpc_max_iters)
 
-        # per-PLP sinks for plp_index=None (PLP i -> plp_sinks[i]);
-        # mirrors the reference's per-PLP output table (port 7654+i)
+        # per-PLP sinks for plp_index=None (PLP ordinal i -> plp_sinks[i]);
+        # mirrors the reference's per-PLP output table (port 7654+i).
+        # sink_factory(ordinal, plp_id) -> sink|None creates them lazily so
+        # EVERY PLP announced in L1 gets an output, whatever their count
         self.plp_sinks: dict = {}
+        self.sink_factory = None
         # set after acquisition
         self.rx = None
         self.mode = None
@@ -171,13 +174,15 @@ class StreamingReceiver:
                 iq = raw_to_complex_np(blk, self.src.info.fmt)
             self._raw = np.concatenate([self._raw, iq])
 
-        if self.cfg.notch_spur and self.spur is None:
+        if self.cfg.notch_spur and self._spur_redetect_due():
             det = fe.detect_spur(self._raw[:self.n_in])
-            # arm the tracker even without a detection (amp 0 = no-op);
-            # a spur appearing later is picked up on relock
-            self.spur = dict(omega=det[0] if det else 0.0,
-                             amp=det[1] if det else 0j,
-                             phase=0.0, m_prev=None)
+            if det or self.spur is None:
+                # arm the tracker even without a detection (amp 0 = no-op);
+                # re-detection runs on relock and periodically while the
+                # tracked amplitude stays ~0 (late-appearing spurs)
+                self.spur = dict(omega=det[0] if det else 0.0,
+                                 amp=det[1] if det else 0j,
+                                 phase=0.0, m_prev=None)
         sp = self.spur or dict(omega=0.0, amp=0j, phase=0.0)
         window = cplx.from_np(self._raw[:self.n_in])
         s_hi, s_lo = fe.split_step(self.step)
@@ -220,6 +225,22 @@ class StreamingReceiver:
         self._raw = self._raw[consumed_raw:]
         self._elem = np.concatenate([self._elem, cplx.to_np(elem)])
         return True
+
+    def _spur_redetect_due(self) -> bool:
+        """True when the anti-spur detector should (re)run on this block:
+        never armed yet, or armed-but-idle (|amp| ~ 0, i.e. nothing is being
+        notched) for 64 consecutive blocks — so a spur that appears mid-run
+        is acquired without waiting for a full relock."""
+        if self.spur is None:
+            return True
+        if abs(self.spur["amp"]) > 1e-4:
+            self._spur_idle_blocks = 0
+            return False
+        self._spur_idle_blocks = getattr(self, "_spur_idle_blocks", 0) + 1
+        if self._spur_idle_blocks >= 64:
+            self._spur_idle_blocks = 0
+            return True
+        return False
 
     def _need_elem(self, n: int) -> bool:
         while len(self._elem) < n:
@@ -314,27 +335,33 @@ class StreamingReceiver:
         else:
             self._p1_misses = getattr(self, "_p1_misses", 0) + 1
 
-    def _check_l1_dynamic(self, frame0: np.ndarray):
+    def _check_l1_dynamic(self, plane):
         """Per-batch L1-dynamic tracking (the reference re-reads dynamic L1
         every frame, dvbt2_demodulator.cpp:328-346): if PLP_NUM_BLOCKS or
         the start address changed, rebuild the frame receivers for the new
-        configuration; an L1 CRC failure counts toward lock loss."""
+        configuration.  Reads the L1 cells straight off the equalized
+        device plane (no host P2 re-demod) and falls back to the soft FEC
+        path near threshold; a failure only bumps the l1_dyn_errors stat —
+        actual lock loss shows up as dead batches and is handled there."""
         from ..params import l1 as l1_lib
         post = None
         try:
-            carriers = acquisition._demod_p2(
-                frame0[p1_mod.P1_LEN:], self.mode)
-            cells = acquisition._equalize_p2(carriers, self.mode)
+            cells = self.rx.l1_cells(plane)
             pre_bits = (cells[:l1_lib.L1_PRE_CELLS].real < 0).astype(np.uint8)
             from ..params import l1_fec
             pre = l1_lib.parse_l1_pre(
                 l1_fec.decode_l1_pre_systematic(pre_bits))
+            if pre is None:
+                from ..ops import l1_soft
+                info = l1_soft.decode_l1_pre_fec(
+                    l1_soft.cell_llrs(cells[:l1_lib.L1_PRE_CELLS], 0))
+                pre = None if info is None else l1_lib.parse_l1_pre(info)
             if pre is not None:
                 post = acquisition.decode_l1_from_p2(cells, pre)
         except Exception:
             post = None
         if post is None:
-            self._p1_misses = getattr(self, "_p1_misses", 0) + 1
+            self._l1_dyn_errors = getattr(self, "_l1_dyn_errors", 0) + 1
             return
         for j, rx in enumerate(self.rxs):
             idx = j if self.cfg.plp_index is None else self.cfg.plp_index
@@ -365,16 +392,26 @@ class StreamingReceiver:
                 return False
         frames = self._elem[self.frame_pos:self.frame_pos + f * fs]
         frames = frames.reshape(f, fs)
-        self._check_l1_dynamic(frames[0])
         # demod+equalize ONCE; every PLP demaps from the same packed plane
         # (the plane is ~60% of the chain and is PLP-independent)
         plane, diag = self.rx.compute_plane(frames)
+        # the plane is mode-only, so it stays valid even if the L1-dynamic
+        # check rebuilds the per-PLP receivers below
+        self._check_l1_dynamic(plane)
         result = self.rx.receive_plane(plane, diag)
-        self.sink.write(result.ts_bytes)
-        # additional PLPs (plp_index=None): route to per-PLP sinks
+        if self.sink is None and self.sink_factory is not None:
+            self.sink = self.sink_factory(0, self.rx.plp.plp_id)
+        if self.sink is not None:
+            self.sink.write(result.ts_bytes)
+        # additional PLPs (plp_index=None): route to lazily-created per-PLP
+        # sinks — every PLP in L1 gets one (reference: main_window.cpp's
+        # per-PLP output table routes each PLP to UDP or file)
         for extra_i, rx in enumerate(self.rxs[1:], start=1):
             res_i = rx.receive_plane(plane, diag)
             sink_i = self.plp_sinks.get(extra_i)
+            if sink_i is None and self.sink_factory is not None:
+                sink_i = self.sink_factory(extra_i, rx.plp.plp_id)
+                self.plp_sinks[extra_i] = sink_i
             if sink_i is not None:
                 sink_i.write(res_i.ts_bytes)
             self.stats.ldpc_failures += int(np.sum(~res_i.ldpc_ok))
@@ -440,11 +477,16 @@ class StreamingReceiver:
                 self._p1_misses = 0
                 self._dead_batches = 0
                 self.rx = None
+                self.spur = None        # re-run spur detection on relock
                 if not self.acquire():
                     break
             if not self.step_batch():
                 break
-        self.sink.close()
+        if self.sink is not None:
+            self.sink.close()
+        for s in self.plp_sinks.values():
+            if s is not None:
+                s.close()
         return self.stats
 
 
