@@ -61,10 +61,12 @@ class MultiChannelReceiver:
     def raw_block_for(self, step: float) -> int:
         return self.rx.raw_block_for(step)
 
-    def step(self, raw_per_channel: np.ndarray, mu: float, step: float,
-             phase: float = 0.0, freq: float = 0.0):
-        """raw_per_channel: [C, n_time * raw_block] complex64."""
-        rb = self.rx.raw_block_for(step)
+    def step(self, raw_per_channel: np.ndarray, mu, step,
+             phase=0.0, freq=0.0):
+        """raw_per_channel: [C, n_time * raw_block] complex64.
+
+        mu/step/phase/freq: scalar or [C] (per-channel front-end state)."""
+        rb = self.rx.raw_block_for(float(np.max(step)))
         idx0, frac0, phase0 = self.rx.host_bases(mu, step, phase, freq, rb)
         return self.rx.step(raw_per_channel, idx0, frac0, phase0, freq, step)
 
@@ -76,59 +78,66 @@ class MultiChannelReceiver:
     # continuously across steps.
     _MU_LO = 32.0
 
-    def stream(self, raw: np.ndarray, mu0: float, step: float,
-               freq: float = 0.0, max_steps: int | None = None,
+    def stream(self, raw: np.ndarray, mu0, step,
+               freq=0.0, max_steps: int | None = None,
                track: bool = False, cfo_gain: float = 0.3,
                sro_gain: float = 0.5):
         """Generator over consecutive steps of a continuous capture.
 
         raw: [C, N] complex64 (one continuous stream per channel);
         mu0: raw-domain position of elementary sample 0 relative to raw[0]
-        (the caller's frame alignment; see tests for the derivation).
+        — the frame alignment, scalar or [C] (parallel.acquire derives it
+        blind per channel).  step/freq likewise scalar or [C].
         Yields (hard, stats) per step until the capture is exhausted.
 
         ``track=True`` closes the CFO / sampling-rate loops on the mesh
-        path: the psum'd guard-interval and pilot-drift discriminators from
-        ``stats`` trim the NCO frequency and the resample step between
-        steps, exactly like the single-chip loop (runtime/stream.py:344-357)
-        — so a sharded deployment holds lock under residual CFO and clock
-        offset instead of relying on oracle alignment.  Host-applied state
-        is reported in stats as cfo_hz_applied / sro_ppm_applied.
+        path PER CHANNEL: the "time"-reduced [C] guard-interval and
+        pilot-drift discriminators from ``stats`` trim each channel's NCO
+        frequency and resample step between steps, exactly like the
+        single-chip loop (runtime/stream.py:344-357) — independent RF
+        channels have independent LO/clock errors, so a 64-channel pod
+        holds lock per channel without a shared clock.  Host-applied state
+        is reported in stats as cfo_hz_applied / sro_ppm_applied ([C]).
         """
         from ..ops import equalizer as eq_mod
         from ..params.modes import SAMPLE_RATE
+        C = raw.shape[0]
+        mu = np.broadcast_to(np.asarray(mu0, np.float64), (C,)).copy()
+        step = np.broadcast_to(np.asarray(step, np.float64), (C,)).copy()
+        freq = np.broadcast_to(np.asarray(freq, np.float64), (C,)).copy()
         # the raw window size stays FIXED at the initial step (SRO trims are
         # <= 2e-5 relative; re-deriving it per step would change jit shapes)
-        rb = self.rx.raw_block_for(step)
+        rb = self.rx.raw_block_for(float(np.max(step)))
         window = self.n_time * rb
         # elementary samples consumed per step (exact, by construction)
         elem_per_step = self.n_time * self.rx.k_loc
         sro_coeff = eq_mod.sro_coefficient(self.rx.mode)
-        raw_per_elem0 = 2.0 * step          # raw samples per elementary
-        pos = 0
-        mu = float(mu0)
-        assert self._MU_LO <= mu < self._MU_LO + 2, (
+        raw_per_elem0 = 2.0 * step          # raw samples per elementary [C]
+        pos = np.zeros(C, np.int64)
+        assert ((self._MU_LO <= mu) & (mu < self._MU_LO + 2)).all(), (
             "mu0 must land in the warm-up band; fold whole raw samples "
             "into the window start instead (see test_pod_stream_continuity)")
         n = 0
-        phase = 0.0
-        cfo_hz_applied = 0.0
-        while pos + window <= raw.shape[1]:
+        phase = np.zeros(C, np.float64)
+        cfo_hz_applied = np.zeros(C, np.float64)
+        buf = np.empty((C, window), raw.dtype)
+        while int(np.max(pos)) + window <= raw.shape[1]:
             idx0, frac0, phase0 = self.rx.host_bases(mu, step, phase, freq,
                                                      rb)
-            hard, stats = self.rx.step(raw[:, pos:pos + window], idx0,
-                                       frac0, phase0, freq, step)
+            for c in range(C):
+                buf[c] = raw[c, pos[c]:pos[c] + window]
+            hard, stats = self.rx.step(buf, idx0, frac0, phase0, freq, step)
             if track:
                 # CFO: rad/elementary-sample residual -> rad/raw-sample NCO
-                cfo_res = float(stats["gi_cfo"])
+                cfo_res = np.asarray(stats["gi_cfo"], np.float64)   # [C]
                 freq += cfo_gain * cfo_res / raw_per_elem0
                 cfo_hz_applied += (cfo_gain * cfo_res * SAMPLE_RATE
                                    / (2 * np.pi))
                 # sampling rate: pilot-drift slip -> resample step trim
-                slip = float(stats["sro"]) / sro_coeff
-                trim = float(np.clip(-sro_gain * slip, -2e-5, 2e-5))
+                slip = np.asarray(stats["sro"], np.float64) / sro_coeff
+                trim = np.clip(-sro_gain * slip, -2e-5, 2e-5)
                 step *= (1.0 + trim)
-                stats = dict(stats, cfo_hz_applied=cfo_hz_applied,
+                stats = dict(stats, cfo_hz_applied=cfo_hz_applied.copy(),
                              sro_ppm_applied=(step * 2.0 / raw_per_elem0
                                               - 1.0) * 1e6)
             yield hard, stats
@@ -136,7 +145,7 @@ class MultiChannelReceiver:
             if max_steps is not None and n >= max_steps:
                 return
             advance_exact = mu + elem_per_step * (2.0 * step) - self._MU_LO
-            adv = int(np.floor(advance_exact))
+            adv = np.floor(advance_exact).astype(np.int64)
             mu = mu + elem_per_step * (2.0 * step) - adv
             phase = (phase + freq * adv) % (2 * np.pi)
             pos += adv

@@ -79,15 +79,22 @@ class ShardedConfig:
 class ShardedReceiver:
     """Full receive step sharded over a (ch, time) mesh.
 
-    step(raw, idx0, frac0, phase0, freq, step_hi, step_lo) where
+    step(raw, idx0, frac0, phase0, freq, step_raw) where
       raw    [C, n_time * raw_block] complex64 — sharded (ch, time)
-      idx0   [n_time] int32   — per-time-shard resampler integer base
-                                (local to the shard's raw block, incl. halo)
-      frac0  [n_time] float32 — per-time-shard fractional position
-      phase0 [n_time] float32 — per-time-shard NCO start phase
-      freq   scalar float32   — NCO frequency (rad/raw-sample)
-      step_hi/lo              — resampler step (split_step of host float64)
+      idx0   [C, n_time] int32 — per-(ch, time-shard) resampler integer
+                                base (local to the shard's raw block,
+                                incl. halo)
+      frac0  [C, n_time] float32 — fractional position per (ch, shard)
+      phase0 [C, n_time] float32 — NCO start phase per (ch, shard)
+      freq   [C] float32      — per-CHANNEL NCO frequency (rad/raw-sample)
+      step_raw [C] float64    — per-CHANNEL resampler step (host doubles)
     returns (hard_bits [C, F_total, n_fec, n_bch], stats dict).
+
+    Per-channel front-end state is first-class: independent RF channels
+    have independent LO and sampling-clock errors, so the NCO frequency
+    and the resample step shard over "ch" and the tracking discriminators
+    (gi_cfo, sro) reduce over "time" ONLY, returning [C] vectors — one
+    closed loop per channel (pod.MultiChannelReceiver.stream).
 
     The host computes idx0/frac0/phase0 in float64 from the global stream
     position (see runtime/stream.py) so device float32 never sees large
@@ -138,7 +145,8 @@ class ShardedReceiver:
 
         def shard_body(raw, idx0, frac0, phase0, freq, step_hi, step_lo,
                        consts):
-            # raw: C [C_loc, raw_block]; idx0/frac0/phase0: [1] (this shard's)
+            # raw: C [C_loc, raw_block]; idx0/frac0/phase0: [C_loc, 1]
+            # (this shard's column); freq/step_hi/step_lo: [C_loc]
             t_idx = jax.lax.axis_index("time")
             n_t = jax.lax.axis_size("time")
 
@@ -151,9 +159,9 @@ class ShardedReceiver:
             left = cplx.where(t_idx == 0, 0.0, left)
             x = cplx.concatenate([left, raw], axis=1)
 
-            # ---- NCO derotation (per-shard phase base from host) --------
-            nco = lambda row: fe.nco_derotate(row, phase0[0], freq)[0]
-            x = jax.vmap(nco)(x)
+            # ---- NCO derotation (per-channel freq, per-shard phase) -----
+            nco = lambda row, ph, fr: fe.nco_derotate(row, ph, fr)[0]
+            x = jax.vmap(nco)(x, phase0[:, 0], freq)
 
             # ---- x4 half-band grid (cubic images ~45 dB down) ------------
             hb = jnp.asarray(self.hb_taps)
@@ -161,10 +169,10 @@ class ShardedReceiver:
             x = jax.vmap(lambda r, h: fe.upsample2(r, h, hb)[0])(x, hbz)
             x = jax.vmap(lambda r, h: fe.upsample2(r, h, hb)[0])(x, hbz)
 
-            # ---- Farrow to 2x elementary rate ----------------------------
-            mu0 = frac0[0] + idx0[0].astype(jnp.float32)
-            up = jax.vmap(lambda row: fe.farrow_resample(
-                row, mu0, step_hi, step_lo, n_up))(x)
+            # ---- Farrow to 2x elementary rate (per-channel step) --------
+            mu0 = frac0[:, 0] + idx0[:, 0].astype(jnp.float32)
+            up = jax.vmap(lambda row, m, sh, sl: fe.farrow_resample(
+                row, m, sh, sl, n_up))(x, mu0, step_hi, step_lo)
             up = up[:, :2 * k_loc + n_taps - 1]
 
             # ---- FIR decimate by 2 to elementary rate --------------------
@@ -200,10 +208,11 @@ class ShardedReceiver:
             stats = dict(ldpc_failures=n_fail, bch_dirty=n_dirty,
                          snr_db=snr_mean,
                          # tracking discriminators for the host loops
-                         # (mesh analogue of stream.py:344-357)
-                         gi_cfo=jax.lax.pmean(jnp.mean(gi_cfo),
-                                              ("ch", "time")),
-                         sro=jax.lax.pmean(jnp.mean(sro), ("ch", "time")),
+                         # (mesh analogue of stream.py:344-357): reduced
+                         # over "time" ONLY — [C] out, one loop per channel
+                         # (channels have independent LO/clock errors)
+                         gi_cfo=jax.lax.pmean(gi_cfo, "time"),
+                         sro=jax.lax.pmean(sro, "time"),
                          ldpc_iters=jax.lax.pmax(jnp.max(iters),
                                                  ("ch", "time")))
             return hard, stats
@@ -211,39 +220,60 @@ class ShardedReceiver:
         mesh = self.mesh
         fn = shard_map(
             shard_body, mesh=mesh,
-            in_specs=(P("ch", "time"), P("time"), P("time"), P("time"),
-                      P(), P(), P(), P()),
-            out_specs=(P("ch", "time"), P()),
+            in_specs=(P("ch", "time"), P("ch", "time"), P("ch", "time"),
+                      P("ch", "time"), P("ch"), P("ch"), P("ch"), P()),
+            out_specs=(P("ch", "time"),
+                       dict(ldpc_failures=P(), bch_dirty=P(), snr_db=P(),
+                            gi_cfo=P("ch"), sro=P("ch"), ldpc_iters=P())),
             check_vma=False)
         self._consts = self.chain_plan.device_consts()
         return jax.jit(fn)
 
     # ------------------------------------------------------------------
-    def step(self, raw, idx0, frac0, phase0, freq, step_raw: float):
-        """step_raw: raw-domain resample ratio (host float64)."""
+    def step(self, raw, idx0, frac0, phase0, freq, step_raw):
+        """step_raw: raw-domain resample ratio(s), host float64 — scalar
+        (all channels share a clock) or [C] (independent clocks); likewise
+        freq.  idx0/frac0/phase0: [C, n_time] (host_bases output)."""
         if not isinstance(raw, C):
             raw = cplx.from_np(raw)
-        s_hi, s_lo = fe.split_step(4.0 * step_raw)       # x4 grid step
-        return self._step(raw, jnp.asarray(idx0, jnp.int32),
-                          jnp.asarray(frac0, jnp.float32),
-                          jnp.asarray(phase0, jnp.float32),
-                          jnp.float32(freq), jnp.asarray(s_hi),
-                          jnp.asarray(s_lo), self._consts)
+        n_ch = self.n_ch
+        freq = np.broadcast_to(np.asarray(freq, np.float32), (n_ch,))
+        step_raw = np.broadcast_to(np.asarray(step_raw, np.float64), (n_ch,))
+        s_hi = np.empty(n_ch, np.float32)
+        s_lo = np.empty(n_ch, np.float32)
+        for c in range(n_ch):
+            s_hi[c], s_lo[c] = fe.split_step(4.0 * float(step_raw[c]))
+        idx0 = np.broadcast_to(np.asarray(idx0, np.int32),
+                               (n_ch, self.n_time))
+        frac0 = np.broadcast_to(np.asarray(frac0, np.float32),
+                                (n_ch, self.n_time))
+        phase0 = np.broadcast_to(np.asarray(phase0, np.float32),
+                                 (n_ch, self.n_time))
+        return self._step(raw, jnp.asarray(idx0), jnp.asarray(frac0),
+                          jnp.asarray(phase0), jnp.asarray(freq),
+                          jnp.asarray(s_hi), jnp.asarray(s_lo), self._consts)
 
     # ------------------------------------------------------------------
-    def host_bases(self, mu_global: float, step: float, phase_global: float,
-                   freq: float, raw_block: int):
+    def host_bases(self, mu_global, step, phase_global, freq,
+                   raw_block: int):
         """float64 host bookkeeping -> per-shard device bases.
 
         mu_global: resampler position (in raw samples) of this step's first
-        output, relative to the first raw sample fed this step.
-        Returns (idx0 [n_time], frac0 [n_time], phase0 [n_time]) local to
-        each shard's haloed raw block.
+        output, relative to the first raw sample fed this step.  Every
+        argument may be a scalar (shared by all channels) or a [C] vector
+        (per-channel front-end state).
+        Returns (idx0, frac0, phase0), each [n_ch, n_time], local to each
+        shard's haloed raw block.
         """
-        nt, halo = self.n_time, self.cfg.halo
-        idx0 = np.empty(nt, np.int32)
-        frac0 = np.empty(nt, np.float32)
-        phase0 = np.empty(nt, np.float32)
+        nc, nt, halo = self.n_ch, self.n_time, self.cfg.halo
+        mu_global = np.broadcast_to(np.asarray(mu_global, np.float64), (nc,))
+        step = np.broadcast_to(np.asarray(step, np.float64), (nc,))
+        phase_global = np.broadcast_to(
+            np.asarray(phase_global, np.float64), (nc,))
+        freq = np.broadcast_to(np.asarray(freq, np.float64), (nc,))
+        idx0 = np.empty((nc, nt), np.int32)
+        frac0 = np.empty((nc, nt), np.float32)
+        phase0 = np.empty((nc, nt), np.float32)
         for t in range(nt):
             # global raw-sample position of this shard's first farrow output;
             # the FIR window looks back taps-1 upsampled samples, so each
@@ -252,8 +282,8 @@ class ShardedReceiver:
             p_shard = p - t * raw_block + halo      # local incl. halo (raw)
             # x4 grid position, shifted by the half-band group delay
             g = 4.0 * p_shard + self.hb_delay_grid
-            idx0[t] = int(np.floor(g))
-            frac0[t] = np.float32(g - np.floor(g))
-            phase0[t] = np.float32(
-                (phase_global + freq * (t * raw_block - halo)) % (2 * np.pi))
+            idx0[:, t] = np.floor(g).astype(np.int32)
+            frac0[:, t] = (g - np.floor(g)).astype(np.float32)
+            phase0[:, t] = ((phase_global + freq * (t * raw_block - halo))
+                            % (2 * np.pi)).astype(np.float32)
         return idx0, frac0, phase0

@@ -96,9 +96,10 @@ def test_host_bases_consistency():
     rb = rx.raw_block_for(step)
     mu = 3.21
     idx0, frac0, phase0 = rx.host_bases(mu, step, 1.0, 0.01, rb)
+    assert idx0.shape == frac0.shape == phase0.shape == (1, 4)
     for t in range(4):
         # reconstruct the global position of shard t's first farrow output
-        g_local = float(idx0[t]) + float(frac0[t])
+        g_local = float(idx0[0, t]) + float(frac0[0, t])
         p_global_grid = g_local + 4 * (t * rb - cfg.halo)
         expect = (4 * (mu + step * (2 * rx.k_loc * t - (rx.n_taps - 1)))
                   + rx.hb_delay_grid)
@@ -249,8 +250,10 @@ def test_sharded_tracking_cfo_sro():
                            track=True))
     assert len(steps) == 11
     dirty = [int(s["bch_dirty"]) for _, s in steps]
-    cfo_applied = [float(s["cfo_hz_applied"]) for _, s in steps]
-    sro_applied = [float(s["sro_ppm_applied"]) for _, s in steps]
+    cfo_applied = [float(np.asarray(s["cfo_hz_applied"])[0])
+                   for _, s in steps]
+    sro_applied = [float(np.asarray(s["sro_ppm_applied"])[0])
+                   for _, s in steps]
     # the loops must converge: the correction approaches the true CFO and
     # the step trim approaches the true clock offset
     assert abs(cfo_applied[-1] - cfo_hz) < 0.25 * cfo_hz, cfo_applied
@@ -270,3 +273,69 @@ def test_sharded_tracking_cfo_sro():
     got, sync = ts_out.tobytes(), ts.tobytes()
     at = sync.find(got[:376])
     assert at >= 0 and got == sync[at:at + len(got)]
+
+
+@pytest.mark.slow
+def test_sharded_tracking_per_channel():
+    """Independent per-channel loops (VERDICT round-2 weak #3): two mesh
+    channels with DIFFERENT CFO and clock offsets must each converge to
+    their own correction and both stay TS-exact — one shared loop cannot
+    do this unless the channels share a clock."""
+    from sdr_receiver_dvb_t2_tpu.parallel import pod
+    mode, plp, tx = _tiny_setup(1)
+    mesh = sharding.make_mesh(2, 1)
+    cfg = sharding.ShardedConfig(
+        mode=mode, plp=plp, n_fec_per_frame=4, n_ti=1,
+        l1_post_cells=tx.l1_pre.l1_post_size, frames_per_shard=1)
+    rx = pod.MultiChannelReceiver(cfg, mesh)
+
+    device_rate = 10e6
+    imps = [(90.0, 5.0), (-140.0, -3.0)]        # (cfo_hz, sro_ppm) per ch
+    n_frames = 26
+    bytes_per_frame = 4 * (plp.k_bch // 8 - 10)
+    n_pkts = (n_frames + 2) * bytes_per_frame // 188
+    step = device_rate / (2 * SAMPLE_RATE)
+    ratio = SAMPLE_RATE / device_rate
+    mu_base = ((rx.rx.n_taps - 1) / 4.0 - 1.0) / ratio
+    r_frame1 = mu_base + mode.frame_samples / ratio
+    pos0 = int(np.floor(r_frame1)) - 32
+    mu = r_frame1 - pos0
+
+    ts_in, rows = [], []
+    for c, (cfo_hz, sro_ppm) in enumerate(imps):
+        ts = random_ts_stream(n_pkts, seed=800 + c)
+        tx_c = Transmitter(TxConfig(mode=mode, plp=plp,
+                                    fec_blocks_per_frame=4,
+                                    num_t2_frames=n_frames))
+        dev = impair(tx_c.modulate(ts),
+                     ChannelConfig(device_rate=device_rate, snr_db=30.0,
+                                   cfo_hz=cfo_hz, sro_ppm=sro_ppm,
+                                   seed=20 + c))
+        rows.append(dev[pos0:])
+        ts_in.append(ts)
+    n_min = min(len(r) for r in rows)
+    raw = np.stack([r[:n_min] for r in rows])
+
+    steps = list(rx.stream(raw, mu, step, max_steps=11, track=True))
+    assert len(steps) == 11
+    cfo_last = np.asarray(steps[-1][1]["cfo_hz_applied"])
+    sro_last = np.asarray(steps[-1][1]["sro_ppm_applied"])
+    for c, (cfo_hz, sro_ppm) in enumerate(imps):
+        assert abs(cfo_last[c] - cfo_hz) < 0.25 * abs(cfo_hz), (c, cfo_last)
+        assert abs(sro_last[c] - sro_ppm) < 0.5 * abs(sro_ppm), (c, sro_last)
+    dirty = [int(s["bch_dirty"]) for _, s in steps]
+    assert sum(dirty[3:]) == 0, dirty
+
+    # TS-exact on BOTH channels over the tracked tail
+    for c in range(2):
+        bb = BBFrameParser()
+        chunks = []
+        for hard, _ in steps[3:]:
+            for f in range(hard.shape[1]):
+                for i in range(4):
+                    chunks.append(bb.parse(np.asarray(
+                        hard[c, f, i, :plp.k_bch]).astype(np.uint8)))
+        ts_out = np.concatenate([x for x in chunks if len(x)])
+        got, sync = ts_out.tobytes(), ts_in[c].tobytes()
+        at = sync.find(got[:376])
+        assert at >= 0 and got == sync[at:at + len(got)], c
