@@ -388,9 +388,13 @@ def make_pallas_decoder(table_name: str, batch: int = 128,
     # channel input at 56 keeps every bit correctable while preserving the
     # full reliability ordering below saturation.  Without this, ONE
     # saturated-wrong cell (e.g. a DC-spur-hit center carrier at high SNR)
-    # permanently kills its codeword — measured on real 32K captures, and
-    # a latent defect in the reference's int8 pipeline too (its posteriors
-    # saturate the same way, ldpc_decoder.h:30-58).
+    # permanently kills its codeword — measured on real 32K captures.
+    # (The reference escapes this differently: its layered decoder adds
+    # the UNCLAMPED check output to the posterior and only clamps the
+    # STORED message to +-31 (layered_decoder.hh:99-107, generic.hh
+    # update()), so posteriors can drift past degree*31 — verified
+    # against its compiled engine in tests/test_reference_oracle.py.
+    # Our symmetric-clamp kernel needs the channel clamp instead.)
     _CLAMP = 56.0
 
     @jax.jit

@@ -1,0 +1,175 @@
+"""Build + load the reference-implementation oracle (tests/oracle/shim.cc).
+
+Compiles the reference's Qt-free engines (/root/reference/src/DVB_T2:
+LDPC decoder, freq-deinterleaver address generator, pilot generator)
+into a test-only shared object.  Reference sources are compiled in
+place, never copied; Qt includes resolve to empty stubs (qt_stubs/).
+Tests skip when the reference tree or a toolchain is unavailable.
+"""
+from __future__ import annotations
+
+import ctypes
+import functools
+import hashlib
+import os
+import subprocess
+import tempfile
+from pathlib import Path
+
+import numpy as np
+
+_HERE = Path(__file__).resolve().parent
+_REF = Path(os.environ.get("DVBT2_REFERENCE_DIR",
+                           "/root/reference")) / "src" / "DVB_T2"
+
+_SOURCES = ["dvbt2_definition.cpp", "address_freq_deinterleaver.cpp",
+            "pilot_generator.cpp", "LDPC/tables_handler.cc"]
+
+
+@functools.lru_cache(maxsize=1)
+def load():
+    """Compile (cached by content hash) and load the oracle; None if the
+    reference tree or g++ is unavailable."""
+    if not (_REF / "dvbt2_definition.h").exists():
+        return None
+    h = hashlib.sha256()
+    h.update((_HERE / "shim.cc").read_bytes())
+    for s in _SOURCES:
+        h.update((_REF / s).read_bytes())
+    so = Path(tempfile.gettempdir()) / f"dvbt2_oracle_{h.hexdigest()[:16]}.so"
+    if not so.exists():
+        cmd = ["g++", "-O2", "-fPIC", "-shared", "-std=c++17",
+               "-Wno-attributes",
+               f"-I{_HERE / 'qt_stubs'}", f"-I{_REF}",
+               str(_HERE / "shim.cc")] + [str(_REF / s) for s in _SOURCES] \
+              + ["-o", str(so)]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, text=True,
+                           timeout=300)
+        except (subprocess.CalledProcessError, FileNotFoundError,
+                subprocess.TimeoutExpired) as e:
+            err = getattr(e, "stderr", "")
+            raise RuntimeError(f"oracle build failed:\n{err}") from e
+    lib = ctypes.CDLL(str(so))
+    ip = ctypes.POINTER(ctypes.c_int)
+    fp = ctypes.POINTER(ctypes.c_float)
+    i8p = ctypes.POINTER(ctypes.c_int8)
+    lib.oracle_geometry.restype = ctypes.c_int
+    lib.oracle_geometry.argtypes = [ctypes.c_int] * 5 + [ip]
+    lib.oracle_freq_addresses.restype = ctypes.c_int
+    lib.oracle_freq_addresses.argtypes = [ctypes.c_int] * 5 + [ip] * 6
+    lib.oracle_pilots.restype = ctypes.c_int
+    lib.oracle_pilots.argtypes = [ctypes.c_int] * 7 + [ip, fp, ip, fp, ip, fp]
+    lib.oracle_ldpc_create.restype = ctypes.c_void_p
+    lib.oracle_ldpc_create.argtypes = [ctypes.c_char_p, ctypes.c_char,
+                                       ctypes.c_int]
+    lib.oracle_ldpc_n.restype = ctypes.c_int
+    lib.oracle_ldpc_n.argtypes = [ctypes.c_void_p]
+    lib.oracle_ldpc_k.restype = ctypes.c_int
+    lib.oracle_ldpc_k.argtypes = [ctypes.c_void_p]
+    lib.oracle_ldpc_decode.restype = ctypes.c_int
+    lib.oracle_ldpc_decode.argtypes = [ctypes.c_void_p, i8p, ctypes.c_int]
+    lib.oracle_ldpc_free.argtypes = [ctypes.c_void_p]
+    return lib
+
+
+def _ip(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int))
+
+
+def _fp(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+# enum values from the reference headers (dvbt2_definition.h)
+FFTSIZE = {2048: 0, 8192: 1, 4096: 2, 1024: 3, 16384: 4, 32768: 5}
+DATA_CARRIER = 1
+
+
+def geometry(fft_size: int, pp: int, extended: bool, guard: int = 0,
+             papr: int = 0):
+    lib = load()
+    out = np.zeros(8, np.int32)
+    lib.oracle_geometry(FFTSIZE[fft_size], pp, 1 if extended else 0, papr,
+                        guard, _ip(out))
+    return dict(k_total=int(out[0]), c_p2=int(out[1]), c_data=int(out[2]),
+                n_fc=int(out[3]), c_fc=int(out[4]), n_p2=int(out[5]),
+                l_nulls=int(out[6]), fft_size=int(out[7]))
+
+
+def freq_addresses(fft_size: int, pp: int, extended: bool, guard: int = 0,
+                   papr: int = 0):
+    """Reference RX deinterleaver LUTs: dict of int32 arrays."""
+    lib = load()
+    g = geometry(fft_size, pp, extended, guard, papr)
+    he_p2 = np.zeros(g["c_p2"], np.int32)
+    ho_p2 = np.zeros(g["c_p2"], np.int32)
+    he_d = np.zeros(max(g["c_data"], 1), np.int32)
+    ho_d = np.zeros(max(g["c_data"], 1), np.int32)
+    he_fc = np.zeros(max(g["n_fc"], 1), np.int32)
+    ho_fc = np.zeros(max(g["n_fc"], 1), np.int32)
+    lib.oracle_freq_addresses(FFTSIZE[fft_size], pp, 1 if extended else 0,
+                              papr, guard, _ip(he_p2), _ip(ho_p2), _ip(he_d),
+                              _ip(ho_d), _ip(he_fc), _ip(ho_fc))
+    return dict(h_even_p2=he_p2, h_odd_p2=ho_p2, h_even_data=he_d,
+                h_odd_data=ho_d, h_even_fc=he_fc, h_odd_fc=ho_fc, **g)
+
+
+def pilots(fft_size: int, pp: int, extended: bool, n_data_total: int,
+           l_fc: int, guard: int = 0, papr: int = 0):
+    """Reference carrier maps + pilot reference values per symbol."""
+    lib = load()
+    g = geometry(fft_size, pp, extended, guard, papr)
+    kt, n_p2 = g["k_total"], g["n_p2"]
+    n_data = n_data_total - l_fc
+    p2_map = np.zeros(kt, np.int32)
+    p2_ref = np.zeros(n_p2 * kt, np.float32)
+    d_map = np.zeros(max(n_data, 1) * kt, np.int32)
+    d_ref = np.zeros(max(n_data, 1) * kt, np.float32)
+    fc_map = np.zeros(kt, np.int32)
+    fc_ref = np.zeros(kt, np.float32)
+    lib.oracle_pilots(FFTSIZE[fft_size], pp, 1 if extended else 0, papr,
+                      guard, n_data_total, l_fc, _ip(p2_map), _fp(p2_ref),
+                      _ip(d_map), _fp(d_ref), _ip(fc_map), _fp(fc_ref))
+    return dict(p2_map=p2_map, p2_ref=p2_ref.reshape(n_p2, kt),
+                data_map=d_map.reshape(-1, kt),
+                data_ref=d_ref.reshape(-1, kt),
+                fc_map=fc_map, fc_ref=fc_ref, **g)
+
+
+# reference table ids: (prefix, number) per tables_handler.cc
+LDPC_TABLE = {
+    "NORMAL_C1_2": ("A", 1), "NORMAL_C3_5": ("A", 2), "NORMAL_C2_3": ("A", 3),
+    "NORMAL_C3_4": ("A", 4), "NORMAL_C4_5": ("A", 5), "NORMAL_C5_6": ("A", 6),
+    "SHORT_C1_4": ("B", 1), "SHORT_C1_2": ("B", 2), "SHORT_C3_5": ("B", 3),
+    "SHORT_C2_3": ("B", 4), "SHORT_C3_4": ("B", 5), "SHORT_C4_5": ("B", 6),
+    "SHORT_C5_6": ("B", 7),
+}
+
+
+class LdpcOracle:
+    """Scalar int8 instantiation of the reference layered OMS decoder."""
+
+    def __init__(self, table_name: str):
+        self._lib = load()
+        prefix, number = LDPC_TABLE[table_name]
+        self._h = self._lib.oracle_ldpc_create(b"T2", prefix.encode(),
+                                               number)
+        assert self._h, table_name
+        self.n = self._lib.oracle_ldpc_n(self._h)
+        self.k = self._lib.oracle_ldpc_k(self._h)
+
+    def decode(self, llr: np.ndarray, trials: int = 15):
+        """[n] int8 natural-order LLRs -> (hard data bits [k], ok, trials
+        used by the reference's own accounting)."""
+        code = np.array(llr, dtype=np.int8)
+        assert code.shape == (self.n,)
+        rc = self._lib.oracle_ldpc_decode(
+            self._h, code.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+            trials)
+        hard = (code[:self.k] < 0).astype(np.uint8)
+        return hard, rc >= 0, rc
+
+    def __del__(self):
+        if getattr(self, "_h", None) and self._lib:
+            self._lib.oracle_ldpc_free(self._h)
