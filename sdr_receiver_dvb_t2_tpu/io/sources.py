@@ -19,6 +19,7 @@ from __future__ import annotations
 import dataclasses
 import re
 import socket
+import struct
 import time
 from pathlib import Path
 
@@ -110,11 +111,24 @@ class ArraySource:
         pass
 
 
+SEQ_MAGIC = b"IQSQ"          # tools/sdr_daemon.py SeqSocket framing
+_SEQ_HDR = struct.Struct("<4sIQ")
+
+
 class UdpIqSource:
-    """Raw IQ datagrams from an SDR host daemon."""
+    """Raw IQ datagrams from an SDR host daemon.
+
+    With ``seq=True`` each datagram carries the daemon's 16-byte header
+    (magic, u32 sequence, u64 cumulative byte offset); drops are then
+    DETECTED and ZERO-FILLED to the exact missing byte count, keeping
+    the stream time-aligned (the affected codewords decode dirty and the
+    BCH screen flags them) instead of silently shifting every later
+    byte.  ``gap_events``/``gap_bytes`` count what was lost.
+    """
 
     def __init__(self, port: int, sample_rate: float, fmt: str = "s16",
-                 host: str = "0.0.0.0", timeout: float = 5.0):
+                 host: str = "0.0.0.0", timeout: float = 5.0,
+                 seq: bool = False):
         self.info = SourceInfo(sample_rate, fmt)
         self._dtype = {"u8": np.uint8, "s8": np.int8, "s16": np.int16,
                        "f32": np.float32}[fmt]
@@ -126,13 +140,42 @@ class UdpIqSource:
         self._sock.bind((host, port))
         self._sock.settimeout(timeout)
         self._rem = b""
+        self._seq = seq
+        self._next_off = None        # next expected byte offset
+        self.gap_events = 0
+        self.gap_bytes = 0
+        self.reordered = 0
+        # zero level of the wire format ('u8' centers at 127/128)
+        self._zero = b"\x80" if fmt == "u8" else b"\x00"
+
+    def _recv_payload(self) -> bytes:
+        """One datagram -> payload bytes, zero-fill prepended on a gap."""
+        pkt = self._sock.recv(65536)
+        if not self._seq:
+            return pkt
+        if len(pkt) < _SEQ_HDR.size or pkt[:4] != SEQ_MAGIC:
+            return pkt               # unframed sender; pass through
+        _, _, off = _SEQ_HDR.unpack_from(pkt)
+        payload = pkt[_SEQ_HDR.size:]
+        if self._next_off is None:
+            self._next_off = off
+        if off > self._next_off:     # datagrams lost: keep alignment
+            missing = off - self._next_off
+            self.gap_events += 1
+            self.gap_bytes += missing
+            payload = self._zero * missing + payload
+        elif off < self._next_off:   # late duplicate/reorder: drop
+            self.reordered += 1
+            return b""
+        self._next_off = off + (len(pkt) - _SEQ_HDR.size)
+        return payload
 
     def read(self, n_samples: int) -> np.ndarray | None:
         need = 2 * n_samples * np.dtype(self._dtype).itemsize
         chunks, got = [self._rem], len(self._rem)
         try:
             while got < need:
-                pkt = self._sock.recv(65536)
+                pkt = self._recv_payload()
                 chunks.append(pkt)
                 got += len(pkt)
         except socket.timeout:
@@ -164,7 +207,12 @@ class RemoteSdrSource(UdpIqSource):
         rate, fmt = float(info[1]), info[2]
         self._gain_min, self._gain_max = float(info[3]), float(info[4])
         self.gain_db = float(info[5])
-        super().__init__(port, rate, fmt, host=host, timeout=timeout)
+        # protocol capabilities advertised after the gain fields
+        caps = info[6:]
+        self.center_freq_hz = (float(caps[caps.index("FREQ") + 1])
+                               if "FREQ" in caps else None)
+        super().__init__(port, rate, fmt, host=host, timeout=timeout,
+                         seq="SEQ1" in caps)
 
     def _cmd(self, line: str) -> str:
         self._ctl_f.write(line + "\n")
@@ -186,6 +234,15 @@ class RemoteSdrSource(UdpIqSource):
 
     def set_biastee(self, on: bool):
         self._cmd(f"BIASTEE {int(on)}")
+
+    def set_center_freq(self, hz: float) -> float | None:
+        """Retune the front end (reference rx_base.cpp:146-152); returns
+        the applied center, or None if the daemon predates FREQ."""
+        resp = self._cmd(f"FREQ {hz}").split()
+        if resp and resp[0] == "OK":
+            self.center_freq_hz = float(resp[1])
+            return self.center_freq_hz
+        return None
 
     def close(self):
         try:
@@ -235,10 +292,19 @@ class ThreadedSource:
     def dropped_samples(self) -> int:
         return self.ring.dropped // self._sample_bytes
 
+    def flush(self):
+        """Discard everything currently buffered (retune settle)."""
+        fill = self.ring.fill
+        if fill:
+            self.ring.pop(fill)
+
     def __getattr__(self, name):
-        # forward the rx_interface gain/biastee contract to the wrapped
-        # source so the AGC stays live through the ingest thread
-        if name in ("set_gain_db", "gain_min", "gain_max", "set_biastee"):
+        # forward the rx_interface gain/biastee/retune contract and the
+        # transport gap counters to the wrapped source so the AGC and
+        # the retune policy stay live through the ingest thread
+        if name in ("set_gain_db", "gain_min", "gain_max", "set_biastee",
+                    "set_center_freq", "center_freq_hz",
+                    "gap_events", "gap_bytes", "reordered"):
             return getattr(self.src, name)
         raise AttributeError(name)
 

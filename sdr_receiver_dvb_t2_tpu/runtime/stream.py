@@ -69,6 +69,9 @@ class StreamConfig:
     acq_elem_samples: int = 3_500_000   # covers one max-size frame + P1
     use_pallas: bool | None = None
     notch_spur: bool = False        # track + notch a CW spur (anti-spur)
+    hw_retune: bool = True          # push coarse CFO into the tuner when
+                                    # the source supports set_center_freq
+    retune_settle_s: float = 0.05   # samples to discard after a retune
 
 
 @dataclasses.dataclass
@@ -317,6 +320,50 @@ class StreamingReceiver:
         return True
 
     # ------------------------------------------------------------------
+    def _hw_retune_if_coarse(self) -> bool:
+        """Push a coarse CFO into the front-end tuner (reference
+        rx_base.cpp:146-152 update_gain_frequency + settle :72-95).
+
+        After acquisition the whole CFO is known digitally in
+        ``self.freq``; when it exceeds one carrier spacing and the
+        source can retune (RemoteSdrSource.set_center_freq), move the
+        RF center by that amount, discard a settle period, and zero the
+        NCO — the re-acquisition then runs with the tuner doing the
+        coarse work and only the residual stays digital.  Returns True
+        when a retune happened (caller must re-acquire)."""
+        if not self.cfg.hw_retune or self.mode is None:
+            return False
+        set_freq = getattr(self.src, "set_center_freq", None)
+        center = getattr(self.src, "center_freq_hz", None)
+        if set_freq is None or center is None:
+            return False
+        dev_rate = self.src.info.sample_rate
+        cfo_hz = self.freq * dev_rate / (2.0 * np.pi)
+        spacing = SAMPLE_RATE / self.mode.fft_size
+        if abs(cfo_hz) <= spacing:
+            return False
+        if set_freq(center + cfo_hz) is None:   # daemon predates FREQ
+            return False
+        # settle: drop everything buffered pre-retune plus the settle
+        # period, then restart the NCO at zero
+        self._raw = np.empty(0, np.complex64)
+        self._elem = np.empty(0, np.complex64)
+        flush = getattr(self.src, "flush", None)
+        if flush is not None:
+            flush()                 # ingest ring holds pre-retune samples
+        n_settle = int(self.cfg.retune_settle_s * dev_rate)
+        while n_settle > 0:
+            blk = self.src.read(min(n_settle, self.n_in))
+            if blk is None:
+                break
+            n_settle -= (len(blk) if blk.dtype == np.complex64
+                         else len(blk) // 2)
+        self.freq = 0.0
+        self.rx = None
+        self.spur = None            # a baseband spur moves under retune
+        return True
+
+    # ------------------------------------------------------------------
     def _refine_timing(self):
         """P1-anchored timing: re-detect the preamble near the expected
         frame start (replaces the reference's sample-clock PI loop edge).
@@ -467,6 +514,8 @@ class StreamingReceiver:
     def run(self, max_frames: int | None = None) -> RunStats:
         if self.rx is None and not self.acquire():
             return self.stats
+        if self._hw_retune_if_coarse() and not self.acquire():
+            return self.stats
         while max_frames is None or self.stats.frames < max_frames:
             if self._lock_lost():
                 # drop the stale buffer tail and re-acquire from the stream
@@ -479,6 +528,8 @@ class StreamingReceiver:
                 self.rx = None
                 self.spur = None        # re-run spur detection on relock
                 if not self.acquire():
+                    break
+                if self._hw_retune_if_coarse() and not self.acquire():
                     break
             if not self.step_batch():
                 break

@@ -13,11 +13,21 @@ framework:
   writing raw IQ to stdout; restarted when the gain changes if the command
   templates {gain}), or --file capture playback (gain applied digitally,
   which exercises the same AGC control path end to end).
+* transport framing: every datagram carries a 16-byte header
+  (magic 'IQSQ', u32 sequence, u64 cumulative byte offset) so the
+  receiver can DETECT and ZERO-FILL drops instead of silently
+  mis-aligning the byte stream (io.sources.UdpIqSource seq mode).
 * control: TCP line protocol on --control-port serving the rx_interface
-  gain contract (runtime/agc.py drives it):
+  gain/retune contract (runtime/agc.py + runtime/stream.py drive it):
       INFO               -> INFO <rate> <fmt> <gain_min> <gain_max> <gain>
+                            SEQ1 FREQ <hz>
       GAIN <db>          -> OK <applied_db>
       BIASTEE <0|1>      -> OK
+      FREQ <hz>          -> OK <applied_hz>   (hardware retune: --cmd
+                            producers restart with {freq}; file playback
+                            applies the equivalent digital mix, i.e. the
+                            baseband shifts by -(hz - previous) like a
+                            real tuner step; reference rx_base.cpp:146-152)
 
 Example (loopback test):
   python tools/sdr_daemon.py --file cap_10000000_8.raw --dest 127.0.0.1:4950 \
@@ -28,6 +38,7 @@ from __future__ import annotations
 import argparse
 import shlex
 import socket
+import struct
 import subprocess
 import sys
 import threading
@@ -40,6 +51,24 @@ CHUNK = 32768            # bytes per datagram (multiple of every pair size)
 _FMT_DTYPE = {"u8": np.uint8, "s8": np.int8, "s16": np.int16,
               "f32": np.float32}
 
+SEQ_MAGIC = b"IQSQ"      # 16-byte datagram header: magic, u32 seq, u64 off
+_SEQ_HDR = struct.Struct("<4sIQ")
+
+
+class SeqSocket:
+    """UDP sender stamping each datagram with (seq, byte offset)."""
+
+    def __init__(self, sock, dest):
+        self._sock, self._dest = sock, dest
+        self._seq = 0
+        self._off = 0
+
+    def send(self, payload: bytes):
+        hdr = _SEQ_HDR.pack(SEQ_MAGIC, self._seq & 0xFFFFFFFF, self._off)
+        self._sock.sendto(hdr + payload, self._dest)
+        self._seq += 1
+        self._off += len(payload)
+
 
 class GainState:
     def __init__(self, gain, lo, hi):
@@ -48,12 +77,21 @@ class GainState:
         self.lo, self.hi = float(lo), float(hi)
         self.biastee = False
         self.changed = threading.Event()
+        self.freq = 0.0          # tuner center (Hz); 0 = never tuned
+        self.freq_changed = threading.Event()
 
     def set(self, db: float) -> float:
         with self.lock:
             self.gain = float(np.clip(db, self.lo, self.hi))
             self.changed.set()
             return self.gain
+
+    def set_freq(self, hz: float) -> float:
+        with self.lock:
+            self.freq = float(hz)
+            self.freq_changed.set()
+            self.changed.set()       # --cmd producers restart on {freq} too
+            return self.freq
 
 
 def control_server(port: int, rate: float, fmt: str, g: GainState,
@@ -76,9 +114,12 @@ def control_server(port: int, rate: float, fmt: str, g: GainState,
                     continue
                 cmd = parts[0].upper()
                 if cmd == "INFO":
-                    f.write(f"INFO {rate} {fmt} {g.lo} {g.hi} {g.gain}\n")
+                    f.write(f"INFO {rate} {fmt} {g.lo} {g.hi} {g.gain} "
+                            f"SEQ1 FREQ {g.freq}\n")
                 elif cmd == "GAIN" and len(parts) > 1:
                     f.write(f"OK {g.set(float(parts[1]))}\n")
+                elif cmd == "FREQ" and len(parts) > 1:
+                    f.write(f"OK {g.set_freq(float(parts[1]))}\n")
                 elif cmd == "BIASTEE" and len(parts) > 1:
                     g.biastee = bool(int(parts[1]))
                     f.write("OK\n")
@@ -92,14 +133,22 @@ def control_server(port: int, rate: float, fmt: str, g: GainState,
     srv.close()
 
 
-def stream_file(path: str, fmt: str, rate: float, sock, dest, g: GainState,
-                stop: threading.Event, loop: bool, pace: float):
-    """File playback with DIGITAL gain (relative to the initial gain)."""
+def stream_file(path: str, fmt: str, rate: float, out: SeqSocket,
+                g: GainState, stop: threading.Event, loop: bool,
+                pace: float):
+    """File playback with DIGITAL gain and retune.
+
+    Gain is applied relative to the initial gain; a FREQ retune applies
+    the mix a real tuner step would: moving the center UP by df shifts
+    every baseband component DOWN by df (phase-continuous across
+    chunks), so a capture with a +df CFO retuned by +df lands at DC.
+    """
     dtype = _FMT_DTYPE[fmt]
-    g0 = g.gain
+    g0, f0 = g.gain, g.freq
     bytes_per_s = 2 * rate * np.dtype(dtype).itemsize
     f = open(path, "rb")
     t0, sent = time.monotonic(), 0
+    phase = 0.0                    # accumulated mix phase (radians)
     while not stop.is_set():
         buf = f.read(CHUNK)
         if len(buf) < CHUNK:
@@ -108,18 +157,31 @@ def stream_file(path: str, fmt: str, rate: float, sock, dest, g: GainState,
             f.seek(0)
             buf += f.read(CHUNK - len(buf))
         scale = 10.0 ** ((g.gain - g0) / 20.0)
-        if abs(scale - 1.0) > 1e-6:
+        df = g.freq - f0
+        if abs(scale - 1.0) > 1e-6 or abs(df) > 1e-9:
             x = np.frombuffer(buf, dtype=dtype).astype(np.float32)
             if fmt == "u8":
-                x = (x - 127.5) * scale + 127.5
-                buf = np.clip(np.round(x), 0, 255).astype(np.uint8).tobytes()
+                x = x - 127.5
+            z = (x[0::2] + 1j * x[1::2]).astype(np.complex64)
+            if abs(df) > 1e-9:
+                n = len(z)
+                w = -2.0 * np.pi * df / rate
+                z = z * np.exp(1j * (phase + w * np.arange(n))
+                               ).astype(np.complex64)
+                phase = float((phase + w * n) % (2.0 * np.pi))
+            z *= scale
+            x = np.empty(2 * len(z), np.float32)
+            x[0::2], x[1::2] = z.real, z.imag
+            if fmt == "u8":
+                buf = np.clip(np.round(x + 127.5), 0, 255
+                              ).astype(np.uint8).tobytes()
             elif fmt in ("s8", "s16"):
                 lim = 127 if fmt == "s8" else 32767
-                buf = np.clip(np.round(x * scale), -lim - 1, lim
+                buf = np.clip(np.round(x), -lim - 1, lim
                               ).astype(dtype).tobytes()
             else:
-                buf = (x * scale).astype(np.float32).tobytes()
-        sock.sendto(buf, dest)
+                buf = x.astype(np.float32).tobytes()
+        out.send(buf)
         sent += len(buf)
         if pace > 0:
             ahead = sent / (bytes_per_s * pace) - (time.monotonic() - t0)
@@ -128,14 +190,18 @@ def stream_file(path: str, fmt: str, rate: float, sock, dest, g: GainState,
     f.close()
 
 
-def stream_cmd(cmd: str, sock, dest, g: GainState, stop: threading.Event):
-    """Spawn the SDR CLI; restart it when {gain}/{biastee} change."""
+def stream_cmd(cmd: str, out: SeqSocket, g: GainState,
+               stop: threading.Event):
+    """Spawn the SDR CLI; restart it when {gain}/{biastee}/{freq}
+    change (the hardware-retune path: the CLI re-opens the tuner at the
+    new center, its own settle applies)."""
     while not stop.is_set():
         g.changed.clear()
         argv = shlex.split(cmd.format(gain=g.gain,
-                                      biastee=int(g.biastee)))
+                                      biastee=int(g.biastee),
+                                      freq=int(g.freq)))
         proc = subprocess.Popen(argv, stdout=subprocess.PIPE)
-        restart = "{gain}" in cmd or "{biastee}" in cmd
+        restart = any(k in cmd for k in ("{gain}", "{biastee}", "{freq}"))
         try:
             while not stop.is_set():
                 if restart and g.changed.is_set():
@@ -143,7 +209,7 @@ def stream_cmd(cmd: str, sock, dest, g: GainState, stop: threading.Event):
                 buf = proc.stdout.read(CHUNK)
                 if not buf:
                     return
-                sock.sendto(buf, dest)
+                out.send(buf)
         finally:
             proc.terminate()
             proc.wait(timeout=2.0)
@@ -161,6 +227,8 @@ def main(argv=None) -> int:
                    help="sample rate in Hz (from the filename if omitted)")
     p.add_argument("--fmt", choices=list(_FMT_DTYPE), default=None)
     p.add_argument("--gain", type=float, default=24.0)
+    p.add_argument("--freq", type=float, default=0.0,
+                   help="initial tuner center frequency in Hz")
     p.add_argument("--gain-min", type=float, default=0.0)
     p.add_argument("--gain-max", type=float, default=49.0)
     p.add_argument("--loop", action="store_true")
@@ -184,6 +252,8 @@ def main(argv=None) -> int:
     dest = (host or "127.0.0.1", int(port))
     sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
     g = GainState(args.gain, args.gain_min, args.gain_max)
+    g.freq = args.freq
+    out = SeqSocket(sock, dest)
     stop = threading.Event()
     ctl = threading.Thread(target=control_server,
                            args=(args.control_port, rate, fmt, g, stop),
@@ -193,10 +263,10 @@ def main(argv=None) -> int:
         threading.Timer(args.duration, stop.set).start()
     try:
         if args.file:
-            stream_file(args.file, fmt, rate, sock, dest, g, stop,
+            stream_file(args.file, fmt, rate, out, g, stop,
                         args.loop, args.pace)
         else:
-            stream_cmd(args.cmd, sock, dest, g, stop)
+            stream_cmd(args.cmd, out, g, stop)
     except KeyboardInterrupt:
         pass
     finally:
