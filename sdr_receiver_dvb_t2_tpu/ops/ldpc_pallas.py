@@ -109,7 +109,8 @@ def kernel_bit_order(table_name: str) -> "np.ndarray":
 
 def make_pallas_decoder(table_name: str, batch: int = 128,
                         max_iters: int = 15, beta: float = 1.0,
-                        n_tiles: int = 1, interpret: bool = False):
+                        n_tiles: int = 1, interpret: bool = False,
+                        c2v_dtype=None):
     """Returns decode(llr_T[N, W]) -> (hard_T[k, W] int8, ok[W] bool,
     iters[W] int32 — per-codeword first-clean iteration, the reference's
     trials statistic).
@@ -139,7 +140,8 @@ def make_pallas_decoder(table_name: str, batch: int = 128,
     vmem_need = (plan.q * c_tot * M * B * 2
                  + (g_data + plan.q + c_tot) * M * B * 2
                  + 2 * (k + r) * B * 2 + 2 * k * B)
-    c2v_dtype = jnp.bfloat16 if vmem_need < 100 * 1024 * 1024 else jnp.int8
+    if c2v_dtype is None:
+        c2v_dtype = jnp.bfloat16 if vmem_need < 100 * 1024 * 1024 else jnp.int8
 
     def kernel(g_tab, s_tab, cnt_tab, ch_data, ch_par,
                hard_ref, ok_ref,
@@ -413,4 +415,6 @@ def make_pallas_decoder(table_name: str, batch: int = 128,
         iters = stats[:, 1, :].reshape(T * B).astype(jnp.int32)
         return hard_t, ok, iters
 
+    decode.c2v_dtype = c2v_dtype
+    decode.uniform = uniform
     return decode

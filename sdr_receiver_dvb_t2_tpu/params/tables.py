@@ -57,9 +57,22 @@ class LdpcTable:
         return (self.groups[g] + m * self.q) % self.R
 
 
+# Non-ETSI codes registered at run time (synthetic test codes, custom QC-IRA
+# codes).  Checked before the bundled archives; register before first lookup
+# (ldpc_table results are cached).
+_REGISTERED: dict[str, LdpcTable] = {}
+
+
+def register_table(table: LdpcTable) -> None:
+    """Register a custom QC-IRA code under ``table.name``."""
+    _REGISTERED[table.name] = table
+
+
 @functools.lru_cache(maxsize=None)
 def ldpc_table(name: str) -> LdpcTable:
     """Load one code table, e.g. ``ldpc_table("NORMAL_C2_3")``."""
+    if name in _REGISTERED:
+        return _REGISTERED[name]
     with np.load(_DATA / "etsi_ldpc.npz") as z:
         return LdpcTable(
             name,
