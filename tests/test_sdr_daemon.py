@@ -94,6 +94,121 @@ def _make_capture(tmp_path, n_frames=10):
     return str(path), ts, mode, level
 
 
+def _load_daemon_module():
+    import importlib.util
+    spec = importlib.util.spec_from_file_location("sdr_daemon", DAEMON)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+# stand-in vendor CLI: logs its argv, honors `-r <path>` output redirection
+# (hackrf_transfer/airspy_rx style), then streams bytes until killed
+_VENDOR_STUB = """#!/usr/bin/env python3
+import os, sys, time
+with open(os.environ["SDR_STUB_LOG"], "a") as f:
+    f.write(" ".join(sys.argv) + chr(10))
+out = sys.stdout.buffer
+if "-r" in sys.argv:
+    tgt = sys.argv[sys.argv.index("-r") + 1]
+    if tgt != "-":
+        out = open(tgt, "wb")
+block = bytes(range(256)) * 64
+while True:
+    try:
+        out.write(block)
+        out.flush()
+    except (BrokenPipeError, OSError):
+        break
+    time.sleep(0.005)
+"""
+
+
+def test_device_presets_format_cleanly():
+    """Every preset template must format with the daemon's substitution set
+    and lead with the documented vendor binary."""
+    mod = _load_daemon_module()
+    binaries = {"hackrf": "hackrf_transfer", "airspy": "airspy_rx",
+                "rtlsdr": "rtl_sdr", "sdrplay": "rx_sdr", "miri": "rx_sdr",
+                "usrp": "rx_sdr", "plutosdr": "rx_sdr"}
+    assert set(binaries) == set(mod.DEVICE_PRESETS)
+    for name, pre in mod.DEVICE_PRESETS.items():
+        line = pre["cmd"].format(gain=12.5, biastee=1, freq=650000000,
+                                 freq_mhz=650.0)
+        assert line.split()[0] == binaries[name]
+        assert "{" not in line, line
+        assert pre["fmt"] in ("u8", "s8", "s16") and pre["rate"] > 0
+        assert pre["gain_min"] < pre["gain_max"]
+
+
+@pytest.mark.parametrize("device", ["hackrf", "airspy", "sdrplay", "miri",
+                                    "usrp", "plutosdr", "rtlsdr"])
+def test_device_preset_invocation(tmp_path, device):
+    """Each vendor recipe, driven end to end against a stand-in CLI: the
+    daemon must spawn the exact templated command, stream its bytes with
+    seq framing, report the preset's rate/fmt/gain span over control, and
+    restart the producer with the new {gain}/{freq} on GAIN/FREQ."""
+    import os
+    mod = _load_daemon_module()
+    pre = mod.DEVICE_PRESETS[device]
+    binary = pre["cmd"].split()[0]
+    bindir = tmp_path / "bin"
+    bindir.mkdir()
+    stub = bindir / binary
+    stub.write_text(_VENDOR_STUB)
+    stub.chmod(0o755)
+    log = tmp_path / "argv.log"
+    log.touch()
+    env = dict(os.environ, PATH=f"{bindir}:{os.environ['PATH']}",
+               SDR_STUB_LOG=str(log))
+    data_port, ctl_port = _free_ports(2)
+    daemon = subprocess.Popen(
+        [sys.executable, str(DAEMON), "--device", device,
+         "--dest", f"127.0.0.1:{data_port}", "--control-port", str(ctl_port),
+         "--gain", "20", "--freq", "650000000", "--duration", "60"],
+        env=env)
+    try:
+        deadline = time.monotonic() + 10
+        src = None
+        while src is None:
+            try:
+                src = sources.RemoteSdrSource(data_port, "127.0.0.1",
+                                              ctl_port, timeout=10.0)
+            except (ConnectionRefusedError, OSError):
+                if time.monotonic() > deadline:
+                    raise
+                time.sleep(0.2)
+        assert src.info.sample_rate == pre["rate"]
+        assert src.info.fmt == pre["fmt"]
+        assert src.gain_min() == pre["gain_min"]
+        assert src.gain_max() == pre["gain_max"]
+        assert src.center_freq_hz == 650000000.0
+        got = src.read(4096)
+        assert got is not None and got.size >= 4096
+
+        first = log.read_text().strip().splitlines()
+        assert len(first) >= 1
+        expect0 = pre["cmd"].format(gain=20.0, biastee=0, freq=650000000,
+                                    freq_mhz=650.0)
+        assert first[0].split()[1:] == expect0.split()[1:], first[0]
+
+        g1 = src.set_gain_db(pre["gain_min"] + 1.0)
+        f1 = src.set_center_freq(666000000)
+        assert f1 == 666000000.0
+        deadline = time.monotonic() + 20   # generous: CI may be loaded
+        while time.monotonic() < deadline:
+            lines = log.read_text().strip().splitlines()
+            if len(lines) >= 2 and "666" in lines[-1]:
+                break
+            time.sleep(0.1)
+        expect1 = pre["cmd"].format(gain=g1, biastee=0, freq=666000000,
+                                    freq_mhz=666.0)
+        assert lines[-1].split()[1:] == expect1.split()[1:], lines[-1]
+    finally:
+        daemon.terminate()
+        daemon.wait(timeout=5)
+
+
 @pytest.mark.slow
 @pytest.mark.skipif(native.load() is None, reason="no C++ toolchain")
 def test_live_sdr_loopback_with_agc(tmp_path):

@@ -51,6 +51,44 @@ CHUNK = 32768            # bytes per datagram (multiple of every pair size)
 _FMT_DTYPE = {"u8": np.uint8, "s8": np.int8, "s16": np.int16,
               "f32": np.float32}
 
+# Known-good producer recipes per device class (--device NAME), covering
+# the reference's six vendor front ends (rates and gain spans mirror
+# rx_hackrf.cpp:117-221, rx_airspy.cpp, rx_sdrplay.cpp:153, rx_miri.cpp,
+# rx_usrp.cpp:75-196, rx_plutosdr.cpp; SdrPlay/Miri/USRP/Pluto go through
+# the SoapySDR-based `rx_sdr` from rx_tools).  Templates: {freq} Hz,
+# {freq_mhz} MHz, {gain} dB, {biastee} 0/1.  Everything a preset sets can
+# be overridden on the command line (--cmd/--rate/--fmt/--gain-*).
+DEVICE_PRESETS = {
+    "hackrf": dict(
+        cmd="hackrf_transfer -r - -f {freq} -s 10000000 -b 8000000"
+            " -l {gain:.0f} -g 20 -p {biastee}",
+        fmt="s8", rate=10e6, gain_min=0.0, gain_max=40.0),
+    "airspy": dict(
+        cmd="airspy_rx -r /dev/stdout -f {freq_mhz} -a 10000000 -t 2"
+            " -g {gain:.0f} -b {biastee}",
+        fmt="s16", rate=10e6, gain_min=0.0, gain_max=21.0),
+    "sdrplay": dict(
+        cmd="rx_sdr -d driver=sdrplay -f {freq} -s 10000000 -g {gain}"
+            " -F CS16 -",
+        fmt="s16", rate=10e6, gain_min=0.0, gain_max=48.0),
+    "miri": dict(
+        cmd="rx_sdr -d driver=miri -f {freq} -s 9000000 -g {gain}"
+            " -F CS16 -",
+        fmt="s16", rate=9e6, gain_min=0.0, gain_max=49.0),
+    "usrp": dict(
+        cmd="rx_sdr -d driver=uhd -f {freq} -s 10000000 -g {gain}"
+            " -F CS16 -",
+        fmt="s16", rate=10e6, gain_min=0.0, gain_max=76.0),
+    "plutosdr": dict(
+        cmd="rx_sdr -d driver=plutosdr -f {freq} -s 10000000 -g {gain}"
+            " -F CS16 -",
+        fmt="s16", rate=10e6, gain_min=0.0, gain_max=73.0),
+    # beyond the reference: the most common hobbyist front end
+    "rtlsdr": dict(
+        cmd="rtl_sdr -f {freq} -s 2400000 -g {gain} -",
+        fmt="u8", rate=2.4e6, gain_min=0.0, gain_max=49.6),
+}
+
 SEQ_MAGIC = b"IQSQ"      # 16-byte datagram header: magic, u32 seq, u64 off
 _SEQ_HDR = struct.Struct("<4sIQ")
 
@@ -199,9 +237,10 @@ def stream_cmd(cmd: str, out: SeqSocket, g: GainState,
         g.changed.clear()
         argv = shlex.split(cmd.format(gain=g.gain,
                                       biastee=int(g.biastee),
-                                      freq=int(g.freq)))
+                                      freq=int(g.freq),
+                                      freq_mhz=g.freq / 1e6))
         proc = subprocess.Popen(argv, stdout=subprocess.PIPE)
-        restart = any(k in cmd for k in ("{gain}", "{biastee}", "{freq}"))
+        restart = any(k in cmd for k in ("{gain", "{biastee", "{freq"))
         try:
             while not stop.is_set():
                 if restart and g.changed.is_set():
@@ -219,8 +258,12 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     src = p.add_mutually_exclusive_group(required=True)
     src.add_argument("--file", help="raw IQ capture to play back")
-    src.add_argument("--cmd", help="SDR CLI writing raw IQ to stdout; "
-                                   "may template {gain} and {biastee}")
+    src.add_argument("--cmd", help="SDR CLI writing raw IQ to stdout; may "
+                                   "template {gain} {biastee} {freq} "
+                                   "{freq_mhz}")
+    src.add_argument("--device", choices=sorted(DEVICE_PRESETS),
+                     help="use a known-good vendor recipe "
+                          "(sets --cmd/--rate/--fmt/--gain-min/--gain-max)")
     p.add_argument("--dest", required=True, help="receiver host:port (UDP)")
     p.add_argument("--control-port", type=int, required=True)
     p.add_argument("--rate", type=float, default=None,
@@ -229,8 +272,8 @@ def main(argv=None) -> int:
     p.add_argument("--gain", type=float, default=24.0)
     p.add_argument("--freq", type=float, default=0.0,
                    help="initial tuner center frequency in Hz")
-    p.add_argument("--gain-min", type=float, default=0.0)
-    p.add_argument("--gain-max", type=float, default=49.0)
+    p.add_argument("--gain-min", type=float, default=None)
+    p.add_argument("--gain-max", type=float, default=None)
     p.add_argument("--loop", action="store_true")
     p.add_argument("--pace", type=float, default=1.0,
                    help="file playback speed multiple (0 = unpaced)")
@@ -239,6 +282,20 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
 
     rate, fmt = args.rate, args.fmt
+    if args.device:
+        pre = DEVICE_PRESETS[args.device]
+        args.cmd = pre["cmd"]
+        rate = rate if rate is not None else pre["rate"]
+        fmt = fmt or pre["fmt"]
+        if args.gain_min is None:
+            args.gain_min = pre["gain_min"]
+        if args.gain_max is None:
+            args.gain_max = pre["gain_max"]
+    if args.gain_min is None:
+        args.gain_min = 0.0
+    if args.gain_max is None:
+        args.gain_max = 49.0
+    args.gain = float(np.clip(args.gain, args.gain_min, args.gain_max))
     if args.file and (rate is None or fmt is None):
         sys.path.insert(0, str(__import__("pathlib").Path(
             __file__).resolve().parent.parent))
