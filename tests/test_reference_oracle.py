@@ -125,17 +125,16 @@ def test_pilots_match_reference(fft, gi, pp, ext, nd):
 # LDPC cross-validation
 
 
-@pytest.mark.parametrize("name", ["SHORT_C1_2", "SHORT_C2_3",
-                                  "NORMAL_C2_3"])
+@pytest.mark.parametrize("name", sorted(oracle.LDPC_TABLE))
 def test_encoder_satisfies_reference_decoder(name):
     """Codewords from OUR encoder must be valid under the REFERENCE
-    decoder's parity checks: a mirrored table/encoder misreading would
-    fail here immediately."""
+    decoder's parity checks, for every one of the 13 DVB-T2 tables: a
+    mirrored table/encoder misreading would fail here immediately."""
     code = ldpc.get_code(name)
     orc = oracle.LdpcOracle(name)
     assert (orc.n, orc.k) == (code.n, code.k)
     rng = np.random.default_rng(3)
-    for seed in range(3):
+    for seed in range(2):
         info = rng.integers(0, 2, code.k).astype(np.uint8)
         cw = code.encode(info)
         llr = ((1 - 2 * cw.astype(np.int32)) * 24).astype(np.int8)
