@@ -65,9 +65,13 @@ class MultiChannelReceiver:
              phase=0.0, freq=0.0):
         """raw_per_channel: [C, n_time * raw_block] complex64.
 
-        mu/step/phase/freq: scalar or [C] (per-channel front-end state)."""
+        mu/step/phase/freq: scalar or [C] (per-channel front-end state);
+        C may be any multiple of the mesh's "ch" extent (channels share
+        devices when C exceeds it)."""
         rb = self.rx.raw_block_for(float(np.max(step)))
-        idx0, frac0, phase0 = self.rx.host_bases(mu, step, phase, freq, rb)
+        idx0, frac0, phase0 = self.rx.host_bases(
+            mu, step, phase, freq, rb,
+            n_channels=raw_per_channel.shape[0])
         return self.rx.step(raw_per_channel, idx0, frac0, phase0, freq, step)
 
     # The per-shard halo exchange covers shards 1..n-1 within a step;

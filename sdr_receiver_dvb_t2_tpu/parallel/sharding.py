@@ -236,7 +236,11 @@ class ShardedReceiver:
         freq.  idx0/frac0/phase0: [C, n_time] (host_bases output)."""
         if not isinstance(raw, C):
             raw = cplx.from_np(raw)
-        n_ch = self.n_ch
+        # total channels may exceed the mesh's "ch" extent (channels-per-
+        # device: the pod's 64-channel config on fewer chips); the leading
+        # axis shards evenly over the mesh
+        n_ch = raw.re.shape[0] if hasattr(raw, "re") else raw.shape[0]
+        assert n_ch % self.n_ch == 0, (n_ch, self.n_ch)
         freq = np.broadcast_to(np.asarray(freq, np.float32), (n_ch,))
         step_raw = np.broadcast_to(np.asarray(step_raw, np.float64), (n_ch,))
         s_hi = np.empty(n_ch, np.float32)
@@ -255,17 +259,22 @@ class ShardedReceiver:
 
     # ------------------------------------------------------------------
     def host_bases(self, mu_global, step, phase_global, freq,
-                   raw_block: int):
+                   raw_block: int, n_channels: int | None = None):
         """float64 host bookkeeping -> per-shard device bases.
 
         mu_global: resampler position (in raw samples) of this step's first
         output, relative to the first raw sample fed this step.  Every
         argument may be a scalar (shared by all channels) or a [C] vector
-        (per-channel front-end state).
-        Returns (idx0, frac0, phase0), each [n_ch, n_time], local to each
+        (per-channel front-end state).  n_channels: total data channels
+        (defaults to the mesh's "ch" extent; pass C when running several
+        channels per device).
+        Returns (idx0, frac0, phase0), each [C, n_time], local to each
         shard's haloed raw block.
         """
-        nc, nt, halo = self.n_ch, self.n_time, self.cfg.halo
+        nt, halo = self.n_time, self.cfg.halo
+        nc = n_channels if n_channels is not None else max(
+            self.n_ch, *(np.size(a) for a in (mu_global, step,
+                                              phase_global, freq)))
         mu_global = np.broadcast_to(np.asarray(mu_global, np.float64), (nc,))
         step = np.broadcast_to(np.asarray(step, np.float64), (nc,))
         phase_global = np.broadcast_to(
