@@ -96,7 +96,8 @@ def main():
     if on_tpu:
         tiles = -(-n_cw // 128)
         decoder = ldpc_pallas.make_pallas_decoder(
-            plp.ldpc_table_name, batch=128, n_tiles=tiles, max_iters=15)
+            plp.ldpc_table_name, batch=128, n_tiles=tiles, max_iters=15,
+            bch_h=bch_ops._h_matrix(plp.k_bch, plp.bch_m, plp.bch_t))
         n_pad = tiles * 128
     else:
         decoder = ldpc_decode.make_decoder_t(plp.ldpc_table_name,
@@ -119,7 +120,11 @@ def main():
 
     @jax.jit
     def fec(llr_t):
-        hard_t, ok, iters = decoder(llr_t)
+        out = decoder(llr_t)
+        if len(out) == 4:                    # Pallas: BCH screen fused
+            hard_t, ok, iters, clean = out
+            return ok[:n_cw], clean[:n_cw], iters
+        hard_t, ok, iters = out
         clean = bch_ops.syndrome_flags_t(hard_t[:plp.n_bch, :n_cw], plp)
         return ok[:n_cw], clean, iters
 

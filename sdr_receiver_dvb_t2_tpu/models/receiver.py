@@ -202,7 +202,9 @@ class TpuReceiver:
             self._ldpc_batch = tiles * 128
             self._decoder = ldpc_pallas.make_pallas_decoder(
                 self.plp.ldpc_table_name, batch=128, n_tiles=tiles,
-                max_iters=self.cfg.ldpc_max_iters)
+                max_iters=self.cfg.ldpc_max_iters,
+                bch_h=bch_ops._h_matrix(self.plp.k_bch, self.plp.bch_m,
+                                        self.plp.bch_t))
         else:
             self._ldpc_batch = n_codewords
             self._decoder = ldpc_decode.make_decoder_t(
@@ -231,9 +233,15 @@ class TpuReceiver:
             llr_in = jnp.concatenate([llr_t, pad], axis=1)
         else:
             llr_in = llr_t
-        hard_t, ok, iters = decoder(llr_in)
+        out = decoder(llr_in)
+        if len(out) == 4:                  # Pallas: BCH screen fused
+            hard_t, ok, iters, clean = out
+            clean = clean[:n_cw]
+        else:
+            hard_t, ok, iters = out
+            clean = bch_ops.syndrome_flags_t(
+                hard_t[:, :n_cw][:self.plp.n_bch], self.plp)
         hard_t, ok, iters = hard_t[:, :n_cw], ok[:n_cw], iters[:n_cw]
-        clean = bch_ops.syndrome_flags_t(hard_t[:self.plp.n_bch], self.plp)
         # pack bits to bytes ON DEVICE: the device->host transfer shrinks 8x
         # and the host receives BB-frame bytes directly (n_bch rather than
         # k_bch so the rare dirty codewords can be BCH-corrected host-side

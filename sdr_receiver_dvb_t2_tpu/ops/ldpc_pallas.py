@@ -110,7 +110,7 @@ def kernel_bit_order(table_name: str) -> "np.ndarray":
 def make_pallas_decoder(table_name: str, batch: int = 128,
                         max_iters: int = 15, beta: float = 1.0,
                         n_tiles: int = 1, interpret: bool = False,
-                        c2v_dtype=None):
+                        c2v_dtype=None, bch_h=None):
     """Returns decode(llr_T[N, W]) -> (hard_T[k, W] int8, ok[W] bool,
     iters[W] int32 — per-codeword first-clean iteration, the reference's
     trials statistic).
@@ -121,6 +121,13 @@ def make_pallas_decoder(table_name: str, batch: int = 128,
     lane-crossing transposes happen anywhere.  LLRs integral-valued
     (int8 scale); positive = bit 0.  Only the data-part hard bits are
     returned (parity is never needed downstream).
+
+    ``bch_h``: optional GF(2) parity-check matrix [n_bch == k, n_syn]
+    (bch_ops._h_matrix layout).  When given, the kernel's hard-decision
+    epilogue also accumulates the BCH syndrome on the MXU — the posterior
+    signs it is computing anyway — and decode returns a 4th value
+    clean[W] (True = BCH syndrome zero), deleting the separate [k, W]
+    device pass + program the screen otherwise costs.
     """
     # the per-codeword trials stat travels in an int8 lane of the kernel
     # output; >127 iterations would wrap negative (and is far beyond any
@@ -142,10 +149,26 @@ def make_pallas_decoder(table_name: str, batch: int = 128,
                  + 2 * (k + r) * B * 2 + 2 * k * B)
     if c2v_dtype is None:
         c2v_dtype = jnp.bfloat16 if vmem_need < 100 * 1024 * 1024 else jnp.int8
+    if bch_h is not None:
+        assert bch_h.shape[0] == k, (bch_h.shape, k)
+        n_syn = -(-bch_h.shape[1] // 8) * 8          # pad syndrome rows
+        h_pad = np.zeros((n_syn, k), np.float32)
+        h_pad[:bch_h.shape[1]] = np.asarray(bch_h, np.float32).T
+        # device-resident, passed as a jit ARGUMENT (a closure constant
+        # this size would be embedded in the remote compile request)
+        bch_h_dev = jax.device_put(jnp.asarray(h_pad, jnp.bfloat16))
+    else:
+        n_syn = 0
+        bch_h_dev = None
 
-    def kernel(g_tab, s_tab, cnt_tab, ch_data, ch_par,
-               hard_ref, ok_ref,
-               tbuf, c2v, lam_ref, par_ref, unsat_ref, first_ref):
+    def kernel(g_tab, s_tab, cnt_tab, *refs):
+        if bch_h is not None:
+            (ch_data, ch_par, h_ref, hard_ref, ok_ref,
+             tbuf, c2v, lam_ref, par_ref, unsat_ref, first_ref) = refs
+        else:
+            (ch_data, ch_par, hard_ref, ok_ref,
+             tbuf, c2v, lam_ref, par_ref, unsat_ref, first_ref) = refs
+            h_ref = None
         sub_iota = jax.lax.broadcasted_iota(jnp.int32, (M, B), 0)
         sub0_mask = sub_iota == 0
         # initialize posteriors from channel LLRs, zero the message memory
@@ -333,28 +356,47 @@ def make_pallas_decoder(table_name: str, batch: int = 128,
 
         first_ref[...] = jnp.zeros((1, B), jnp.float32)
         it, _ = jax.lax.while_loop(iter_cond, iter_body, (0, False))
-        hard_ref[...] = (lam_ref[...].astype(jnp.float32) < 0).astype(jnp.int8).reshape(k, B)
+        hard_b = lam_ref[...].astype(jnp.float32) < 0        # [g, M, B]
+        hard_ref[...] = hard_b.astype(jnp.int8).reshape(k, B)
         okb = unsat_ref[0] == 0.0                            # [1, B] bool
         ok = jnp.broadcast_to(okb, (1, 1, B)).astype(jnp.int8)
         trials = jnp.where(okb, first_ref[...], jnp.float32(max_iters))
-        itv = jnp.broadcast_to(trials.astype(jnp.int8), (1, 7, B))
-        ok_ref[...] = jnp.concatenate([ok, itv], axis=1)
+        if h_ref is not None:
+            # BCH syndrome screen fused into the epilogue: one bf16 MXU
+            # matmul over the hard bits this pass just produced (mod-2 by
+            # parity of exact f32 counts), replacing the separate device
+            # program in ops/bch_ops.syndrome_flags_t
+            s = jnp.dot(h_ref[...],
+                        hard_b.reshape(k, B).astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)  # [n_syn, B]
+            odd = s - 2.0 * jnp.floor(s * 0.5)
+            dirty = jnp.sum(jnp.where(odd > 0.5, 1.0, 0.0), axis=0,
+                            keepdims=True)                   # [1, B]
+            bc = (dirty == 0.0).astype(jnp.int8).reshape(1, 1, B)
+            itv = jnp.broadcast_to(trials.astype(jnp.int8), (1, 6, B))
+            ok_ref[...] = jnp.concatenate([ok, bc, itv], axis=1)
+        else:
+            itv = jnp.broadcast_to(trials.astype(jnp.int8), (1, 7, B))
+            ok_ref[...] = jnp.concatenate([ok, itv], axis=1)
 
     g_tab = g_tab_np
     s_tab = s_tab_np
     cnt_tab = cnt_np
 
+    in_specs = [
+        pl.BlockSpec((k, B), lambda i, *_: (0, i)),
+        # when r divides k the parity block views the SAME array at
+        # block row k//r (no slice copy); otherwise the caller passes
+        # the sliced parity array, whose block row is 0
+        pl.BlockSpec((r, B), (lambda i, *_: (k // r, i)) if k % r == 0
+                     else (lambda i, *_: (0, i))),
+    ]
+    if bch_h is not None:
+        in_specs.append(pl.BlockSpec((n_syn, k), lambda i, *_: (0, 0)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec((k, B), lambda i, *_: (0, i)),
-            # when r divides k the parity block views the SAME array at
-            # block row k//r (no slice copy); otherwise the caller passes
-            # the sliced parity array, whose block row is 0
-            pl.BlockSpec((r, B), (lambda i, *_: (k // r, i)) if k % r == 0
-                         else (lambda i, *_: (0, i))),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((k, B), lambda i, *_: (0, i)),
             pl.BlockSpec((1, 8, B), lambda i, *_: (i, 0, 0)),
@@ -400,20 +442,28 @@ def make_pallas_decoder(table_name: str, batch: int = 128,
     _CLAMP = 56.0
 
     @jax.jit
-    def decode(llr_t):
+    def _decode(llr_t, *h):
         assert llr_t.shape == (plan.n, T * B), (llr_t.shape, (plan.n, T * B))
         if llr_t.dtype == jnp.int8:
             x = llr_t                        # straight into the kernel
         else:
             x = jnp.clip(jnp.round(llr_t.astype(jnp.float32)),
                          -127, 127).astype(jnp.int8)
-        if k % r == 0:
-            hard_t, stats = pallas_fn(g_tab, s_tab, cnt_tab, x, x)
-        else:
-            hard_t, stats = pallas_fn(g_tab, s_tab, cnt_tab, x[:k], x[k:])
+        parts = (x, x) if k % r == 0 else (x[:k], x[k:])
+        hard_t, stats = pallas_fn(g_tab, s_tab, cnt_tab, *parts, *h)
         ok = stats[:, 0, :].reshape(T * B).astype(bool)
+        if bch_h is not None:
+            clean = stats[:, 1, :].reshape(T * B).astype(bool)
+            iters = stats[:, 2, :].reshape(T * B).astype(jnp.int32)
+            return hard_t, ok, iters, clean
         iters = stats[:, 1, :].reshape(T * B).astype(jnp.int32)
         return hard_t, ok, iters
+
+    if bch_h is not None:
+        def decode(llr_t):
+            return _decode(llr_t, bch_h_dev)
+    else:
+        decode = _decode
 
     decode.c2v_dtype = c2v_dtype
     decode.uniform = uniform

@@ -97,6 +97,47 @@ def test_normal_factory_selects_int8_c2v():
     assert dec.c2v_dtype == jnp.int8 and dec.uniform
 
 
+def test_interpret_fused_bch_syndrome():
+    """bch_h mode: the kernel-epilogue MXU syndrome must agree with the
+    standalone screen (ops.bch_ops.syndrome_flags_t) on clean AND dirty
+    codewords."""
+    import jax.numpy as jnp
+    from sdr_receiver_dvb_t2_tpu.params import bch as bch_par
+    from sdr_receiver_dvb_t2_tpu.ops import bch_ops
+    name, k_bch, m = "SHORT_C1_2", 7032, 14
+    rng = np.random.default_rng(5)
+    code = ldpc_mod.get_code(name)
+    n_cw = 3
+    payload = rng.integers(0, 2, (n_cw, k_bch), dtype=np.uint8)
+    bch_cw = np.stack([bch_par.encode(p, m) for p in payload])
+    assert bch_cw.shape[1] == code.k
+    cws = np.stack([code.encode(b) for b in bch_cw])
+    llr = ((1 - 2 * cws.astype(np.float32)) * 12
+           + rng.normal(0, 4.0, cws.shape)).round().clip(-127, 127)
+    llr[2] = rng.normal(0, 20.0, code.n).round().clip(-127, 127)  # garbage
+    ko = ldpc_pallas.kernel_bit_order(name)
+    llr_t = np.ascontiguousarray(llr[:, ko].T)
+    pad = np.zeros((llr_t.shape[0], 128 - n_cw), np.float32)
+    h = bch_ops._h_matrix(k_bch, m, 12)
+    dec = ldpc_pallas.make_pallas_decoder(name, batch=128, n_tiles=1,
+                                          max_iters=30, interpret=True,
+                                          bch_h=h)
+    hard_t, ok, iters, clean = dec(
+        jnp.asarray(np.concatenate([llr_t, pad], axis=1)))
+    ok = np.asarray(ok)[:n_cw]
+    clean = np.asarray(clean)[:n_cw]
+    # ground truth from the standalone screen on the same hard bits
+    class _P:          # minimal plp surrogate for syndrome_flags_t
+        pass
+    p = _P()
+    p.k_bch, p.bch_m, p.bch_t, p.n_bch = k_bch, m, 12, code.k
+    ref = np.asarray(bch_ops.syndrome_flags_t(
+        jnp.asarray(np.asarray(hard_t)[:, :n_cw]), p))
+    np.testing.assert_array_equal(clean, ref)
+    assert ok[:2].all() and clean[:2].all()
+    assert not clean[2]
+
+
 def test_interpret_per_codeword_trials():
     """One clean codeword + noisy ones: per-codeword iters must differ."""
     name = "SHORT_C1_2"
