@@ -85,3 +85,41 @@ def test_pallas_multi_tile():
     hard_t, ok, _ = dec(llr_t)
     assert bool(jnp.all(ok))
     np.testing.assert_array_equal(np.asarray(hard_t).T, cws[:, :code.k])
+
+
+def test_pallas_fused_bch_syndrome_normal():
+    """bch_h mode on hardware, production shape (NORMAL_C2_3, 2 tiles):
+    the fused MXU syndrome must match the standalone screen on clean and
+    corrupted codewords."""
+    from sdr_receiver_dvb_t2_tpu.params import bch as bch_par
+    from sdr_receiver_dvb_t2_tpu.params import ldpc as ldpc_mod
+    from sdr_receiver_dvb_t2_tpu.ops import bch_ops, ldpc_pallas
+    rng = np.random.default_rng(7)
+    name, k_bch, m, t = "NORMAL_C2_3", 43040, 16, 10
+    code = ldpc_mod.get_code(name)
+    assert k_bch + m * t == code.k
+    n_cw = 256
+    payload = rng.integers(0, 2, (n_cw, k_bch), dtype=np.uint8)
+    bch_cw = np.stack([bch_par.encode(p, m, t) for p in payload])
+    cws = np.stack([code.encode(b) for b in bch_cw])
+    llr = ((1 - 2 * cws.astype(np.float32)) * 12
+           + rng.normal(0, 4.0, cws.shape)).round().clip(-127, 127)
+    llr[5] = rng.normal(0, 20.0, code.n).round().clip(-127, 127)  # garbage
+    ko = ldpc_pallas.kernel_bit_order(name)
+    llr_t = jnp.asarray(np.ascontiguousarray(llr[:, ko].T))
+    h = bch_ops._h_matrix(k_bch, m, t)
+    dec = ldpc_pallas.make_pallas_decoder(name, batch=128, n_tiles=2,
+                                          max_iters=15, bch_h=h)
+    hard_t, ok, iters, clean = dec(llr_t)
+    clean = np.asarray(clean)
+
+    class _P:
+        pass
+    p = _P()
+    p.k_bch, p.bch_m, p.bch_t, p.n_bch = k_bch, m, t, code.k
+    ref = np.asarray(bch_ops.syndrome_flags_t(hard_t, p))
+    np.testing.assert_array_equal(clean, ref)
+    good = np.ones(n_cw, bool)
+    good[5] = False
+    assert clean[good].all() and not clean[5]
+    assert np.asarray(ok)[good].all()
