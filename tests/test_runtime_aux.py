@@ -101,3 +101,28 @@ def test_threaded_source_roundtrip(tmp_path):
     assert len(out) == len(raw)
     assert src.dropped_samples == 0
     src.close()
+
+
+def test_plot_dumps_renders_png(tmp_path):
+    """tools/plot_dumps.py: the reference's plot views render from a
+    --dump-constellation NPZ without a display."""
+    import importlib.util
+    from pathlib import Path
+    import numpy as np
+    spec = importlib.util.spec_from_file_location(
+        "plot_dumps", Path(__file__).resolve().parent.parent
+        / "tools" / "plot_dumps.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    rng = np.random.default_rng(2)
+    npz = tmp_path / "d.npz"
+    np.savez(npz,
+             frame_iq=(rng.standard_normal(5000)
+                       + 1j * rng.standard_normal(5000)),
+             spectrum=np.fft.fft(rng.standard_normal(512)),
+             constellation=(rng.standard_normal(3000)
+                            + 1j * rng.standard_normal(3000)),
+             p1_metric=rng.random(2048))
+    out = tmp_path / "d.png"
+    assert mod.render(str(npz), str(out), show=False) == 0
+    assert out.stat().st_size > 10000
