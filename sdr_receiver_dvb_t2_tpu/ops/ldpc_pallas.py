@@ -88,6 +88,15 @@ def _build_tables(plan):
     return g_tab, s_tab, cnt, sorted(rmw)
 
 
+def pad_bch_h(bch_h: "np.ndarray") -> "np.ndarray":
+    """[n_bch, n_syn_bits] GF(2) parity-check matrix -> the kernel's
+    transposed layout [n_syn padded to 8, n_bch] float32."""
+    n_syn = -(-bch_h.shape[1] // 8) * 8
+    h_pad = np.zeros((n_syn, bch_h.shape[0]), np.float32)
+    h_pad[:bch_h.shape[1]] = np.asarray(bch_h, np.float32).T
+    return h_pad
+
+
 def kernel_bit_order(table_name: str) -> "np.ndarray":
     """Natural codeword bit index for each kernel input row.
 
@@ -151,15 +160,11 @@ def make_pallas_decoder(table_name: str, batch: int = 128,
         c2v_dtype = jnp.bfloat16 if vmem_need < 100 * 1024 * 1024 else jnp.int8
     if bch_h is not None:
         assert bch_h.shape[0] == k, (bch_h.shape, k)
-        n_syn = -(-bch_h.shape[1] // 8) * 8          # pad syndrome rows
-        h_pad = np.zeros((n_syn, k), np.float32)
-        h_pad[:bch_h.shape[1]] = np.asarray(bch_h, np.float32).T
-        # device-resident, passed as a jit ARGUMENT (a closure constant
-        # this size would be embedded in the remote compile request)
-        bch_h_dev = jax.device_put(jnp.asarray(h_pad, jnp.bfloat16))
+        h_pad = pad_bch_h(bch_h)
+        n_syn = h_pad.shape[0]
     else:
         n_syn = 0
-        bch_h_dev = None
+        h_pad = None
 
     def kernel(g_tab, s_tab, cnt_tab, *refs):
         if bch_h is not None:
@@ -460,11 +465,25 @@ def make_pallas_decoder(table_name: str, batch: int = 128,
         return hard_t, ok, iters
 
     if bch_h is not None:
+        # H is device-resident and rides as a jit ARGUMENT (a closure
+        # constant this size would be embedded in the remote compile
+        # request); placed lazily so callers that manage H themselves
+        # (decode.with_h) never pay the transfer
+        _h_box = []
+
         def decode(llr_t):
-            return _decode(llr_t, bch_h_dev)
+            if not _h_box:
+                _h_box.append(jax.device_put(
+                    jnp.asarray(h_pad, jnp.bfloat16)))
+            return _decode(llr_t, _h_box[0])
+        # for callers that manage H placement themselves (e.g. the sharded
+        # path passes it through shard_map as a replicated argument):
+        decode.with_h = _decode
+        decode.h_pad = h_pad
     else:
         decode = _decode
 
     decode.c2v_dtype = c2v_dtype
     decode.uniform = uniform
+    decode.n_cw = T * B
     return decode

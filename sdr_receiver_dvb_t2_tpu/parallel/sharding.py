@@ -74,6 +74,10 @@ class ShardedConfig:
     fir_preset: str = "medium"
     halo: int = 1024                 # raw-sample left halo per time shard
     ldpc_max_iters: int = 15
+    # None = auto (Pallas kernel + fused BCH screen on TPU backends, the
+    # portable XLA decoder elsewhere); True forces Pallas (interpret mode
+    # off-TPU — CI coverage of the pod FEC path); False forces portable
+    use_pallas: bool | None = None
 
 
 class ShardedReceiver:
@@ -124,9 +128,42 @@ class ShardedReceiver:
         # the resampler's chunk granularity
         need = 2 * self.k_loc + self.n_taps - 1
         self.n_up = -(-need // 1024) * 1024
-        self.decoder = ldpc_decode.make_decoder_t(
-            cfg.plp.ldpc_table_name, max_iters=cfg.ldpc_max_iters)
+        # FEC engine selection (ShardedConfig.use_pallas): the fused
+        # Pallas kernel folds the BCH syndrome screen into its epilogue,
+        # so the pod path decodes LDPC *and* screens BCH in one program —
+        # H rides through shard_map as a replicated argument (a closure
+        # constant would bloat the remote compile request, CLAUDE.md)
+        self.use_pallas = (jax.default_backend() == "tpu"
+                           if cfg.use_pallas is None else
+                           bool(cfg.use_pallas))
+        self.cw_per_shard = cfg.frames_per_shard * cfg.n_fec_per_frame
+        if self.use_pallas:
+            from ..ops import ldpc_pallas
+            self.decoder = None
+            self._pallas = {}            # n_tiles -> fused decoder
+            self._h_dev = jnp.asarray(ldpc_pallas.pad_bch_h(
+                bch_ops._h_matrix(self.plp.k_bch, self.plp.bch_m,
+                                  self.plp.bch_t)), jnp.bfloat16)
+        else:
+            self.decoder = ldpc_decode.make_decoder_t(
+                cfg.plp.ldpc_table_name, max_iters=cfg.ldpc_max_iters)
+            self._h_dev = jnp.zeros((1, 1), jnp.bfloat16)   # unused dummy
         self._step = self._build()
+
+    # ------------------------------------------------------------------
+    def _ensure_pallas(self, n_cw: int):
+        """Build (eagerly, outside any trace) the fused kernel for this
+        per-shard codeword count; cached by tile count."""
+        from ..ops import ldpc_pallas
+        tiles = max(1, -(-n_cw // 128))
+        if tiles not in self._pallas:
+            self._pallas[tiles] = ldpc_pallas.make_pallas_decoder(
+                self.plp.ldpc_table_name, batch=128, n_tiles=tiles,
+                max_iters=self.cfg.ldpc_max_iters,
+                interpret=jax.default_backend() != "tpu",
+                bch_h=bch_ops._h_matrix(self.plp.k_bch, self.plp.bch_m,
+                                        self.plp.bch_t))
+        return self._pallas[tiles]
 
     # ------------------------------------------------------------------
     def raw_block_for(self, step: float) -> int:
@@ -144,7 +181,7 @@ class ShardedReceiver:
         chain_plan = self.chain_plan
 
         def shard_body(raw, idx0, frac0, phase0, freq, step_hi, step_lo,
-                       consts):
+                       consts, bch_h):
             # raw: C [C_loc, raw_block]; idx0/frac0/phase0: [C_loc, 1]
             # (this shard's column); freq/step_hi/step_lo: [C_loc]
             t_idx = jax.lax.axis_index("time")
@@ -193,8 +230,18 @@ class ShardedReceiver:
             llr_t, snr, gi_cfo, sro = jax.vmap(frames_to_llr)(frames)
             c_loc, n_cw = llr_t.shape[0], llr_t.shape[2]
             llr_t = jnp.moveaxis(llr_t, 0, 2).reshape(llr_t.shape[1], -1)
-            hard_t, ok, iters = self.decoder(llr_t)       # [k, C_loc*n_cw]
-            bch_clean = bch_ops.syndrome_flags_t(hard_t[:plp.n_bch], plp)
+            w = llr_t.shape[1]                            # C_loc * n_cw
+            if self.use_pallas:
+                dec = self._pallas[max(1, -(-w // 128))]  # step() prebuilt
+                if dec.n_cw > w:
+                    llr_t = jnp.pad(llr_t, ((0, 0), (0, dec.n_cw - w)))
+                hard_t, ok, iters, bch_clean = dec.with_h(llr_t, bch_h)
+                hard_t, ok = hard_t[:, :w], ok[:w]
+                iters, bch_clean = iters[:w], bch_clean[:w]
+            else:
+                hard_t, ok, iters = self.decoder(llr_t)   # [k, C_loc*n_cw]
+                bch_clean = bch_ops.syndrome_flags_t(
+                    hard_t[:plp.n_bch], plp)
 
             # ---- global statistics over the whole mesh ------------------
             n_fail = jax.lax.psum(jnp.sum(~ok), ("ch", "time"))
@@ -221,7 +268,7 @@ class ShardedReceiver:
         fn = shard_map(
             shard_body, mesh=mesh,
             in_specs=(P("ch", "time"), P("ch", "time"), P("ch", "time"),
-                      P("ch", "time"), P("ch"), P("ch"), P("ch"), P()),
+                      P("ch", "time"), P("ch"), P("ch"), P("ch"), P(), P()),
             out_specs=(P("ch", "time"),
                        dict(ldpc_failures=P(), bch_dirty=P(), snr_db=P(),
                             gi_cfo=P("ch"), sro=P("ch"), ldpc_iters=P())),
@@ -241,6 +288,10 @@ class ShardedReceiver:
         # axis shards evenly over the mesh
         n_ch = raw.re.shape[0] if hasattr(raw, "re") else raw.shape[0]
         assert n_ch % self.n_ch == 0, (n_ch, self.n_ch)
+        if self.use_pallas:
+            # build (host-side, eagerly) the fused kernel the trace will
+            # pick up; keyed purely by input shape so jit caching is sound
+            self._ensure_pallas((n_ch // self.n_ch) * self.cw_per_shard)
         freq = np.broadcast_to(np.asarray(freq, np.float32), (n_ch,))
         step_raw = np.broadcast_to(np.asarray(step_raw, np.float64), (n_ch,))
         s_hi = np.empty(n_ch, np.float32)
@@ -255,7 +306,8 @@ class ShardedReceiver:
                                  (n_ch, self.n_time))
         return self._step(raw, jnp.asarray(idx0), jnp.asarray(frac0),
                           jnp.asarray(phase0), jnp.asarray(freq),
-                          jnp.asarray(s_hi), jnp.asarray(s_lo), self._consts)
+                          jnp.asarray(s_hi), jnp.asarray(s_lo), self._consts,
+                          self._h_dev)
 
     # ------------------------------------------------------------------
     def host_bases(self, mu_global, step, phase_global, freq,

@@ -339,3 +339,63 @@ def test_sharded_tracking_per_channel():
         got, sync = ts_out.tobytes(), ts_in[c].tobytes()
         at = sync.find(got[:376])
         assert at >= 0 and got == sync[at:at + len(got)], c
+
+
+@pytest.mark.slow
+def test_sharded_pallas_fused_bch_matches_portable():
+    """ShardedConfig(use_pallas=True) routes the pod FEC through the fused
+    Pallas kernel (interpret mode off-TPU): the BCH screen comes from the
+    kernel's MXU epilogue and H rides through shard_map as a replicated
+    argument.  Hard bits and stats must match the portable XLA decoder
+    path bit-for-bit on the same capture."""
+    n_ch = 2
+    mode, plp, tx = _tiny_setup(1)
+    device_rate = 10e6
+    step = device_rate / (2 * SAMPLE_RATE)
+    mesh = sharding.make_mesh(n_ch, 1)
+    base = dict(mode=mode, plp=plp, n_fec_per_frame=4, n_ti=1,
+                l1_post_cells=tx.l1_pre.l1_post_size, frames_per_shard=1)
+    rx_p = sharding.ShardedReceiver(
+        sharding.ShardedConfig(**base, use_pallas=True), mesh)
+    rx_x = sharding.ShardedReceiver(
+        sharding.ShardedConfig(**base, use_pallas=False), mesh)
+    assert rx_p.use_pallas and not rx_x.use_pallas
+
+    rb = rx_p.raw_block_for(step)
+    bytes_per_frame = 4 * (plp.k_bch // 8 - 10)
+    n_pkts = 3 * bytes_per_frame // 188
+    raw = np.zeros((n_ch, rb), dtype=np.complex64)
+    ts_in = []
+    for c in range(n_ch):
+        ts = random_ts_stream(n_pkts, seed=900 + c)
+        tx_c = Transmitter(TxConfig(mode=mode, plp=plp,
+                                    fec_blocks_per_frame=4, num_t2_frames=1))
+        dev = impair(tx_c.modulate(ts),
+                     ChannelConfig(device_rate=device_rate, snr_db=30.0,
+                                   seed=40 + c))
+        n = min(len(dev), rb)
+        raw[c, :n] = dev[:n]
+        ts_in.append(ts)
+
+    ratio = SAMPLE_RATE / device_rate
+    mu = ((rx_p.n_taps - 1) / 4.0 - 1.0) / ratio
+    idx0, frac0, phase0 = rx_p.host_bases(mu, step, 0.0, 0.0, rb)
+
+    outs = {}
+    for name, rx in (("pallas", rx_p), ("portable", rx_x)):
+        hard, stats = rx.step(jnp.asarray(raw), idx0, frac0, phase0,
+                              0.0, step)
+        assert int(stats["ldpc_failures"]) == 0, name
+        assert int(stats["bch_dirty"]) == 0, name
+        outs[name] = np.asarray(hard)
+    np.testing.assert_array_equal(outs["pallas"], outs["portable"])
+
+    # and the decoded TS round-trips (the fused-clean flags gated nothing)
+    for c in range(n_ch):
+        bb = BBFrameParser()
+        out = np.concatenate(
+            [bb.parse(outs["pallas"][c, 0, i, :plp.k_bch].astype(np.uint8))
+             for i in range(4)])
+        n = min(len(out), len(ts_in[c]))
+        assert n > 188 * 5
+        np.testing.assert_array_equal(out[:n], ts_in[c][:n])
