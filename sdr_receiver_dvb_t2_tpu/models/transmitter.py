@@ -30,6 +30,12 @@ class TxConfig:
     l1_post_mod: int = 1          # QPSK
     fec_blocks_per_frame: int = 9  # PLP_NUM_BLOCKS per interleaving frame
     num_t2_frames: int = 2
+    # Future Extension Frames (EN 302 755 clause 8.4): a FEF part of
+    # fef_length elementary samples (starting with its own non-T2 P1)
+    # follows every fef_interval-th T2 frame.  0 = no FEFs (pure T2).
+    fef_interval: int = 0
+    fef_length: int = 0
+    fef_type: int = 0
     # multi-PLP: parallel lists override (plp, fec_blocks_per_frame)
     plps: list = None
     fec_blocks: list = None
@@ -76,7 +82,15 @@ class Transmitter:
             num_data_symbols=mode.n_data_symbols,
             num_t2_frames=cfg.num_t2_frames,
         )
+        if cfg.fef_interval:
+            assert cfg.fef_length >= p1.P1_LEN, cfg.fef_length
+            pre.s2_field2 = 1            # "mixed" — FEF parts present
         post = l1.L1Post()
+        if cfg.fef_interval:
+            post.fef_type = cfg.fef_type
+            post.fef_interval = cfg.fef_interval
+            post.fef_length = cfg.fef_length & ((1 << 22) - 1)
+            post.fef_length_msb = cfg.fef_length >> 22
         post.num_plp = len(cfg.plps)
         post.plp = [l1.L1PostPlp() for _ in cfg.plps]
         post.dyn.plp = []
@@ -147,7 +161,7 @@ class Transmitter:
         coded_pre = l1_fec.encode_l1_pre(pre_bits)
         pre_cells = (1.0 - 2.0 * coded_pre.astype(np.float32)).astype(np.complex64)
 
-        self.l1_post.dyn.frame_idx = self._frame_idx
+        self.l1_post.dyn.frame_idx = self._frame_idx % self.cfg.num_t2_frames
         post_bits = l1.build_l1_post_info(self.l1_post, self.l1_pre)
         coded_post = l1_fec.encode_l1_post(post_bits, self.cfg.l1_post_mod,
                                            self.mode.n_p2)
@@ -221,6 +235,21 @@ class Transmitter:
                                            + self.l1_pre.s2_field2)]
                               + sym_samples)
 
+    def build_fef_part(self, rng=None) -> np.ndarray:
+        """One Future Extension Frame part (EN 302 755 clause 8.4): its own
+        P1 with a non-T2 S1 (the receiver must recognise and skip it;
+        fef_type selects the payload format, opaque to a T2 receiver)
+        followed by filler to fef_length elementary samples.  Filler is
+        noise-like QPSK at OFDM-comparable power so AGC/tracking loops see
+        realistic energy, not silence."""
+        cfg = self.cfg
+        rng = rng or np.random.default_rng(0x4EF ^ self._frame_idx)
+        head = p1.generate(2, cfg.fef_type & 0xF)     # S1=010: non-T2
+        n_fill = cfg.fef_length - len(head)
+        fill = ((rng.standard_normal(n_fill) + 1j * rng.standard_normal(
+            n_fill)) * np.sqrt(0.5)).astype(np.complex64)
+        return np.concatenate([head, fill])
+
     def _ofdm_symbol(self, carriers: np.ndarray) -> np.ndarray:
         mode = self.mode
         spec = np.zeros(mode.fft_size, dtype=np.complex64)
@@ -251,6 +280,10 @@ class Transmitter:
                 cells = self.map_cells(cw, plp)
                 parts.append(self.interleave_frame_cells(cells, plp))
             frames_iq.append(self.build_frame(np.concatenate(parts)))
+            # a FEF part follows every fef_interval-th T2 frame
+            # (build_frame already advanced _frame_idx past this frame)
+            if cfg.fef_interval and self._frame_idx % cfg.fef_interval == 0:
+                frames_iq.append(self.build_fef_part())
         return np.concatenate(frames_iq) if frames_iq else np.empty(0, np.complex64)
 
 

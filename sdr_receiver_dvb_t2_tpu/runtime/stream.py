@@ -260,18 +260,33 @@ class StreamingReceiver:
         if n_acq < 4 * p1_mod.P1_LEN:
             self.stats.state = "no_signal"
             return False
-        t0, peak, cfo_frac = p1_detect.detect(
-            cplx.from_np(self._elem[:n_acq]))
-        t0 = int(t0)
-        if float(peak) < 0.3:
-            self.stats.state = "no_signal"
-            return False
-        res = p1_detect.decode_signalling(
-            self._elem[t0:t0 + p1_mod.P1_LEN], float(cfo_frac))
-        if res is None:
+        # P1 search; a mixed stream (S2 field 2) interleaves FEF parts that
+        # open with their OWN P1 carrying a non-T2 S1 — skip past those and
+        # keep searching for the T2 preamble (EN 302 755 clause 8.4; the
+        # reference has no FEF handling and would fail its L1 decode here)
+        search0 = 0
+        for _ in range(6):
+            if n_acq - search0 < 4 * p1_mod.P1_LEN:
+                self.stats.state = "no_signal"
+                return False
+            t0, peak, cfo_frac = p1_detect.detect(
+                cplx.from_np(self._elem[search0:n_acq]))
+            t0 = int(t0) + search0
+            if float(peak) < 0.3:
+                self.stats.state = "no_signal"
+                return False
+            res = p1_detect.decode_signalling(
+                self._elem[t0:t0 + p1_mod.P1_LEN], float(cfo_frac))
+            if res is None:
+                self.stats.state = "p1_decode_failed"
+                return False
+            s1, s2, cfo_total = res
+            if s1 in (0,):              # T2 SISO (the supported scope)
+                break
+            search0 = t0 + p1_mod.P1_LEN    # non-T2 P1: a FEF part; skip
+        else:
             self.stats.state = "p1_decode_failed"
             return False
-        s1, s2, cfo_total = res
 
         # retune the NCO (raw domain) and reprocess from the raw ring:
         # the buffered elementary samples were produced without the CFO
@@ -316,6 +331,16 @@ class StreamingReceiver:
         from ..ops import equalizer as eq_mod
         self._sro_coeff = eq_mod.sro_coefficient(self.mode)
         self.frame_pos = t0
+        # FEF geometry (mixed streams): fef_length elementary samples are
+        # inserted after every fef_interval-th T2 frame; the frame stepper
+        # skips them by L1-dynamic FRAME_IDX arithmetic (clause 8.4)
+        post = acq.l1_post
+        fef_len = post.fef_length + (post.fef_length_msb << 22)
+        self._fef = ((post.fef_interval, fef_len)
+                     if acq.l1_pre.s2_field2 and post.fef_interval > 0
+                     and fef_len > 0 else None)
+        self._num_t2 = max(1, acq.l1_pre.num_t2_frames)
+        self._frame_idx = post.dyn.frame_idx % self._num_t2
         self.stats.state = "locked"
         return True
 
@@ -410,6 +435,10 @@ class StreamingReceiver:
         if post is None:
             self._l1_dyn_errors = getattr(self, "_l1_dyn_errors", 0) + 1
             return
+        # the broadcast FRAME_IDX of this batch's first frame anchors the
+        # FEF-gap arithmetic (drift would misplace the skip and kill the
+        # following batch); step_batch folds it into the next prediction
+        self._frame_idx0_l1 = post.dyn.frame_idx
         for j, rx in enumerate(self.rxs):
             idx = j if self.cfg.plp_index is None else self.cfg.plp_index
             dyn = post.dyn.plp[idx]
@@ -426,19 +455,40 @@ class StreamingReceiver:
                 if j == 0:
                     self.rx = new_rx
 
+    def _frame_starts(self, f: int):
+        """Start positions of the next f T2 frames in the elementary stream
+        plus (end position, frame_idx after the batch): consecutive frames
+        with fef_length-sample skips after every fef_interval-th frame
+        (FRAME_IDX arithmetic per EN 302 755 clause 8.4)."""
+        fs = self.mode.frame_samples
+        fef = getattr(self, "_fef", None)
+        n_t2 = getattr(self, "_num_t2", 1)
+        starts, pos, idx = [], self.frame_pos, getattr(self, "_frame_idx", 0)
+        for _ in range(f):
+            starts.append(pos)
+            pos += fs
+            if fef is not None and (idx + 1) % fef[0] == 0:
+                pos += fef[1]
+            idx = (idx + 1) % n_t2
+        return starts, pos, idx
+
     def step_batch(self) -> bool:
         """Receive one batch of frames; returns False when out of samples."""
         fs = self.mode.frame_samples
         f = self.cfg.frames_per_batch
-        need = self.frame_pos + f * fs + 256
-        if not self._need_elem(need):
+        starts, _, _ = self._frame_starts(f)
+        if not self._need_elem(starts[-1] + fs + 256):
             return False
-        self._refine_timing()
-        if self.frame_pos + f * fs > len(self._elem):
-            if not self._need_elem(self.frame_pos + f * fs):
+        self._refine_timing()            # may nudge frame_pos
+        starts, pos_next, idx_next = self._frame_starts(f)
+        if starts[-1] + fs > len(self._elem):
+            if not self._need_elem(starts[-1] + fs):
                 return False
-        frames = self._elem[self.frame_pos:self.frame_pos + f * fs]
-        frames = frames.reshape(f, fs)
+        if getattr(self, "_fef", None) is None:
+            frames = self._elem[self.frame_pos:self.frame_pos + f * fs]
+            frames = frames.reshape(f, fs)
+        else:                            # gather around the FEF gaps
+            frames = np.stack([self._elem[s:s + fs] for s in starts])
         # demod+equalize ONCE; every PLP demaps from the same packed plane
         # (the plane is ~60% of the chain and is PLP-independent)
         plane, diag = self.rx.compute_plane(frames)
@@ -481,7 +531,12 @@ class StreamingReceiver:
                               / (4.0 * self.src.info.sample_rate) - 1.0) * 1e6
 
         # ---- bookkeeping / stats -------------------------------------
-        self.frame_pos += f * fs
+        self.frame_pos = pos_next
+        fi0 = getattr(self, "_frame_idx0_l1", None)
+        if fi0 is not None:              # L1-dynamic resync (see above)
+            idx_next = (fi0 + f) % getattr(self, "_num_t2", 1)
+            self._frame_idx0_l1 = None
+        self._frame_idx = idx_next
         drop = self.frame_pos - 4096
         if drop > 0:
             self._elem = self._elem[drop:]
@@ -573,6 +628,8 @@ def save_state(rx: StreamingReceiver) -> dict:
         l1_post_cells=rx.rxs[0]._l1_post_cells,
         freq=rx.freq, step=rx.step,
         cond=dataclasses.asdict(rx.cond),
+        fef=getattr(rx, "_fef", None),
+        num_t2=getattr(rx, "_num_t2", 1),
     )
 
 
@@ -613,14 +670,40 @@ def load_state(rx: StreamingReceiver, state: dict) -> bool:
         "sdr_receiver_dvb_t2_tpu.ops.equalizer", fromlist=["sro_coefficient"]
     ).sro_coefficient(rx.mode)
 
-    # re-anchor frame timing with a P1 search (fast; no GI/L1 scan)
+    fef = state.get("fef")
+    rx._fef = tuple(fef) if fef else None
+    rx._num_t2 = state.get("num_t2", 1)
+    # the resumed stream position within the superframe is unknown; the
+    # first batch's L1-dynamic decode resyncs FRAME_IDX (a mispredicted
+    # FEF gap in the very first multi-frame batch relocks like any
+    # dead batch)
+    rx._frame_idx = 0
+
+    # re-anchor frame timing with a P1 search (fast; no GI/L1 scan);
+    # mixed streams: skip FEF P1s (non-T2 S1) like acquire() does
     need = rx.mode.frame_samples + 3 * p1_mod.P1_LEN
+    if rx._fef is not None:
+        need += rx._fef[1] + p1_mod.P1_LEN
     if not rx._need_elem(need):
         return False
-    t0, peak, _ = p1_detect.detect(cplx.from_np(rx._elem[:need]))
-    if float(peak) < 0.3:
-        rx.stats.state = "no_signal"
+    search0 = 0
+    for _ in range(4):
+        t0, peak, cfo_frac = p1_detect.detect(
+            cplx.from_np(rx._elem[search0:need]))
+        t0 = int(t0) + search0
+        if float(peak) < 0.3:
+            rx.stats.state = "no_signal"
+            return False
+        if rx._fef is None:
+            break
+        res = p1_detect.decode_signalling(
+            rx._elem[t0:t0 + p1_mod.P1_LEN], float(cfo_frac))
+        if res is not None and res[0] in (0,):
+            break
+        search0 = t0 + p1_mod.P1_LEN
+    else:
+        rx.stats.state = "p1_decode_failed"
         return False
-    rx.frame_pos = int(t0)
+    rx.frame_pos = t0
     rx.stats.state = "locked"
     return True

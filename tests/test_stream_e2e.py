@@ -341,3 +341,66 @@ def test_stream_saturated_llr_regime(tmp_path):
     assert idx >= 0
     n = min(len(got), len(sync) - idx)
     assert got[:n] == sync[idx:idx + n]
+
+
+@pytest.mark.slow
+def test_stream_fef_mixed_capture(tmp_path):
+    """Mixed T2+FEF stream (EN 302 755 clause 8.4): the capture OPENS with
+    a FEF part (so the earliest strong P1 carries a non-T2 S1 that
+    acquisition must recognise and skip) and another FEF part follows
+    every 2nd T2 frame.  The receiver hops the gaps by L1 FRAME_IDX
+    arithmetic mid-batch and recovers the TS exactly.  The reference
+    parses the FEF L1 fields but has no FEF handling in its demodulator
+    at all (its L1 decode would fail on the first post-FEF frame)."""
+    mode = T2Mode(fft_mode=FftMode.FFT_2K, guard=GuardInterval.G1_8,
+                  pilot_pattern=PilotPattern.PP7, extended_carriers=False,
+                  n_data_symbols=30)
+    plp = PlpConfig(constellation=Constellation.QAM16,
+                    code_rate=CodeRate.C1_2, fec_frame=FecFrame.SHORT,
+                    rotation=True, time_il_length=1)
+    n_frames, fef_len = 8, 3 * 2048 + 1234
+    tx = Transmitter(TxConfig(mode=mode, plp=plp, fec_blocks_per_frame=4,
+                              num_t2_frames=n_frames,
+                              fef_interval=2, fef_length=fef_len))
+    assert tx.l1_pre.s2_field2 == 1
+    bytes_per_frame = 4 * (plp.k_bch // 8 - 10)
+    n_pkts = (n_frames + 2) * bytes_per_frame // 188
+    ts = random_ts_stream(n_pkts, seed=21)
+    iq = tx.modulate(ts)
+    fs = mode.frame_samples
+    # modulate emits as many frames as TS data allows; whatever the count,
+    # the FEF geometry must hold: one fef_len gap per 2 frames
+    n_tx = next(n for n in range(1, 32)
+                if n * fs + (n // 2) * fef_len == len(iq))
+    assert n_tx >= n_frames
+    iq = np.concatenate([tx.build_fef_part(), iq])
+
+    device_rate = 10_000_000
+    dev = impair(iq, ChannelConfig(device_rate=device_rate, cfo_hz=9e3,
+                                   sro_ppm=11.0, snr_db=27.0, phase0=0.4,
+                                   seed=6))
+    raw = quantize(dev, "u8", scale=0.4)
+    path = tmp_path / f"capture_dvbt2_fef_0_{device_rate}_8.raw"
+    raw.tofile(path)
+
+    src = sources.RawFileSource(str(path))
+    sink = sinks.BufferTsSink()
+    cfg = stream_mod.StreamConfig(frames_per_batch=3,
+                                  acq_elem_samples=4 * fs + 2 * fef_len,
+                                  use_pallas=False)
+    rx = stream_mod.StreamingReceiver(src, sink, cfg)
+    stats = rx.run(max_frames=6)
+
+    assert stats.state == "locked", stats
+    assert rx._fef == (2, fef_len)
+    assert stats.frames >= 6
+    assert stats.ldpc_failures == 0, stats
+    assert stats.bch_dirty == 0, stats
+    assert abs(stats.cfo_hz - 9e3) < 500, stats.cfo_hz
+
+    sync, got = ts.tobytes(), sink.data.tobytes()
+    idx = sync.find(got[:188 * 2])
+    assert idx >= 0, "recovered TS not found in transmitted stream"
+    n = min(len(got), len(sync) - idx)
+    assert n > 188 * 40
+    assert got[:n] == sync[idx:idx + n]
