@@ -123,6 +123,25 @@ N_P2 = {1024: 16, 2048: 8, 4096: 4, 8192: 2, 16384: 1, 32768: 1}
 C_P2_SISO = {1024: 558, 2048: 1118, 4096: 2236, 8192: 4472, 16384: 8944, 32768: 22432}
 C_P2_MISO = {1024: 546, 2048: 1098, 4096: 2198, 8192: 4398, 16384: 8814, 32768: 17612}
 
+# pilot patterns allowed in MISO per FFT size (EN 302 755 table 58 —
+# MISO needs denser scattered pilots than SISO because two channels are
+# estimated from alternating-polarity pilots; matches exactly the combos
+# whose continual pilots carry the MISO inversion branch in the reference
+# generator, pilot_generator.cpp cp_mappinng)
+MISO_PILOT_PATTERNS = {
+    1024: {PilotPattern.PP1, PilotPattern.PP3},
+    2048: {PilotPattern.PP1, PilotPattern.PP3, PilotPattern.PP4,
+           PilotPattern.PP5},
+    4096: {PilotPattern.PP1, PilotPattern.PP3, PilotPattern.PP4,
+           PilotPattern.PP5},
+    8192: {PilotPattern.PP1, PilotPattern.PP3, PilotPattern.PP4,
+           PilotPattern.PP5, PilotPattern.PP8},
+    16384: {PilotPattern.PP1, PilotPattern.PP3, PilotPattern.PP4,
+            PilotPattern.PP5, PilotPattern.PP8},
+    32768: {PilotPattern.PP2, PilotPattern.PP4, PilotPattern.PP6,
+            PilotPattern.PP8},
+}
+
 # total carriers K_total, extension carriers K_ext per side, and offset of the
 # normal-mode spectrum inside extended numbering (EN 302 755 table 57)
 # fft_size -> (normal K_total, extended K_total, K_ext)
@@ -413,6 +432,11 @@ class T2Mode:
             raise ValueError(
                 f"pilot pattern {self.pilot_pattern.name} not allowed for "
                 f"{self.fft_size}-pt FFT (EN 302 755 table 56)")
+        if self.miso and (self.pilot_pattern
+                          not in MISO_PILOT_PATTERNS[self.fft_size]):
+            raise ValueError(
+                f"pilot pattern {self.pilot_pattern.name} not allowed in "
+                f"MISO for {self.fft_size}-pt FFT (EN 302 755 table 58)")
         return self
 
 

@@ -11,7 +11,24 @@ This mirrors the behaviour of the reference pilot generator
 (/root/reference/src/DVB_T2/pilot_generator.cpp) including its handling of
 continual-pilot group moduli per FFT size and extended-carrier extras, but is
 implemented as vectorized NumPy over precomputed index sets rather than
-per-carrier switch statements.  SISO only (MISO inversion is not generated).
+per-carrier switch statements.
+
+MISO (clause 9.2.2.3 / 9.2.5): transmit group 2 negates a deterministic
+subset of the pilots so a receiver can separate the two channels:
+
+* P2 symbols: pilots on carriers ``k % 3 == 0`` with ``(k // 3)`` odd
+  (pilot_generator.cpp:106-138); MISO P2 symbols also gain extra pilots
+  next to the edge/PAPR holes so inversion pairs survive (:147-331).
+* data symbols: every scattered pilot of a symbol shares one inversion
+  state, ``(k // dx)`` odd — which alternates per symbol since the SP
+  column shifts by dx each symbol (:481-486); edge pilots invert on odd
+  symbol indices (:488-495); continual pilots that fall on SP-grid
+  columns follow the SP rule, so their state is fixed per carrier (:482).
+* FC symbol: the SP-grid rule per carrier; edge pilots follow the
+  reference's ``(n_p2 + n_data - 1)`` parity (:2003-2013).
+
+All cross-validated against the compiled reference generator for both TX
+groups in tests/test_reference_oracle.py.
 """
 from __future__ import annotations
 
@@ -91,7 +108,22 @@ def p2_carrier_map(mode: T2Mode) -> np.ndarray:
     papr = tables.carriers()[f"p2_papr_map_{_FFT_LABEL[mode.fft_size]}"]
     if mode.fft_size >= 8192:
         papr = papr + mode.k_ext
+    if mode.miso:
+        # extra P2 pilots so inversion pairs survive the band edges
+        # (EN 302 755 clause 9.2.5; pilot_generator.cpp:141-146)
+        m[[k_ext + 1, k_ext + 2,
+           k_total - k_ext - 3, k_total - k_ext - 2]] = P2
     m[papr] = P2_PAPR
+    if mode.miso:
+        # ...and next to the PAPR holes (pilot_generator.cpp:147-331):
+        # ki % 3 == 1 -> pilot at ki+1, ki % 3 == 2 -> pilot at ki-1,
+        # unless that neighbour is itself a reserved hole
+        holes = set(papr.tolist())
+        for ki in papr:
+            if ki % 3 == 1 and (ki + 1) not in holes:
+                m[ki + 1] = P2
+            if ki % 3 == 2 and (ki - 1) not in holes:
+                m[ki - 1] = P2
     return m
 
 
@@ -146,6 +178,49 @@ def _prbs_for(mode: T2Mode) -> np.ndarray:
 def _pn_for(mode: T2Mode) -> np.ndarray:
     from . import prbs as _prbs
     return _prbs.frame_pn_sequence()
+
+
+@functools.lru_cache(maxsize=None)
+def miso_inversion_mask(mode: T2Mode, symbol_index: int) -> np.ndarray:
+    """bool[k_total]: pilots transmit group 2 NEGATES on this symbol.
+
+    Rules re-derived from the reference generator's MISO branches (see
+    module docstring) and cross-validated against its compiled output for
+    every carrier of every symbol (tests/test_reference_oracle.py).
+    """
+    l = symbol_index
+    k_total = mode.k_total
+    k = np.arange(k_total)
+    inv = np.zeros(k_total, dtype=bool)
+    if not mode.miso:
+        return inv
+    cmap = carrier_map_for_symbol(mode, l)
+    if l < mode.n_p2:
+        inv = (k % 3 == 0) & ((k // 3) % 2 == 1) & (cmap == P2)
+        return inv
+    if mode.has_fc and l == mode.frame_symbols - 1:
+        inv = (k % mode.dx == 0) & ((k // mode.dx) % 2 == 1) & (cmap == SP)
+        # edge parity: the reference uses (n_p2 + n_data) - 1 where its
+        # n_data EXCLUDES the FC symbol (pilot_generator.cpp:2003)
+        edge_inv = bool((mode.n_p2 + mode.n_data_symbols - 1 - 1) % 2)
+        inv[0] = inv[k_total - 1] = edge_inv
+        return inv
+    # regular data symbol: SPs share one state, (k // dx) odd — equal to
+    # the symbol's SP-column parity; CPs on SP-grid columns likewise
+    inv = ((k % mode.dx == 0) & ((k // mode.dx) % 2 == 1)
+           & ((cmap == SP) | (cmap == CP)))
+    inv[0] = inv[k_total - 1] = bool(l % 2)
+    return inv
+
+
+def reference_symbol_tx(mode: T2Mode, symbol_index: int,
+                        tx_group: int) -> np.ndarray:
+    """Reference pilots as transmitted by MISO group 1 or 2."""
+    ref = reference_symbol(mode, symbol_index)
+    if tx_group == 1 or not mode.miso:
+        return ref
+    flip = 1.0 - 2.0 * miso_inversion_mask(mode, symbol_index)
+    return (ref * flip).astype(np.float32)
 
 
 def reference_symbol(mode: T2Mode, symbol_index: int) -> np.ndarray:

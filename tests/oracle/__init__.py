@@ -60,6 +60,11 @@ def load():
     lib.oracle_freq_addresses.argtypes = [ctypes.c_int] * 5 + [ip] * 6
     lib.oracle_pilots.restype = ctypes.c_int
     lib.oracle_pilots.argtypes = [ctypes.c_int] * 7 + [ip, fp, ip, fp, ip, fp]
+    lib.oracle_geometry2.restype = ctypes.c_int
+    lib.oracle_geometry2.argtypes = [ctypes.c_int] * 7 + [ip]
+    lib.oracle_pilots2.restype = ctypes.c_int
+    lib.oracle_pilots2.argtypes = [ctypes.c_int] * 9 + [ip, fp, ip, fp,
+                                                        ip, fp]
     lib.oracle_ldpc_create.restype = ctypes.c_void_p
     lib.oracle_ldpc_create.argtypes = [ctypes.c_char_p, ctypes.c_char,
                                        ctypes.c_int]
@@ -131,6 +136,44 @@ def pilots(fft_size: int, pp: int, extended: bool, n_data_total: int,
     lib.oracle_pilots(FFTSIZE[fft_size], pp, 1 if extended else 0, papr,
                       guard, n_data_total, l_fc, _ip(p2_map), _fp(p2_ref),
                       _ip(d_map), _fp(d_ref), _ip(fc_map), _fp(fc_ref))
+    return dict(p2_map=p2_map, p2_ref=p2_ref.reshape(n_p2, kt),
+                data_map=d_map.reshape(-1, kt),
+                data_ref=d_ref.reshape(-1, kt),
+                fc_map=fc_map, fc_ref=fc_ref, **g)
+
+
+def geometry_miso(fft_size: int, pp: int, extended: bool, guard: int = 0,
+                  papr: int = 0):
+    """MISO-mode geometry (preamble T2_MISO)."""
+    lib = load()
+    out = np.zeros(8, np.int32)
+    lib.oracle_geometry2(FFTSIZE[fft_size], pp, 1 if extended else 0, papr,
+                         guard, 1, 0, _ip(out))
+    return dict(k_total=int(out[0]), c_p2=int(out[1]), c_data=int(out[2]),
+                n_fc=int(out[3]), c_fc=int(out[4]), n_p2=int(out[5]),
+                l_nulls=int(out[6]), fft_size=int(out[7]))
+
+
+def pilots_miso(fft_size: int, pp: int, extended: bool, n_data_total: int,
+                l_fc: int, tx_group: int, guard: int = 0, papr: int = 0):
+    """MISO carrier maps + pilot references for TX group 1 or 2.
+
+    Inverted pilot positions appear as the *_INVERTED carrier-type codes
+    (P2=7, SP=8, CP=9) and negated reference values."""
+    lib = load()
+    g = geometry_miso(fft_size, pp, extended, guard, papr)
+    kt, n_p2 = g["k_total"], g["n_p2"]
+    n_data = n_data_total - l_fc
+    p2_map = np.zeros(kt, np.int32)
+    p2_ref = np.zeros(n_p2 * kt, np.float32)
+    d_map = np.zeros(max(n_data, 1) * kt, np.int32)
+    d_ref = np.zeros(max(n_data, 1) * kt, np.float32)
+    fc_map = np.zeros(kt, np.int32)
+    fc_ref = np.zeros(kt, np.float32)
+    lib.oracle_pilots2(FFTSIZE[fft_size], pp, 1 if extended else 0, papr,
+                       guard, n_data_total, l_fc, 1, tx_group - 1,
+                       _ip(p2_map), _fp(p2_ref), _ip(d_map), _fp(d_ref),
+                       _ip(fc_map), _fp(fc_ref))
     return dict(p2_map=p2_map, p2_ref=p2_ref.reshape(n_p2, kt),
                 data_map=d_map.reshape(-1, kt),
                 data_ref=d_ref.reshape(-1, kt),

@@ -34,9 +34,11 @@ namespace {
 
 void fill_params(dvbt2_parameters &p, int fft_mode, int pilot_pattern,
                  int carrier_mode, int papr_mode, int guard,
-                 int n_data_total, int l_fc) {
+                 int n_data_total, int l_fc, int preamble = T2_SISO,
+                 int miso_group = MISO_TX1) {
   std::memset(&p, 0, sizeof(p));
-  p.preamble = T2_SISO;
+  p.preamble = preamble;
+  p.miso_group = miso_group;
   p.fft_mode = fft_mode;
   p.pilot_pattern = pilot_pattern;
   p.papr_mode = papr_mode;
@@ -102,6 +104,51 @@ int oracle_pilots(int fft_mode, int pilot_pattern, int carrier_mode,
   dvbt2_parameters p;
   fill_params(p, fft_mode, pilot_pattern, carrier_mode, papr_mode, guard,
               n_data_total, l_fc);
+  auto *g = new pilot_generator();
+  g->p2_generator(p);
+  g->data_generator(p);
+  int kt = p.k_total;
+  for (int i = 0; i < kt; ++i) p2_map[i] = g->p2_carrier_map[i];
+  for (int s = 0; s < p.n_p2; ++s)
+    for (int i = 0; i < kt; ++i)
+      p2_ref[s * kt + i] = g->p2_pilot_refer[s][i];
+  for (int s = 0; s < p.n_data; ++s)
+    for (int i = 0; i < kt; ++i) {
+      data_map[s * kt + i] = g->data_carrier_map[s][i];
+      data_ref[s * kt + i] = g->data_pilot_refer[s][i];
+    }
+  for (int i = 0; i < kt; ++i) {
+    fc_map[i] = l_fc ? g->fc_carrier_map[i] : 0;
+    fc_ref[i] = l_fc ? g->fc_pilot_refer[i] : 0.0f;
+  }
+  delete g;
+  return p.n_p2;
+}
+
+// MISO variants (preamble T2_SISO=0 / T2_MISO=1, miso_group TX1=0 / TX2=1):
+// same outputs as oracle_geometry / oracle_pilots with the transmit-group
+// pilot inversions of EN 302 755 clause 9.2 (pilot_generator.cpp MISO
+// branches) applied.
+int oracle_geometry2(int fft_mode, int pilot_pattern, int carrier_mode,
+                     int papr_mode, int guard, int preamble, int miso_group,
+                     int *out) {
+  dvbt2_parameters p;
+  fill_params(p, fft_mode, pilot_pattern, carrier_mode, papr_mode, guard,
+              1, 0, preamble, miso_group);
+  out[0] = p.k_total; out[1] = p.c_p2; out[2] = p.c_data;
+  out[3] = p.n_fc; out[4] = p.c_fc; out[5] = p.n_p2;
+  out[6] = p.l_nulls; out[7] = p.fft_size;
+  return 0;
+}
+
+int oracle_pilots2(int fft_mode, int pilot_pattern, int carrier_mode,
+                   int papr_mode, int guard, int n_data_total, int l_fc,
+                   int preamble, int miso_group, int *p2_map, float *p2_ref,
+                   int *data_map, float *data_ref, int *fc_map,
+                   float *fc_ref) {
+  dvbt2_parameters p;
+  fill_params(p, fft_mode, pilot_pattern, carrier_mode, papr_mode, guard,
+              n_data_total, l_fc, preamble, miso_group);
   auto *g = new pilot_generator();
   g->p2_generator(p);
   g->data_generator(p);

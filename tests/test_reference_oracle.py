@@ -208,3 +208,57 @@ def test_saturated_llr_recovery_matches_reference():
     hard_mine, ok_mine, _ = dec(llr[None, :])
     np.testing.assert_array_equal(np.asarray(hard_mine[0])[:code.k],
                                   cw[:code.k])
+
+
+# ---------------------------------------------------------------------------
+# MISO pilot cross-validation (EN 302 755 clause 9.2.2.3 / 9.2.5)
+
+
+# MISO-legal (fft, pp) combos only (EN 302 755 table 58; modes.py
+# MISO_PILOT_PATTERNS) — illegal combos have no defined inversion set
+MISO_MODES = [
+    (FftMode.FFT_1K, GuardInterval.G1_8, PilotPattern.PP1, False, 20),
+    (FftMode.FFT_2K, GuardInterval.G1_8, PilotPattern.PP3, False, 30),
+    (FftMode.FFT_4K, GuardInterval.G1_16, PilotPattern.PP4, False, 24),
+    (FftMode.FFT_8K, GuardInterval.G1_8, PilotPattern.PP8, True, 20),
+    (FftMode.FFT_16K, GuardInterval.G1_16, PilotPattern.PP3, True, 20),
+    (FftMode.FFT_32K, GuardInterval.G1_128, PilotPattern.PP8, True, 12),
+]
+
+
+@pytest.mark.parametrize("fft,gi,pp,ext,nd", MISO_MODES)
+@pytest.mark.parametrize("tx", [1, 2])
+def test_miso_pilots_match_reference(fft, gi, pp, ext, nd, tx):
+    """MISO carrier maps, transmit-group-2 inversion positions and signed
+    reference values, digit-for-digit against the reference generator for
+    both transmit groups."""
+    mode = T2Mode(fft_mode=fft, guard=gi, pilot_pattern=pp,
+                  extended_carriers=ext, n_data_symbols=nd,
+                  miso=True).validate()
+    ref = oracle.pilots_miso(mode.fft_size, int(pp), ext, nd,
+                             int(mode.has_fc), tx, guard=int(gi))
+    assert ref["c_p2"] == mode.c_p2
+    assert ref["c_data"] == mode.c_data
+    n_p2 = ref["n_p2"]
+    INVERTED = (7, 8, 9)          # P2/SP/CP *_INVERTED carrier-type codes
+    for l in range(mode.frame_symbols):
+        if l < n_p2:
+            r_map, r_ref = ref["p2_map"], ref["p2_ref"][l]
+        elif mode.has_fc and l == mode.frame_symbols - 1:
+            r_map, r_ref = ref["fc_map"], ref["fc_ref"]
+        else:
+            r_map, r_ref = (ref["data_map"][l - n_p2],
+                            ref["data_ref"][l - n_p2])
+        np.testing.assert_array_equal(
+            pilots.data_cell_indices(mode, l),
+            np.nonzero(r_map == oracle.DATA_CARRIER)[0],
+            err_msg=f"symbol {l} payload map")
+        if tx == 2:
+            inv_ref = np.isin(r_map, INVERTED)
+            inv_mine = pilots.miso_inversion_mask(mode, l)
+            np.testing.assert_array_equal(
+                inv_mine, inv_ref, err_msg=f"symbol {l} inversion set")
+        mine_ref = pilots.reference_symbol_tx(mode, l, tx)
+        pil = np.nonzero(r_ref != 0)[0]
+        np.testing.assert_allclose(mine_ref[pil], r_ref[pil], rtol=1e-5,
+                                   err_msg=f"symbol {l} tx{tx} pilots")
