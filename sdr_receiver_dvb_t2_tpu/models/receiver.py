@@ -34,7 +34,8 @@ from ..io.bbframe import BBFrameParser
 from ..ops import bch_ops, cplx, rx_chain
 from ..params import l1 as l1_mod
 from ..params.modes import (T2Mode, PlpConfig, Constellation, CodeRate,
-                            FecFrame, PilotPattern, GuardInterval, FftMode)
+                            FecFrame, PilotPattern, GuardInterval, FftMode,
+                            Papr)
 from . import receiver_ref
 
 
@@ -69,6 +70,8 @@ def config_from_l1(mode_hint: T2Mode, pre: l1_mod.L1Pre,
         guard=GuardInterval(pre.guard_interval),
         pilot_pattern=PilotPattern(pre.pilot_pattern),
         extended_carriers=bool(pre.bwt_ext),
+        papr=Papr(pre.papr),
+        miso=mode_hint.miso,        # from the P1 S1 field (acquisition)
         n_data_symbols=pre.num_data_symbols,
     )
     plp = PlpConfig(

@@ -63,6 +63,13 @@ class ReferenceReceiver:
         for sym in range(mode.frame_symbols):
             didx = pilots.data_cell_indices(mode, sym)
             data = carriers[sym][didx]
+            if mode.miso:
+                # ideal-channel Alamouti combine (h1 = h2 = 1): the frame
+                # is the clean sum of both transmit groups
+                a, b = data[0::2], data[1::2]
+                data = np.empty_like(data)
+                data[0::2] = 0.5 * (a + np.conj(b))
+                data[1::2] = 0.5 * (b - np.conj(a))
             n_cells = len(data)
             h = freq_interleaver.tx_permutation(mode, n_cells, sym)
             cells = data[h]

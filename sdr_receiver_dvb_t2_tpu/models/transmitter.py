@@ -71,7 +71,7 @@ class Transmitter:
         mode, plp, cfg = self.mode, self.plp, self.cfg
         s2_map = {1024: 3, 2048: 0, 4096: 2, 8192: 1, 16384: 4, 32768: 5}
         pre = l1.L1Pre(
-            s1=0,
+            s1=1 if mode.miso else 0,       # T2 SISO / T2 MISO preamble
             s2_field1=s2_map[mode.fft_size],
             s2_field2=0,
             guard_interval=mode.guard.value,
@@ -174,12 +174,25 @@ class Transmitter:
             post_cells = qam.map_bits(coded_post, const, rotated=False)
         return np.concatenate([pre_cells, post_cells])
 
-    def build_frame(self, plp_cells: np.ndarray, rng=None) -> np.ndarray:
+    @staticmethod
+    def _miso_pair_encode(cells: np.ndarray) -> np.ndarray:
+        """Alamouti encoding of transmit group 2 (EN 302 755 clause 6.4):
+        carrier-order payload pairs (c1, c2) -> (-c2*, c1*); group 1
+        transmits the cells unmodified."""
+        out = np.empty_like(cells)
+        out[0::2] = -np.conj(cells[1::2])
+        out[1::2] = np.conj(cells[0::2])
+        return out
+
+    def build_frame(self, plp_cells: np.ndarray, rng=None):
         """Assemble one T2 frame of OFDM symbols -> time-domain samples.
 
         plp_cells: interleaved PLP cell sequence (starts at dyn start 0).
+        MISO modes return (tx_group1, tx_group2) sample arrays; the P1
+        preamble is transmitted identically from both groups.
         """
         mode = self.mode
+        miso = mode.miso
         rng = rng or np.random.default_rng(self._frame_idx)
         l1c = self.l1_cells()
         total = mode.frame_cells
@@ -197,11 +210,14 @@ class Transmitter:
 
         # slice payload into per-symbol cell groups
         sym_samples = []
+        sym_samples2 = []
         pos = 0
         ref = pilots.reference_frame(mode)
         for sym in range(mode.frame_symbols):
             if sym < mode.n_p2:
                 n_cells = mode.c_p2
+                cells = payload[pos:pos + n_cells]
+                pos += n_cells
             elif mode.has_fc and sym == mode.frame_symbols - 1:
                 # FC symbol maps N_FC cells of which only C_FC are payload;
                 # the rest are bias-balancing cells (zeros here)
@@ -209,31 +225,30 @@ class Transmitter:
                 cells = np.zeros(n_cells, dtype=np.complex64)
                 cells[:mode.c_fc] = payload[pos:pos + mode.c_fc]
                 pos += mode.c_fc
-                h = freq_interleaver.tx_permutation(mode, n_cells, sym)
-                interleaved = np.zeros(n_cells, dtype=np.complex64)
-                interleaved[h] = cells
-                carriers = ref[sym].astype(np.complex64)
-                didx = pilots.data_cell_indices(mode, sym)
-                carriers[didx] = interleaved
-                sym_samples.append(self._ofdm_symbol(carriers))
-                continue
             else:
                 n_cells = mode.c_data
-            cells = payload[pos:pos + n_cells]
-            pos += n_cells
+                cells = payload[pos:pos + n_cells]
+                pos += n_cells
             h = freq_interleaver.tx_permutation(mode, n_cells, sym)
             interleaved = np.zeros(n_cells, dtype=np.complex64)
             interleaved[h] = cells
-            carriers = ref[sym].astype(np.complex64)
             didx = pilots.data_cell_indices(mode, sym)
+            carriers = ref[sym].astype(np.complex64)
             carriers[didx] = interleaved
             sym_samples.append(self._ofdm_symbol(carriers))
+            if miso:
+                carriers2 = pilots.reference_symbol_tx(mode, sym, 2
+                                                       ).astype(np.complex64)
+                carriers2[didx] = self._miso_pair_encode(interleaved)
+                sym_samples2.append(self._ofdm_symbol(carriers2))
         assert pos == total
         self._frame_idx += 1
-        return np.concatenate([p1.generate(self.l1_pre.s1,
-                                           self.l1_pre.s2_field1 * 2
-                                           + self.l1_pre.s2_field2)]
-                              + sym_samples)
+        head = p1.generate(self.l1_pre.s1,
+                           self.l1_pre.s2_field1 * 2 + self.l1_pre.s2_field2)
+        tx1 = np.concatenate([head] + sym_samples)
+        if not miso:
+            return tx1
+        return tx1, np.concatenate([head] + sym_samples2)
 
     def build_fef_part(self, rng=None) -> np.ndarray:
         """One Future Extension Frame part (EN 302 755 clause 8.4): its own
@@ -265,26 +280,42 @@ class Transmitter:
         """TS stream -> IQ for as many complete T2 frames as data allows."""
         return self.modulate_multi([ts_bytes] * len(self.cfg.plps))
 
-    def modulate_multi(self, ts_streams: list) -> np.ndarray:
-        """One TS stream per PLP -> IQ frames (multi-PLP frame building)."""
+    def modulate_multi(self, ts_streams: list):
+        """One TS stream per PLP -> IQ frames (multi-PLP frame building).
+
+        MISO modes return a (tx_group1, tx_group2) pair of IQ arrays."""
         cfg = self.cfg
+        miso = self.mode.miso
         bb_per_plp = [packer.pack(ts) for packer, ts in
                       zip(self.packers, ts_streams)]
         n_frames = min(len(bb) // f for bb, f in
                        zip(bb_per_plp, cfg.fec_blocks))
         frames_iq = []
+        frames_iq2 = []
         for f in range(n_frames):
             parts = []
             for plp, n_fec, bb in zip(cfg.plps, cfg.fec_blocks, bb_per_plp):
                 cw = self.fec_encode(bb[f * n_fec:(f + 1) * n_fec], plp)
                 cells = self.map_cells(cw, plp)
                 parts.append(self.interleave_frame_cells(cells, plp))
-            frames_iq.append(self.build_frame(np.concatenate(parts)))
+            fr = self.build_frame(np.concatenate(parts))
+            if miso:
+                frames_iq.append(fr[0])
+                frames_iq2.append(fr[1])
+            else:
+                frames_iq.append(fr)
             # a FEF part follows every fef_interval-th T2 frame
             # (build_frame already advanced _frame_idx past this frame)
             if cfg.fef_interval and self._frame_idx % cfg.fef_interval == 0:
-                frames_iq.append(self.build_fef_part())
-        return np.concatenate(frames_iq) if frames_iq else np.empty(0, np.complex64)
+                fef = self.build_fef_part()
+                frames_iq.append(fef)
+                frames_iq2.append(fef)
+        if not frames_iq:
+            empty = np.empty(0, np.complex64)
+            return (empty, empty) if miso else empty
+        if miso:
+            return np.concatenate(frames_iq), np.concatenate(frames_iq2)
+        return np.concatenate(frames_iq)
 
 
 def random_ts_stream(n_packets: int, seed: int = 0) -> np.ndarray:

@@ -66,6 +66,14 @@ class EqualizerPlan:
 
         # continual pilots present in every symbol, for the SRO discriminator
         ap_idx = np.nonzero(always_pilot)[0]
+        if mode.miso:
+            # keep only carriers whose group-2 polarity is the same in
+            # every symbol: the discriminator multiplies symbol pairs at
+            # one carrier, so a constant inversion cancels, but a P2/data
+            # polarity flip would inject a pi phase step into the estimate
+            inv = np.stack([pilots.miso_inversion_mask(mode, l)[ap_idx]
+                            for l in range(L)])
+            ap_idx = ap_idx[(inv == inv[0]).all(axis=0)]
         self.sro_idx = np.asarray(ap_idx.astype(np.int32))
         self.sro_first_half = np.asarray(ap_idx < half)
         # dense reference values at those carriers per symbol

@@ -39,6 +39,85 @@ from . import llr as llr_mod
 from .cplx import C
 
 
+def _banded_interp_weights(K: int, seg: int, sets: list):
+    """Banded linear-interpolation weight tables for per-symbol pilot sets.
+
+    ``sets``: one dict per output symbol row l with keys
+      src  — frame symbol whose carrier plane holds the pilots (usually l;
+             the MISO temporal-pairing plan points a data symbol at its
+             NEIGHBOUR's pilots, which makes the partner estimate free),
+      pidx — sorted pilot carrier indices (int64),
+      sign — TX1 reference sign per pilot,
+      amp  — reference amplitude per pilot.
+    Returns (group_syms, regroup, weights); see EqTables for the device
+    contract.
+
+    Banded form: carrier k interpolates between pilot ordinals lo(k) and
+    lo(k)+1, and lo is monotone in k — so a segment of SEG consecutive
+    carriers touches only a narrow window of pilot ordinals.  Storing
+    [n_seg, WIN, SEG] instead of the dense [p_max, K] cuts the weight
+    bytes ~400x (the dense matmul was HBM-read-bound on the weights).
+    The window width is per pilot GROUP (the P2 symbol's every-3rd-carrier
+    pilots need ~6x the data symbols' window; one global width would
+    inflate every gather).
+
+    The pilot values themselves are fetched with ONE composed
+    carrier-plane gather per group: win_idx[s, w] holds the flat carrier
+    index of pilot ordinal o(s)+w, so the per-symbol pilot extraction and
+    the per-segment window gather collapse into a single static index
+    table (a separate [L, p_max] pilot gather + a window re-gather
+    measured 7.3 ms of the 47 ms batch; the composed form is ~0.8 ms).
+    The reference sign / amplitude normalization folds into a per-entry
+    weight (sign_inv), with padded window slots zeroed.
+    """
+    L = len(sets)
+    n_seg = -(-K // seg)
+    groups: dict[bytes, list[int]] = {}
+    for l in range(L):
+        groups.setdefault(sets[l]["pidx"].tobytes(), []).append(l)
+    group_syms = [np.array(v, np.int32) for v in groups.values()]
+    order = np.concatenate(group_syms)
+    regroup = np.empty(L, np.int64)
+    regroup[order] = np.arange(L)                   # undo group concat order
+
+    weights = []   # (win_idx [Lg,S,Wg] i32, sign_inv [Lg,S,Wg],
+    #                  wband [S,Wg,SEG])
+    for syms in group_syms:
+        pidx = sets[int(syms[0])]["pidx"]
+        n_pil = len(pidx)
+        k = np.arange(K)
+        lo = np.clip(np.searchsorted(pidx, k) - 1, 0, n_pil - 2)
+        span = np.maximum(pidx[lo + 1] - pidx[lo], 1)
+        frac = (k - pidx[lo]) / span
+        win = 0
+        for s in range(n_seg):
+            seg_lo = lo[s * seg:(s + 1) * seg]
+            win = max(win, int(seg_lo.max() - seg_lo.min()) + 2)
+        win = -(-win // 8) * 8
+        o_idx = np.zeros(n_seg, np.int64)
+        wband = np.zeros((n_seg, win, seg), np.float32)
+        for s in range(n_seg):
+            k0 = s * seg
+            k1 = min(k0 + seg, K)
+            seg_lo = lo[k0:k1]
+            o = int(seg_lo.min())
+            o_idx[s] = o
+            cols = np.arange(k1 - k0)
+            wband[s, seg_lo - o, cols] = 1.0 - frac[k0:k1]
+            wband[s, seg_lo - o + 1, cols] = frac[k0:k1]
+        ords = np.minimum(o_idx[:, None] + np.arange(win)[None],
+                          n_pil - 1)                       # [S, Wg]
+        valid = (o_idx[:, None] + np.arange(win)[None]) < n_pil
+        src = np.array([sets[int(l)]["src"] for l in syms], np.int64)
+        win_idx = (src[:, None, None] * K
+                   + pidx[ords][None]).astype(np.int32)    # [Lg, S, Wg]
+        sign = np.stack([sets[int(l)]["sign"][ords] for l in syms])
+        inv_amp = np.stack([1.0 / sets[int(l)]["amp"][ords] for l in syms])
+        sign_inv = (sign * inv_amp * valid[None]).astype(np.float32)
+        weights.append((win_idx, sign_inv, wband))
+    return group_syms, regroup, weights
+
+
 class EqTables:
     """Mode-only equalizer tables (shared by every PLP of a mux)."""
 
@@ -46,81 +125,30 @@ class EqTables:
         self.mode = mode
         L, K = mode.frame_symbols, mode.k_total
         self.eq_plan = eq_mod.get_plan(mode)       # pilot gather tables, diag
-
-        # ---- group symbols by pilot layout; build interp weight matmuls ----
         ep = self.eq_plan
-        groups: dict[bytes, list[int]] = {}
-        for l in range(L):
-            key = ep.pilot_idx[l].tobytes()
-            groups.setdefault(key, []).append(l)
-        self.group_syms = [np.array(v, np.int32) for v in groups.values()]
-        order = np.concatenate(self.group_syms)
-        inv = np.empty(L, np.int64)
-        inv[order] = np.arange(L)
-        self.regroup = inv                          # undo group concat order
-
-        # Banded interpolation weights: carrier k interpolates between
-        # pilot ordinals lo(k) and lo(k)+1, and lo is monotone in k — so a
-        # segment of SEG consecutive carriers touches only a narrow window
-        # of pilot ordinals.  Storing [n_seg, WIN, SEG] instead of the dense
-        # [p_max, K] cuts the weight bytes ~400x (the dense matmul was
-        # HBM-read-bound on the weights).  The window width is per pilot
-        # GROUP (the P2 symbol's every-3rd-carrier pilots need ~6x the data
-        # symbols' window; one global width would inflate every gather).
-        #
-        # The pilot values themselves are fetched with ONE composed
-        # carrier-plane gather per group: win_idx[s, w] holds the flat
-        # carrier index of pilot ordinal o(s)+w, so the per-symbol pilot
-        # extraction and the per-segment window gather collapse into a
-        # single static index table (a separate [L, p_max] pilot gather +
-        # a window re-gather measured 7.3 ms of the 47 ms batch; the
-        # composed form is ~0.8 ms).  The reference sign / amplitude
-        # normalization folds into a per-entry weight (sign_inv), with
-        # padded window slots zeroed.
         SEG = 256
         self.seg = SEG
         self.n_seg = -(-K // SEG)
-        self.weights = []   # (win_idx [Lg,S,Wg] i32, sign_inv [Lg,S,Wg],
-        #                      wband [S,Wg,SEG])
-        for syms in self.group_syms:
-            l0 = int(syms[0])
-            n_pil = int(ep.n_pilots[l0])
-            pidx = np.asarray(ep.pilot_idx[l0][:n_pil]).astype(np.int64)
-            k = np.arange(K)
-            lo = np.clip(np.searchsorted(pidx, k) - 1, 0, n_pil - 2)
-            span = np.maximum(pidx[lo + 1] - pidx[lo], 1)
-            frac = (k - pidx[lo]) / span
-            win = 0
-            for s in range(self.n_seg):
-                seg_lo = lo[s * SEG:(s + 1) * SEG]
-                win = max(win, int(seg_lo.max() - seg_lo.min()) + 2)
-            win = -(-win // 8) * 8
-            o_idx = np.zeros(self.n_seg, np.int64)
-            wband = np.zeros((self.n_seg, win, SEG), np.float32)
-            for s in range(self.n_seg):
-                k0 = s * SEG
-                k1 = min(k0 + SEG, K)
-                seg_lo = lo[k0:k1]
-                o = int(seg_lo.min())
-                o_idx[s] = o
-                cols = np.arange(k1 - k0)
-                wband[s, seg_lo - o, cols] = 1.0 - frac[k0:k1]
-                wband[s, seg_lo - o + 1, cols] = frac[k0:k1]
-            ords = np.minimum(o_idx[:, None] + np.arange(win)[None],
-                              n_pil - 1)                       # [S, Wg]
-            valid = (o_idx[:, None] + np.arange(win)[None]) < n_pil
-            win_idx = (syms[:, None, None].astype(np.int64) * K
-                       + pidx[ords][None]).astype(np.int32)    # [Lg, S, Wg]
-            sign = np.stack([np.asarray(ep.ref_vals[l][:n_pil])[ords]
-                             for l in syms])                   # [Lg, S, Wg]
-            inv_amp = np.stack([1.0 / np.asarray(ep.amp_vals[l][:n_pil])[ords]
-                                for l in syms])
-            sign_inv = (sign * inv_amp * valid[None]).astype(np.float32)
-            self.weights.append((win_idx, sign_inv, wband))
+
+        def full_set(l):
+            n = int(ep.n_pilots[l])
+            return dict(src=l,
+                        pidx=np.asarray(ep.pilot_idx[l][:n]).astype(np.int64),
+                        sign=np.asarray(ep.ref_vals[l][:n]),
+                        amp=np.asarray(ep.amp_vals[l][:n]))
+
+        if not mode.miso:
+            self.group_syms, self.regroup, self.weights = \
+                _banded_interp_weights(K, SEG, [full_set(l)
+                                                for l in range(L)])
+        else:
+            self._build_miso(L, K, SEG, full_set)
 
         # dense +-1 sign masks for the common-phase-offset discriminator
         # (sum of pilot phasors per half-spectrum): a masked row reduction
-        # over the carrier plane replaces the [L, p_max] pilot gather
+        # over the carrier plane replaces the [L, p_max] pilot gather.
+        # MISO: only group-2-non-inverted pilots enter (an inverted pilot
+        # carries h1-h2, whose phase is unrelated to the common rotation)
         ph1 = np.zeros((L, K), np.float32)
         ph2 = np.zeros((L, K), np.float32)
         half = K // 2
@@ -128,10 +156,107 @@ class EqTables:
             n_pil = int(ep.n_pilots[l])
             pidx = np.asarray(ep.pilot_idx[l][:n_pil])
             sign = np.asarray(ep.ref_vals[l][:n_pil])
+            if mode.miso:
+                keep = ~pilots.miso_inversion_mask(mode, l)[pidx]
+                pidx, sign = pidx[keep], sign[keep]
             fh = pidx < half
             ph1[l, pidx[fh]] = sign[fh]
             ph2[l, pidx[~fh]] = sign[~fh]
         self.ph_mask = (ph1, ph2)
+
+    # ------------------------------------------------------------------
+    def _build_miso(self, L, K, SEG, full_set):
+        """MISO channel-separation plans (EN 302 755 clause 9.2.2.3).
+
+        Group 2 inverts pilot subsets, so a pilot reads h1 + h2 or
+        h1 - h2 after TX1-reference normalization.  Per symbol this
+        builds TWO interpolated planes:
+
+        * ``weights`` (own): each symbol's same-polarity pilots — data
+          symbols' scattered pilots share ONE polarity that alternates
+          per symbol; continual pilots on scattered columns have fixed
+          per-carrier polarity and join only when matching; edge pilots
+          always match.  P2/FC symbols split by carrier parity instead
+          and use their even (non-inverted) half here.
+        * ``weights_alt``: the opposite polarity — for data symbols the
+          TEMPORAL partner symbol's own pilots (src points at l+-1, so
+          the partner plane costs nothing extra); for P2/FC the odd
+          (inverted) carrier half of the same symbol.
+
+        h1 = (own + alt)/2,  h2 = o_sign * (own - alt)/2, where
+        o_sign[l] = +1 when the own plane is the non-inverted one.
+        Alamouti pair combining then uses pair_idx/pair_sign
+        (equalize_plane_miso).
+        """
+        mode = self.mode
+        own_sets, alt_sets = [], []
+        o_sign = np.ones(L, np.float32)
+        n_p2 = mode.n_p2
+        last_reg = L - 1 - (1 if mode.has_fc else 0)
+        assert last_reg > n_p2, "MISO needs >= 2 regular data symbols"
+        for l in range(L):
+            fs = full_set(l)
+            inv = pilots.miso_inversion_mask(mode, l)[fs["pidx"]]
+            def sub(s, keep):
+                return dict(src=s["src"], pidx=s["pidx"][keep],
+                            sign=s["sign"][keep], amp=s["amp"][keep])
+            if l < n_p2 or (mode.has_fc and l == L - 1):
+                own_sets.append(sub(fs, ~inv))
+                alt_sets.append(sub(fs, inv))
+            else:
+                # the symbol's SP polarity: SPs sit at k = dx*(l mod dy)
+                # (mod dx*dy), so (k//dx) parity == l parity (dy is even
+                # for every pattern); edge pilots share it by the l%2 rule
+                sp_inv = bool(l % 2)
+                own_sets.append(sub(fs, inv == sp_inv))
+                o_sign[l] = -1.0 if sp_inv else 1.0
+                partner = l + 1 if l < last_reg else l - 1
+                pfs = full_set(partner)
+                pinv = pilots.miso_inversion_mask(mode, partner)[pfs["pidx"]]
+                p_sp_inv = bool(partner % 2)
+                alt_sets.append(dict(sub(pfs, pinv == p_sp_inv),
+                                     src=partner))
+        self.group_syms, self.regroup, self.weights = \
+            _banded_interp_weights(K, SEG, own_sets)
+        self.group_syms_alt, self.regroup_alt, self.weights_alt = \
+            _banded_interp_weights(K, SEG, alt_sets)
+        self.o_sign = o_sign[:, None]
+
+        # Alamouti pair tables: payload cells pair with their carrier-order
+        # neighbour within the symbol (MISO processing runs after frequency
+        # interleaving, clause 6.4); pilots pair with themselves (sign 0 —
+        # those plane positions are never gathered downstream)
+        pair = np.arange(L * K, dtype=np.int64).reshape(L, K)
+        psign = np.zeros((L, K), np.float32)
+        for l in range(L):
+            didx = pilots.data_cell_indices(mode, l)
+            assert len(didx) % 2 == 0, (l, len(didx))
+            a, b = didx[0::2], didx[1::2]
+            pair[l, a] = l * K + b
+            pair[l, b] = l * K + a
+            psign[l, a] = 1.0
+            psign[l, b] = -1.0
+        self.pair_idx = pair.reshape(-1).astype(np.int32)
+        self.pair_sign = psign
+
+        # Common-phase derotation mask: the temporal pairing needs every
+        # symbol phase-aligned, and the phase must be measured on the SAME
+        # carriers in every symbol — a per-symbol pilot set would carry a
+        # set-dependent, channel-weighted phase bias (frequency-selective
+        # channels give different pilot subsets different mean phases),
+        # which leaks between h1 and h2 as a constant cross-channel error
+        # (~6 dB effective-SNR loss measured on a two-path channel).  Use
+        # the symbol-invariant consistent-polarity continual pilots, kept
+        # non-inverted only so the measured phasor is always (h1+h2)-type.
+        ep = self.eq_plan
+        sro_idx = np.asarray(ep.sro_idx)
+        keep = ~pilots.miso_inversion_mask(mode, 0)[sro_idx]
+        rot_idx = sro_idx[keep if keep.any() else slice(None)]
+        ph_rot = np.zeros((L, K), np.float32)
+        for l in range(L):
+            sign = np.sign(pilots.reference_symbol(mode, l)[rot_idx])
+            ph_rot[l, rot_idx] = sign
+        self.ph_rot = ph_rot
 
     def device_consts(self):
         """Eq tables as device arrays — ONE copy per mode per process (the
@@ -144,14 +269,24 @@ class EqTables:
         # CPU XLA lacks batched bf16 dot thunks; bf16 weights are TPU-only
         wdt = (jnp.bfloat16 if _jax.default_backend() != "cpu"
                else jnp.float32)
+        def dev_w(weights):
+            return tuple((_jax.device_put(jnp.asarray(wi)),
+                          _jax.device_put(jnp.asarray(si).astype(wdt)),
+                          _jax.device_put(jnp.asarray(wb).astype(wdt)))
+                         for wi, si, wb in weights)
         consts = dict(
-            w=tuple((_jax.device_put(jnp.asarray(wi)),
-                     _jax.device_put(jnp.asarray(si).astype(wdt)),
-                     _jax.device_put(jnp.asarray(wb).astype(wdt)))
-                    for wi, si, wb in self.weights),
+            w=dev_w(self.weights),
             ph_mask=tuple(_jax.device_put(jnp.asarray(m))
                           for m in self.ph_mask),
         )
+        if self.mode.miso:
+            consts.update(
+                w_alt=dev_w(self.weights_alt),
+                o_sign=_jax.device_put(jnp.asarray(self.o_sign)),
+                pair_idx=_jax.device_put(jnp.asarray(self.pair_idx)),
+                pair_sign=_jax.device_put(jnp.asarray(self.pair_sign)),
+                ph_rot=_jax.device_put(jnp.asarray(self.ph_rot)),
+            )
         _EQ_DEVICE_CONSTS[key] = consts
         return consts
 
@@ -300,21 +435,12 @@ _FAST_GATHER = jax.lax.GatherDimensionNumbers(
     offset_dims=(), collapsed_slice_dims=(0,), start_index_map=(0,))
 
 
-def equalize_plane(carriers: C, plan: ChainPlan, consts):
-    """[L, K] carriers -> ([L, K] equalized plane, diag dict)."""
-    ep = plan.eq_plan
-    K = plan.mode.k_total
-    # pack both IQ components into one u32 plane; all pilot fetches below
-    # are single composed gathers on it (gathers are element-count-bound
-    # on TPU; bf16 pilots sit ~55 dB below the channel estimate)
-    packed = _pack_bf16(carriers).reshape(-1)                 # [L*K]
-
-    # grouped banded-interpolation matmuls (bf16 on the MXU): per segment
-    # of 256 carriers, gather the pilot window straight from the carrier
-    # plane and multiply by the banded weight block
+def _grouped_interp(packed, weights_c, group_syms, regroup, K) -> C:
+    """Grouped banded-interpolation matmuls (bf16 on the MXU): per segment
+    of 256 carriers, gather the pilot window straight from the carrier
+    plane and multiply by the banded weight block."""
     outs_re, outs_im = [], []
-    for syms, (win_idx, sign_inv, wband) in zip(plan.group_syms,
-                                                consts["w"]):
+    for syms, (win_idx, sign_inv, wband) in zip(group_syms, weights_c):
         g = jax.lax.gather(
             packed, win_idx.reshape(-1, 1), _FAST_GATHER, (1,),
             mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
@@ -327,11 +453,69 @@ def equalize_plane(carriers: C, plan: ChainPlan, consts):
                         preferred_element_type=jnp.float32)
         outs_re.append(er.reshape(er.shape[0], -1)[:, :K])
         outs_im.append(ei.reshape(ei.shape[0], -1)[:, :K])
-    h_d = C(jnp.concatenate(outs_re)[plan.regroup],
-            jnp.concatenate(outs_im)[plan.regroup])               # [L, K]
+    return C(jnp.concatenate(outs_re)[regroup],
+             jnp.concatenate(outs_im)[regroup])               # [L, K]
 
-    denom = jnp.maximum(h_d.abs2(), 1e-9)
-    eq = carriers * h_d.conj() * (1.0 / denom)
+
+def equalize_plane(carriers: C, plan: ChainPlan, consts):
+    """[L, K] carriers -> ([L, K] equalized plane, diag dict)."""
+    ep = plan.eq_plan
+    K = plan.mode.k_total
+
+    if plan.mode.miso:
+        # Per-symbol common-phase pre-derotation.  The MISO h1/h2
+        # separation pairs a data symbol's estimate with its NEIGHBOUR's
+        # (temporal pairing); residual CFO gives each symbol a different
+        # common phase, which would leak between the paired estimates as
+        # cross-channel error.  Measure each symbol's phase on the
+        # symbol-INVARIANT consistent-polarity continual pilots (ph_rot —
+        # same carriers every symbol, so the channel-weighted bias of the
+        # estimate is common to all symbols and cancels in the pairing);
+        # the conjugations in the Alamouti combine also require
+        # phase-aligned symbols.
+        m = consts["ph_rot"]
+        zr = jnp.sum(carriers.re * m, axis=1, keepdims=True)
+        zi = jnp.sum(carriers.im * m, axis=1, keepdims=True)
+        inv_mag = jax.lax.rsqrt(jnp.maximum(zr * zr + zi * zi, 1e-18))
+        carriers = carriers * C(zr * inv_mag, -zi * inv_mag)
+
+    # pack both IQ components into one u32 plane; all pilot fetches below
+    # are single composed gathers on it (gathers are element-count-bound
+    # on TPU; bf16 pilots sit ~55 dB below the channel estimate)
+    packed = _pack_bf16(carriers).reshape(-1)                 # [L*K]
+
+    h_d = _grouped_interp(packed, consts["w"], plan.group_syms,
+                          plan.regroup, K)
+
+    if plan.mode.miso:
+        # second interpolated plane of the opposite pilot polarity ->
+        # separate the two transmit-group channels, then Alamouti-combine
+        # carrier-order payload pairs (EN 302 755 clause 6.4 / 9.2.2.3)
+        h_alt = _grouped_interp(packed, consts["w_alt"],
+                                plan.eq.group_syms_alt,
+                                plan.eq.regroup_alt, K)
+        o = consts["o_sign"]                                  # [L, 1]
+        h1 = (h_d + h_alt) * 0.5
+        h2 = (h_d - h_alt) * 0.5 * o
+        # partner values: pair_idx is a permutation of the plane (payload
+        # pairs swap, pilots self-map)
+        pidx = consts["pair_idx"].reshape(-1, 1)
+
+        def pgather(flat_u32):
+            g = jax.lax.gather(flat_u32, pidx, _FAST_GATHER, (1,),
+                               mode=jax.lax.GatherScatterMode
+                               .PROMISE_IN_BOUNDS, unique_indices=True)
+            return g.reshape(carriers.re.shape)
+        r_p = _unpack_bf16(pgather(packed))                   # r[partner]
+        h2_p = _unpack_bf16(pgather(_pack_bf16(h2).reshape(-1)))
+        s = consts["pair_sign"]                               # [L, K]
+        # out[x] = (h1[x]* r[x] + s_x h2[y] r[y]*) / (|h1[x]|^2+|h2[y]|^2)
+        num = h1.conj() * carriers + (h2_p * r_p.conj()) * s
+        denom = jnp.maximum(h1.abs2() + h2_p.abs2(), 1e-9)
+        eq = num * (1.0 / denom)
+    else:
+        denom = jnp.maximum(h_d.abs2(), 1e-9)
+        eq = carriers * h_d.conj() * (1.0 / denom)
 
     # ---- diagnostics (the reference's tracking discriminators) ----
     # common phase offset: sum of pilot phasors per half-spectrum, as a

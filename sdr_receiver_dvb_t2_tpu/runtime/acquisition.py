@@ -61,19 +61,44 @@ def _demod_p2(x: np.ndarray, mode: T2Mode) -> np.ndarray:
     return out
 
 
+def _interp_c(k, pidx, vals):
+    return np.interp(k, pidx, vals.real) + 1j * np.interp(k, pidx, vals.imag)
+
+
 def _equalize_p2(carriers: np.ndarray, mode: T2Mode) -> np.ndarray:
-    """Pilot-referenced equalize + freq-deinterleave of the P2 symbols."""
+    """Pilot-referenced equalize + freq-deinterleave of the P2 symbols.
+
+    MISO: P2 pilots alternate transmit-group-2 polarity per carrier
+    (EN 302 755 clause 9.2.5), so the even half estimates h1+h2 and the
+    odd half h1-h2; payload pairs then Alamouti-combine (clause 6.4).
+    """
     cells = []
+    k = np.arange(mode.k_total)
     for s in range(carriers.shape[0]):
         ref = pilots.reference_symbol(mode, s)
         pidx = np.nonzero(ref != 0)[0]
         h_p = carriers[s][pidx] / ref[pidx]
-        # linear complex interpolation over all carriers
-        k = np.arange(mode.k_total)
-        h = np.interp(k, pidx, h_p.real) + 1j * np.interp(k, pidx, h_p.imag)
-        eq = carriers[s] * np.conj(h) / np.maximum(np.abs(h) ** 2, 1e-9)
         didx = pilots.data_cell_indices(mode, s)
-        data = eq[didx]
+        if mode.miso:
+            inv = pilots.miso_inversion_mask(mode, s)[pidx]
+            h1 = 0.5 * (_interp_c(k, pidx[~inv], h_p[~inv])
+                        + _interp_c(k, pidx[inv], h_p[inv]))
+            h2 = 0.5 * (_interp_c(k, pidx[~inv], h_p[~inv])
+                        - _interp_c(k, pidx[inv], h_p[inv]))
+            r = carriers[s]
+            a, b = didx[0::2], didx[1::2]
+            d1 = np.maximum(np.abs(h1[a]) ** 2 + np.abs(h2[b]) ** 2, 1e-9)
+            d2 = np.maximum(np.abs(h1[b]) ** 2 + np.abs(h2[a]) ** 2, 1e-9)
+            data = np.empty(len(didx), np.complex64)
+            data[0::2] = (np.conj(h1[a]) * r[a]
+                          + h2[b] * np.conj(r[b])) / d1
+            data[1::2] = (np.conj(h1[b]) * r[b]
+                          - h2[a] * np.conj(r[a])) / d2
+        else:
+            # linear complex interpolation over all carriers
+            h = _interp_c(k, pidx, h_p)
+            eq = carriers[s] * np.conj(h) / np.maximum(np.abs(h) ** 2, 1e-9)
+            data = eq[didx]
         perm = freq_interleaver.tx_permutation(mode, len(data), s)
         cells.append(data[perm])
     return np.concatenate(cells)
@@ -132,19 +157,24 @@ def acquire_mode(elem: np.ndarray, s1: int, s2_field1: int
     symbol (CFO already corrected).  Returns None if no hypothesis decodes
     an L1-pre with valid CRC.
     """
-    if s1 not in (0,):          # SISO only (matches the reference's scope)
-        return None
+    if s1 not in (0, 1):        # T2 SISO / T2 MISO (beyond the reference,
+        return None             # whose MISO receive path is vestigial)
+    miso = s1 == 1
     fft_mode = FFT_BY_S2.get(s2_field1)
     if fft_mode is None:
         return None
 
-    from ..params.modes import FFT_SIZE
+    from ..params.modes import FFT_SIZE, MISO_PILOT_PATTERNS
     fft_size = FFT_SIZE[fft_mode]
+    # the scan mode's PP is irrelevant for P2 demod (P2 pilot geometry is
+    # PP-independent); pick a legal one so the mode is constructible
+    scan_pp = (sorted(MISO_PILOT_PATTERNS[fft_size])[0] if miso
+               else PilotPattern.PP7)
 
     for gi in gi_candidates(fft_size):
         for ext in ([False] if fft_size < 8192 else [True, False]):
             mode = T2Mode(fft_mode=fft_mode, guard=gi,
-                          pilot_pattern=PilotPattern.PP7,
+                          pilot_pattern=scan_pp, miso=miso,
                           extended_carriers=ext, n_data_symbols=1)
             need = mode.n_p2 * mode.symbol_size
             if len(elem) < need:
@@ -169,7 +199,7 @@ def acquire_mode(elem: np.ndarray, s1: int, s2_field1: int
             full_mode = T2Mode(
                 fft_mode=fft_mode, guard=gi,
                 pilot_pattern=PilotPattern(pre.pilot_pattern),
-                extended_carriers=ext, papr=Papr(pre.papr),
+                extended_carriers=ext, papr=Papr(pre.papr), miso=miso,
                 n_data_symbols=pre.num_data_symbols)
             post = decode_l1_from_p2(cells, pre)
             if post is None:

@@ -281,7 +281,7 @@ class StreamingReceiver:
                 self.stats.state = "p1_decode_failed"
                 return False
             s1, s2, cfo_total = res
-            if s1 in (0,):              # T2 SISO (the supported scope)
+            if s1 in (0, 1):            # T2 SISO / T2 MISO
                 break
             search0 = t0 + p1_mod.P1_LEN    # non-T2 P1: a FEF part; skip
         else:

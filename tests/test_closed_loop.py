@@ -66,7 +66,8 @@ def test_closed_loop_bit_exact(mode, plp, blocks, l1mod, hem):
         # L1 round trip
         assert res.l1_post.plp[0].plp_mod == plp.constellation.value
         assert res.l1_post.plp[0].plp_cod == plp.code_rate.value
-        assert res.l1_post.dyn.frame_idx == f
+        # FRAME_IDX wraps at NUM_T2_FRAMES within the superframe
+        assert res.l1_post.dyn.frame_idx == f % cfg.num_t2_frames
         recovered.append(res.ts_bytes)
     out = np.concatenate(recovered)
     assert len(out) > 0
