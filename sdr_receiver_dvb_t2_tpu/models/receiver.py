@@ -72,6 +72,7 @@ def config_from_l1(mode_hint: T2Mode, pre: l1_mod.L1Pre,
         extended_carriers=bool(pre.bwt_ext),
         papr=Papr(pre.papr),
         miso=mode_hint.miso,        # from the P1 S1 field (acquisition)
+        lite=mode_hint.lite,
         n_data_symbols=pre.num_data_symbols,
     )
     plp = PlpConfig(

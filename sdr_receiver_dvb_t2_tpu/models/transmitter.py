@@ -18,8 +18,8 @@ import numpy as np
 from ..io.bbframe import BBFramePacker
 from ..params import (bch, bit_interleaver, freq_interleaver, l1, l1_fec,
                       ldpc, modes, p1, pilots, qam, time_interleaver)
-from ..params.modes import (T2Mode, PlpConfig, Constellation, FecFrame,
-                            FftMode, GuardInterval, PilotPattern)
+from ..params.modes import (T2Mode, PlpConfig, Constellation, CodeRate,
+                            FecFrame, FftMode, GuardInterval, PilotPattern)
 
 
 @dataclasses.dataclass
@@ -70,8 +70,14 @@ class Transmitter:
     def _build_l1(self):
         mode, plp, cfg = self.mode, self.plp, self.cfg
         s2_map = {1024: 3, 2048: 0, 4096: 2, 8192: 1, 16384: 4, 32768: 5}
+        for pc in cfg.plps:
+            if pc.code_rate in (CodeRate.C1_3, CodeRate.C2_5):
+                assert mode.lite and pc.fec_frame == FecFrame.SHORT, (
+                    "rates 1/3 and 2/5 are T2-Lite SHORT-frame only "
+                    "(EN 302 755 annex I)")
+        # P1 S1 preamble format: 0/1 = T2 SISO/MISO, 3/4 = T2-Lite
         pre = l1.L1Pre(
-            s1=1 if mode.miso else 0,       # T2 SISO / T2 MISO preamble
+            s1=(3 if mode.lite else 0) + (1 if mode.miso else 0),
             s2_field1=s2_map[mode.fft_size],
             s2_field2=0,
             guard_interval=mode.guard.value,

@@ -76,6 +76,11 @@ class CodeRate(enum.IntEnum):
     C3_4 = 3
     C4_5 = 4
     C5_6 = 5
+    # T2-Lite-only rates (EN 302 755 annex I): SHORT frames only; the
+    # values are the L1 PLP_COD codepoints 110/111, which base T2 keeps
+    # reserved (4/5 and 5/6 are in turn not allowed in T2-Lite)
+    C1_3 = 6
+    C2_5 = 7
 
 
 class FecFrame(enum.IntEnum):
@@ -271,6 +276,12 @@ BCH_PARAMS = {
     (FecFrame.SHORT, CodeRate.C3_4): (11880, 11712),
     (FecFrame.SHORT, CodeRate.C4_5): (12600, 12432),
     (FecFrame.SHORT, CodeRate.C5_6): (13320, 13152),
+    # T2-Lite (annex I): k_ldpc from the annex C tables (B8/B9, bundled
+    # in etsi_ldpc.npz and pinned against the table archive by
+    # test_params), K_bch = k_ldpc - 168 like every SHORT rate (t=12
+    # over GF(2^14))
+    (FecFrame.SHORT, CodeRate.C1_3): (5400, 5232),
+    (FecFrame.SHORT, CodeRate.C2_5): (6480, 6312),
 }
 
 LDPC_TABLE_NAME = {
@@ -286,6 +297,8 @@ LDPC_TABLE_NAME = {
     (FecFrame.SHORT, CodeRate.C3_4): "SHORT_C3_4",
     (FecFrame.SHORT, CodeRate.C4_5): "SHORT_C4_5",
     (FecFrame.SHORT, CodeRate.C5_6): "SHORT_C5_6",
+    (FecFrame.SHORT, CodeRate.C1_3): "B8",      # T2-Lite (annex C)
+    (FecFrame.SHORT, CodeRate.C2_5): "B9",
 }
 
 
@@ -293,9 +306,10 @@ LDPC_TABLE_NAME = {
 class T2Mode:
     """One complete OFDM-level T2 configuration with derived constants.
 
-    Only SISO base-profile combinations are supported end-to-end (matching the
-    reference receiver's tested scope, /root/reference/README:29-41); the
-    tables above nevertheless cover MISO cell counts for the P2 symbol.
+    Supported end-to-end: SISO and MISO base profile plus T2-Lite (the
+    reference receiver only exercises SISO base,
+    /root/reference/README:29-41 — its MISO path is vestigial and its
+    T2-Lite-only code rates are never wired up).
     """
     fft_mode: FftMode = FftMode.FFT_32K
     guard: GuardInterval = GuardInterval.G1_128
@@ -303,6 +317,7 @@ class T2Mode:
     extended_carriers: bool = True
     papr: Papr = Papr.OFF
     miso: bool = False
+    lite: bool = False                # T2-Lite profile (annex I; P1 S1=3/4)
     n_data_symbols: int = 59          # L_data = L_F - N_P2 (signalled in L1)
 
     # -- derived ------------------------------------------------------------
@@ -437,6 +452,10 @@ class T2Mode:
             raise ValueError(
                 f"pilot pattern {self.pilot_pattern.name} not allowed in "
                 f"MISO for {self.fft_size}-pt FFT (EN 302 755 table 58)")
+        if self.lite and self.fft_size not in (2048, 4096, 8192, 16384):
+            raise ValueError(
+                f"{self.fft_size}-pt FFT not allowed in T2-Lite "
+                "(EN 302 755 annex I: 2K/4K/8K/16K only)")
         return self
 
 

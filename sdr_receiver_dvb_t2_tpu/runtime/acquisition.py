@@ -157,15 +157,21 @@ def acquire_mode(elem: np.ndarray, s1: int, s2_field1: int
     symbol (CFO already corrected).  Returns None if no hypothesis decodes
     an L1-pre with valid CRC.
     """
-    if s1 not in (0, 1):        # T2 SISO / T2 MISO (beyond the reference,
-        return None             # whose MISO receive path is vestigial)
-    miso = s1 == 1
+    # S1: 0/1 = T2 SISO/MISO, 3/4 = T2-Lite SISO/MISO (all beyond the
+    # reference, whose MISO receive path is vestigial and whose
+    # T2-Lite-only code rates are never wired up)
+    if s1 not in (0, 1, 3, 4):
+        return None
+    miso = s1 in (1, 4)
+    lite = s1 in (3, 4)
     fft_mode = FFT_BY_S2.get(s2_field1)
     if fft_mode is None:
         return None
 
     from ..params.modes import FFT_SIZE, MISO_PILOT_PATTERNS
     fft_size = FFT_SIZE[fft_mode]
+    if lite and fft_size not in (2048, 4096, 8192, 16384):
+        return None             # annex I: T2-Lite is 2K/4K/8K/16K only
     # the scan mode's PP is irrelevant for P2 demod (P2 pilot geometry is
     # PP-independent); pick a legal one so the mode is constructible
     scan_pp = (sorted(MISO_PILOT_PATTERNS[fft_size])[0] if miso
@@ -174,7 +180,7 @@ def acquire_mode(elem: np.ndarray, s1: int, s2_field1: int
     for gi in gi_candidates(fft_size):
         for ext in ([False] if fft_size < 8192 else [True, False]):
             mode = T2Mode(fft_mode=fft_mode, guard=gi,
-                          pilot_pattern=scan_pp, miso=miso,
+                          pilot_pattern=scan_pp, miso=miso, lite=lite,
                           extended_carriers=ext, n_data_symbols=1)
             need = mode.n_p2 * mode.symbol_size
             if len(elem) < need:
@@ -200,7 +206,7 @@ def acquire_mode(elem: np.ndarray, s1: int, s2_field1: int
                 fft_mode=fft_mode, guard=gi,
                 pilot_pattern=PilotPattern(pre.pilot_pattern),
                 extended_carriers=ext, papr=Papr(pre.papr), miso=miso,
-                n_data_symbols=pre.num_data_symbols)
+                lite=lite, n_data_symbols=pre.num_data_symbols)
             post = decode_l1_from_p2(cells, pre)
             if post is None:
                 continue

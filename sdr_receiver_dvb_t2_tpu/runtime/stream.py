@@ -281,7 +281,7 @@ class StreamingReceiver:
                 self.stats.state = "p1_decode_failed"
                 return False
             s1, s2, cfo_total = res
-            if s1 in (0, 1):            # T2 SISO / T2 MISO
+            if s1 in (0, 1, 3, 4):      # T2 / T2-Lite, SISO / MISO
                 break
             search0 = t0 + p1_mod.P1_LEN    # non-T2 P1: a FEF part; skip
         else:

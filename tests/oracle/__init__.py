@@ -187,6 +187,7 @@ LDPC_TABLE = {
     "SHORT_C1_4": ("B", 1), "SHORT_C1_2": ("B", 2), "SHORT_C3_5": ("B", 3),
     "SHORT_C2_3": ("B", 4), "SHORT_C3_4": ("B", 5), "SHORT_C4_5": ("B", 6),
     "SHORT_C5_6": ("B", 7),
+    "B8": ("B", 8), "B9": ("B", 9),     # T2-Lite rates 1/3 and 2/5
 }
 
 

@@ -135,3 +135,87 @@ def test_miso_blind_stream(tmp_path):
     n = min(len(got), len(sync) - idx)
     assert n > 188 * 40
     assert got[:n] == sync[idx:idx + n]
+
+
+# ---------------------------------------------------------------------------
+# T2-Lite (EN 302 755 annex I): S1=3 preamble, Lite-only code rates
+
+
+@pytest.mark.slow
+def test_t2_lite_blind_stream(tmp_path):
+    """T2-Lite mux at rate 1/3 (annex C table B8, a code the reference
+    never wires into its decoder) acquires blind from the S1=3 preamble
+    and recovers the TS exactly."""
+    from sdr_receiver_dvb_t2_tpu.io import sources, sinks
+    from sdr_receiver_dvb_t2_tpu.runtime import stream as stream_mod
+    mode = T2Mode(fft_mode=FftMode.FFT_2K, guard=GuardInterval.G1_8,
+                  pilot_pattern=PilotPattern.PP7, extended_carriers=False,
+                  n_data_symbols=30, lite=True).validate()
+    plp = PlpConfig(constellation=Constellation.QPSK,
+                    code_rate=CodeRate.C1_3, fec_frame=FecFrame.SHORT,
+                    rotation=True, time_il_length=1)
+    n_frames = 8
+    tx = Transmitter(TxConfig(mode=mode, plp=plp, fec_blocks_per_frame=4,
+                              num_t2_frames=n_frames))
+    assert tx.l1_pre.s1 == 3
+    bytes_per_frame = 4 * (plp.k_bch // 8 - 10)
+    n_pkts = (n_frames + 2) * bytes_per_frame // 188
+    ts = random_ts_stream(n_pkts, seed=31)
+    iq = tx.modulate(ts)
+
+    device_rate = 10_000_000
+    dev = impair(iq, ChannelConfig(device_rate=device_rate, cfo_hz=-7e3,
+                                   sro_ppm=6.0, snr_db=11.0, phase0=0.2,
+                                   seed=12))
+    raw = quantize(dev, "u8", scale=0.4)
+    path = tmp_path / f"capture_dvbt2_lite_0_{device_rate}_8.raw"
+    raw.tofile(path)
+
+    src = sources.RawFileSource(str(path))
+    sink = sinks.BufferTsSink()
+    cfg = stream_mod.StreamConfig(frames_per_batch=1,
+                                  acq_elem_samples=3 * mode.frame_samples,
+                                  use_pallas=False)
+    rx = stream_mod.StreamingReceiver(src, sink, cfg)
+    stats = rx.run(max_frames=5)
+    assert stats.state == "locked", stats
+    assert rx.mode.lite and not rx.mode.miso
+    assert rx.rx.plp.code_rate == CodeRate.C1_3
+    assert stats.ldpc_failures == 0, stats
+    assert stats.bch_dirty == 0, stats
+
+    sync, got = ts.tobytes(), sink.data.tobytes()
+    idx = sync.find(got[:188 * 2])
+    assert idx >= 0
+    n = min(len(got), len(sync) - idx)
+    assert n > 188 * 20
+    assert got[:n] == sync[idx:idx + n]
+
+
+@pytest.mark.slow
+def test_t2_lite_rate_2_5_frame_receive():
+    """Rate-2/5 (table B9) closed loop at the frame level, 16QAM."""
+    mode = T2Mode(fft_mode=FftMode.FFT_2K, guard=GuardInterval.G1_8,
+                  pilot_pattern=PilotPattern.PP7, extended_carriers=False,
+                  n_data_symbols=30, lite=True).validate()
+    plp = PlpConfig(constellation=Constellation.QAM16,
+                    code_rate=CodeRate.C2_5, fec_frame=FecFrame.SHORT,
+                    rotation=True, time_il_length=1)
+    tx = Transmitter(TxConfig(mode=mode, plp=plp, fec_blocks_per_frame=4,
+                              num_t2_frames=2))
+    bytes_per_frame = 4 * (plp.k_bch // 8 - 10)
+    ts = random_ts_stream(4 * bytes_per_frame // 188, seed=32)
+    iq = tx.modulate(ts)
+    F = mode.frame_samples
+    rng = np.random.default_rng(2)
+    n = np.sqrt(np.mean(np.abs(iq) ** 2) / 10 ** 1.2 / 2)   # 12 dB SNR
+    sig = (iq + n * (rng.standard_normal(len(iq))
+                     + 1j * rng.standard_normal(len(iq)))).astype(np.complex64)
+    frames = sig[:2 * F].reshape(2, F)
+    rx = TpuReceiver(RxConfig(mode=mode, plp=plp, n_fec_per_frame=4,
+                              n_ti=1, use_pallas=False)).prime(frames[0])
+    res = rx.receive(frames)
+    assert res.ldpc_ok.all() and res.bch_clean.all()
+    got, sync = res.ts_bytes.tobytes(), ts.tobytes()
+    at = sync.find(got[:376])
+    assert at >= 0 and got == sync[at:at + len(got)]

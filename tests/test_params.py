@@ -210,3 +210,19 @@ def test_bch_parity_check_matrix():
     cw = bch.encode(msg, m)
     h = bch.parity_check_matrix(k, m)
     assert np.all((cw.astype(np.int64) @ h.astype(np.int64)) % 2 == 0)
+
+
+def test_t2_lite_rate_params_match_tables():
+    """T2-Lite BCH/LDPC sizes (EN 302 755 annex I) pinned against the
+    bundled annex C table archive (B8 = rate 1/3, B9 = rate 2/5)."""
+    from sdr_receiver_dvb_t2_tpu.params import tables
+    from sdr_receiver_dvb_t2_tpu.params.modes import (BCH_PARAMS,
+                                                      LDPC_TABLE_NAME,
+                                                      CodeRate, FecFrame)
+    for rate in (CodeRate.C1_3, CodeRate.C2_5):
+        name = LDPC_TABLE_NAME[(FecFrame.SHORT, rate)]
+        t = tables.ldpc_table(name)
+        n_bch, k_bch = BCH_PARAMS[(FecFrame.SHORT, rate)]
+        assert t.N == 16200
+        assert t.K == n_bch, (name, t.K, n_bch)
+        assert n_bch - k_bch == 168        # t=12 over GF(2^14), all SHORT
