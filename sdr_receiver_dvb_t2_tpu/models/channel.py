@@ -24,12 +24,21 @@ class ChannelConfig:
     dc_offset: complex = 0.0
     iq_gain_db: float = 0.0         # Q arm gain error
     iq_phase_deg: float = 0.0       # quadrature phase error
+    # static multipath at the ELEMENTARY rate: (delay_samples, complex gain)
+    # per path, e.g. a 0 dB SFN echo = ((0, 1.0), (200, 1.0)).  Applied
+    # before resampling so delays are in units of T = 7/64 us.
+    echoes: tuple = ()
     seed: int = 1234
 
 
 def impair(iq: np.ndarray, cfg: ChannelConfig) -> np.ndarray:
     """Elementary-rate IQ -> impaired complex64 at cfg.device_rate."""
     rng = np.random.default_rng(cfg.seed)
+    if cfg.echoes:
+        taps = np.zeros(max(int(d) for d, _ in cfg.echoes) + 1, np.complex128)
+        for delay, gain in cfg.echoes:
+            taps[int(delay)] += gain
+        iq = np.convolve(iq, taps)[:len(iq)]
     ratio = SAMPLE_RATE / (cfg.device_rate * (1.0 + cfg.sro_ppm * 1e-6))
 
     # high-fidelity fractional resample to device rate: FFT-upsample x8,

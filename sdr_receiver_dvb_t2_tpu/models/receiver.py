@@ -131,8 +131,9 @@ class TpuReceiver:
         """Jitted per-PLP half: packed plane -> kernel-ordered LLRs."""
         plan, consts = self._plan, self._consts
         fn = jax.jit(
-            lambda packed, c: rx_chain.packed_to_llr_t(packed, plan, c))
-        return lambda packed: fn(packed, consts)
+            lambda packed, c, csi: rx_chain.packed_to_llr_t(
+                packed, plan, c, csi=csi))
+        return lambda packed, csi=None: fn(packed, consts, csi)
 
     def compute_plane(self, frames_iq: np.ndarray):
         """Demod+equalize once; the result feeds every PLP's demap."""
@@ -227,8 +228,9 @@ class TpuReceiver:
         (runtime/stream.py:step_batch) — N PLPs cost one demod/equalize
         pass plus N cheap demap+FEC passes, not N full pipelines.
         """
-        llr_t, snr = self._demap_fn(packed)
-        diags = dict(diags, snr_db=snr)
+        llr_t, snr = self._demap_fn(packed, diags.get("csi"))
+        diags = {k: v for k, v in diags.items() if k != "csi"}
+        diags["snr_db"] = snr
         n_cw = llr_t.shape[1]
         decoder = self._get_decoder(n_cw)
         if self._ldpc_batch > n_cw:

@@ -69,13 +69,26 @@ def _axis_llrs(v, per_axis, norm, precision):
     return out
 
 
-def demap_cells_planes(cells: C, n_frames: int, plan: DemapPlan):
+def demap_cells_planes(cells: C, n_frames: int, plan: DemapPlan,
+                       csi=None):
     """Multi-frame demap to per-bit planes: cells [W, n_cells] ->
     (planes list of eta int8 [W, n_cells] arrays in stream-stack order
     [i0, q0, i1, q1, ...], snr_db [F]).
 
     W = n_frames * n_fec codeword rows; SNR/precision computed per frame
     over its row block (matching the reference's per-frame adaptation).
+
+    ``csi`` (optional, [W, n_cells], mean-normalized |h|^2 per cell):
+    per-cell LLR reliability for frequency-selective (SFN) channels.  A
+    ZF-equalized cell at a deep channel null carries amplified noise; a
+    per-frame scalar precision would hand the decoder equally-confident
+    garbage there, which breaks LDPC convergence on near-0 dB echoes
+    (the reference shares this failure — llr_demapper.cpp adapts one
+    scale per superframe).  The rotated-constellation Q delay means a
+    cell's I and Q ride DIFFERENT carriers; after derotation each axis
+    sees the variance mix c^2/csi_I + s^2/csi_Q, so each axis gets the
+    reciprocal of that mix as its weight (the max-log separable
+    approximation of the 2-D rotated demap).
     """
     w, n_cells = cells.shape
     # undo cyclic Q delay (within each codeword = along the cell axis)
@@ -85,6 +98,14 @@ def demap_cells_planes(cells: C, n_frames: int, plan: DemapPlan):
     per_axis = plan.eta // 2
     step = 2 * plan.norm
     lim = plan.levels_max * plan.norm
+    if csi is not None:
+        c2 = float(plan.derot_re) ** 2
+        v_i = 1.0 / jnp.maximum(csi.astype(jnp.float32), 1e-5)
+        v_q = jnp.roll(v_i, -1, axis=1)      # same roll as the Q delay
+        csi_x = 1.0 / (c2 * v_i + (1.0 - c2) * v_q)
+        csi_y = 1.0 / ((1.0 - c2) * v_i + c2 * v_q)
+    else:
+        csi_x = csi_y = None
     # SNR / precision from a 1/8 stride sample of the cells: the estimate
     # averages over >1M cells per frame either way (sampling error well
     # under 0.01 dB), and the hard-decision error math is ~half the
@@ -94,7 +115,15 @@ def demap_cells_planes(cells: C, n_frames: int, plan: DemapPlan):
                       + plan.norm, -lim, lim)
     hard_q = jnp.clip(jnp.round((sub.im - plan.norm) / step) * step
                       + plan.norm, -lim, lim)
-    err = (sub.re - hard_i) ** 2 + (sub.im - hard_q) ** 2
+    err_i = (sub.re - hard_i) ** 2
+    err_q = (sub.im - hard_q) ** 2
+    if csi is not None:
+        # reliability-weighted error: E[err * csi] = sigma^2 / mean|h|^2,
+        # so the adapted precision recovers the flat-channel scale and
+        # precision * csi_cell is the proper per-cell matched scale
+        err_i = err_i * csi_x[:, ::8]
+        err_q = err_q * csi_y[:, ::8]
+    err = err_i + err_q
     sig = hard_i ** 2 + hard_q ** 2
     sum_s = jnp.sum(sig.reshape(n_frames, -1), axis=1)
     sum_e = jnp.maximum(jnp.sum(err.reshape(n_frames, -1), axis=1), 1e-12)
@@ -102,8 +131,10 @@ def demap_cells_planes(cells: C, n_frames: int, plan: DemapPlan):
     precision = jnp.clip(8.0 * plan.norm * sum_s / sum_e, 0.0, 512.0)
     prec_row = jnp.repeat(precision, w // n_frames)[:, None]    # [W, 1]
 
-    i_llrs = _axis_llrs(cells.re, per_axis, plan.norm, prec_row)
-    q_llrs = _axis_llrs(cells.im, per_axis, plan.norm, prec_row)
+    i_llrs = _axis_llrs(cells.re, per_axis, plan.norm,
+                        prec_row if csi is None else prec_row * csi_x)
+    q_llrs = _axis_llrs(cells.im, per_axis, plan.norm,
+                        prec_row if csi is None else prec_row * csi_y)
     bits = []
     for a, b in zip(i_llrs, q_llrs):
         # clip+int8 per plane BEFORE stacking: the stacked stream then

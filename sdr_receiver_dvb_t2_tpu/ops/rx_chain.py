@@ -48,9 +48,25 @@ def _banded_interp_weights(K: int, seg: int, sets: list):
              NEIGHBOUR's pilots, which makes the partner estimate free),
       pidx — sorted pilot carrier indices (int64),
       sign — TX1 reference sign per pilot,
-      amp  — reference amplitude per pilot.
+      amp  — reference amplitude per pilot,
+      wiener — optional (center, span, fft_size, noise) MMSE design (see
+             below); absent/None selects 2-tap linear weights.
     Returns (group_syms, regroup, weights); see EqTables for the device
     contract.
+
+    Wiener rows: a near-0 dB SFN echo at delay d rotates H(k) by
+    2*pi*d*Dx/Tu between adjacent pilots — ~3.7 rad for a 200-sample echo
+    at 2K/Dx=6, far past what 2-tap linear interpolation can follow even
+    though the pilot grid itself is unaliased to Tu/Dx.  For those modes
+    the band's weights are instead the per-carrier LMMSE interpolator for
+    a uniform delay prior of width ``span`` centred at ``center``:
+    pilot estimates are pre-rotated by e^{+2pi j k c/Tu} (folded into the
+    complex sign_inv), which centres the prior at zero delay and makes
+    the channel autocorrelation the REAL kernel sinc(dk*span/Tu) — so the
+    banded matmul stays two real einsums — and the outputs are
+    post-rotated back by e^{-2pi j k c/Tu} (the per-group ``rot`` table).
+    Weights solve (R_pp + noise*I) W = R_dp per segment (one [win, win]
+    solve per 256 carriers, shared by every symbol row in the group).
 
     Banded form: carrier k interpolates between pilot ordinals lo(k) and
     lo(k)+1, and lo is monotone in k — so a segment of SEG consecutive
@@ -72,49 +88,91 @@ def _banded_interp_weights(K: int, seg: int, sets: list):
     """
     L = len(sets)
     n_seg = -(-K // seg)
-    groups: dict[bytes, list[int]] = {}
+    groups: dict[tuple, list[int]] = {}
     for l in range(L):
-        groups.setdefault(sets[l]["pidx"].tobytes(), []).append(l)
+        groups.setdefault((sets[l]["pidx"].tobytes(),
+                           sets[l].get("wiener")), []).append(l)
     group_syms = [np.array(v, np.int32) for v in groups.values()]
     order = np.concatenate(group_syms)
     regroup = np.empty(L, np.int64)
     regroup[order] = np.arange(L)                   # undo group concat order
 
-    weights = []   # (win_idx [Lg,S,Wg] i32, sign_inv [Lg,S,Wg],
-    #                  wband [S,Wg,SEG])
+    weights = []   # (win_idx [Lg,S,Wg] i32, si_re [Lg,S,Wg],
+    #                  si_im [Lg,S,Wg] | None, wband [S,Wg,SEG],
+    #                  rot (re [K], im [K]) | None)
     for syms in group_syms:
-        pidx = sets[int(syms[0])]["pidx"]
+        s0 = sets[int(syms[0])]
+        pidx = s0["pidx"]
+        wiener = s0.get("wiener")
         n_pil = len(pidx)
         k = np.arange(K)
         lo = np.clip(np.searchsorted(pidx, k) - 1, 0, n_pil - 2)
-        span = np.maximum(pidx[lo + 1] - pidx[lo], 1)
-        frac = (k - pidx[lo]) / span
-        win = 0
-        for s in range(n_seg):
-            seg_lo = lo[s * seg:(s + 1) * seg]
-            win = max(win, int(seg_lo.max() - seg_lo.min()) + 2)
-        win = -(-win // 8) * 8
-        o_idx = np.zeros(n_seg, np.int64)
-        wband = np.zeros((n_seg, win, seg), np.float32)
-        for s in range(n_seg):
-            k0 = s * seg
-            k1 = min(k0 + seg, K)
-            seg_lo = lo[k0:k1]
-            o = int(seg_lo.min())
-            o_idx[s] = o
-            cols = np.arange(k1 - k0)
-            wband[s, seg_lo - o, cols] = 1.0 - frac[k0:k1]
-            wband[s, seg_lo - o + 1, cols] = frac[k0:k1]
-        ords = np.minimum(o_idx[:, None] + np.arange(win)[None],
-                          n_pil - 1)                       # [S, Wg]
-        valid = (o_idx[:, None] + np.arange(win)[None]) < n_pil
-        src = np.array([sets[int(l)]["src"] for l in syms], np.int64)
-        win_idx = (src[:, None, None] * K
-                   + pidx[ords][None]).astype(np.int32)    # [Lg, S, Wg]
+        if wiener is None:
+            span = np.maximum(pidx[lo + 1] - pidx[lo], 1)
+            frac = (k - pidx[lo]) / span
+            win = 0
+            for s in range(n_seg):
+                seg_lo = lo[s * seg:(s + 1) * seg]
+                win = max(win, int(seg_lo.max() - seg_lo.min()) + 2)
+            win = -(-win // 8) * 8
+            o_idx = np.zeros(n_seg, np.int64)
+            wband = np.zeros((n_seg, win, seg), np.float32)
+            for s in range(n_seg):
+                k0 = s * seg
+                k1 = min(k0 + seg, K)
+                seg_lo = lo[k0:k1]
+                o = int(seg_lo.min())
+                o_idx[s] = o
+                cols = np.arange(k1 - k0)
+                wband[s, seg_lo - o, cols] = 1.0 - frac[k0:k1]
+                wband[s, seg_lo - o + 1, cols] = frac[k0:k1]
+            ords = np.minimum(o_idx[:, None] + np.arange(win)[None],
+                              n_pil - 1)                   # [S, Wg]
+            valid = (o_idx[:, None] + np.arange(win)[None]) < n_pil
+        else:
+            center, dspan, fftn, noise = wiener
+            H = 12                     # extra MMSE taps on each side
+            win = 0
+            for s in range(n_seg):
+                seg_lo = lo[s * seg:(s + 1) * seg]
+                win = max(win,
+                          int(seg_lo.max() - seg_lo.min()) + 2 + 2 * H)
+            win = min(-(-win // 8) * 8, n_pil)
+            o_idx = np.zeros(n_seg, np.int64)
+            wband = np.zeros((n_seg, win, seg), np.float32)
+            for s in range(n_seg):
+                k0 = s * seg
+                k1 = min(k0 + seg, K)
+                o = int(np.clip(lo[k0:k1].min() - (H - 1),
+                                0, n_pil - win))
+                o_idx[s] = o
+                p = pidx[o:o + win].astype(np.float64)
+                r_pp = np.sinc((p[:, None] - p[None, :]) * (dspan / fftn))
+                r_dp = np.sinc((p[:, None] - np.arange(k0, k1)[None])
+                               * (dspan / fftn))
+                wband[s, :, :k1 - k0] = np.linalg.solve(
+                    r_pp + noise * np.eye(win), r_dp)
+            ords = o_idx[:, None] + np.arange(win)[None]   # all in range
+            valid = np.ones_like(ords, bool)
+        # src may be scalar (all pilots from one symbol) or per-pilot (the
+        # temporal-union SFN sets mix pilots from a Dy-symbol window)
+        flat = np.stack([np.broadcast_to(sets[int(l)]["src"],
+                                         pidx.shape).astype(np.int64) * K
+                         + pidx for l in syms])             # [Lg, n_pil]
+        win_idx = flat[:, ords].astype(np.int32)            # [Lg, S, Wg]
         sign = np.stack([sets[int(l)]["sign"][ords] for l in syms])
         inv_amp = np.stack([1.0 / sets[int(l)]["amp"][ords] for l in syms])
-        sign_inv = (sign * inv_amp * valid[None]).astype(np.float32)
-        weights.append((win_idx, sign_inv, wband))
+        s_amp = sign * inv_amp * valid[None]
+        if wiener is None:
+            si_re, si_im, rot = s_amp.astype(np.float32), None, None
+        else:
+            ph = 2.0 * np.pi * pidx[ords] * (center / fftn)  # [S, Wg]
+            si_re = (s_amp * np.cos(ph)[None]).astype(np.float32)
+            si_im = (s_amp * np.sin(ph)[None]).astype(np.float32)
+            kr = -2.0 * np.pi * np.arange(K) * (center / fftn)
+            rot = (np.cos(kr).astype(np.float32),
+                   np.sin(kr).astype(np.float32))
+        weights.append((win_idx, si_re, si_im, wband, rot))
     return group_syms, regroup, weights
 
 
@@ -137,10 +195,84 @@ class EqTables:
                         sign=np.asarray(ep.ref_vals[l][:n]),
                         amp=np.asarray(ep.amp_vals[l][:n]))
 
+        self.ph_rot = None
+        self.cir_tab = None
+        self.cir_d = None
         if not mode.miso:
+            sets = [full_set(l) for l in range(L)]
+            # SFN reach: a row interpolating from its own pilots alone
+            # resolves delay spread only up to fft_size / (largest pilot
+            # gap) — e.g. Tu/(Dx*Dy) for a scattered-only data symbol,
+            # which for small FFT sizes with wide guards is far short of
+            # the GI (2K PP3 GI1/8: 85 of 256 samples).  Where that
+            # falls short of the guard interval, union the row's pilots
+            # with those of a centered Dy-symbol window (per-pilot src;
+            # duplicates resolve to the nearest symbol).  This is the
+            # matmul form of the classic scattered-pilot temporal
+            # interpolation (the channel is assumed static across the
+            # window, as the reference's data_symbol interpolation also
+            # assumes), and restores reach to ~Tu/Dx — beyond any legal
+            # GI.  Rows already covering the GI (P2, FC, dense patterns
+            # like the 32K ones) keep their cheaper single-symbol plan.
+            need = [mode.fft_size // int(np.diff(s["pidx"]).max())
+                    < mode.guard_size for s in sets]
+            h = (mode.dy + 1) // 2
+            for l in range(L):
+                if not need[l]:
+                    continue
+                lo = max(0, min(l - h, L - (2 * h + 1)))
+                window = sorted(range(lo, min(L, lo + 2 * h + 1)),
+                                key=lambda s: (abs(s - l), s - l))
+                cat = {key: np.concatenate([full_set(s)[key]
+                                            for s in window])
+                       for key in ("pidx", "sign", "amp")}
+                cat["src"] = np.concatenate(
+                    [np.full(int(ep.n_pilots[s]), s, np.int64)
+                     for s in window])
+                _, first = np.unique(cat["pidx"], return_index=True)
+                sets[l] = {key: v[first] for key, v in cat.items()}
+            if any(need):
+                # SFN-capable mode: LMMSE interpolation weights for a
+                # guard-width delay prior on EVERY row (linear weights
+                # fail on in-guard echoes long before the grid aliases —
+                # see _banded_interp_weights), and per-symbol common-phase
+                # pre-derotation so the temporal union mixes
+                # phase-consistent pilots under residual CFO (same
+                # requirement and mask construction as MISO's pairing).
+                for st in sets:
+                    gap = int(np.diff(st["pidx"]).max())
+                    # prior window [-dspan/8, 7*dspan/8]: anchored just
+                    # below delay 0 (first-path timing sync), extending
+                    # toward the GI as far as the pilot grid's alias-free
+                    # span allows (a guard/2-centred window would exclude
+                    # delay 0 itself when the grid is coarse, e.g. 2K PP7)
+                    dspan = min(mode.guard_size + mode.guard_size // 2,
+                                int(0.85 * mode.fft_size / gap))
+                    st["wiener"] = (dspan / 2 - dspan / 8, dspan,
+                                    mode.fft_size, 1e-2)
+                sro_idx = np.asarray(ep.sro_idx)
+                ph_rot = np.zeros((L, K), np.float32)
+                for l in range(L):
+                    ph_rot[l, sro_idx] = np.sign(
+                        pilots.reference_symbol(mode, l)[sro_idx])
+                self.ph_rot = ph_rot
+                # delay-profile probe for the CIR-anchored timing loop
+                # (runtime/stream.py): cir(d) = sum_k hann(k) h(k)
+                # e^{+2pi j k d/Tu} on a coarse grid around [0, GI].
+                # Hann keeps spectral-truncation sidelobes ~-31 dB so the
+                # first-path threshold (-11 dB) never fires on them.
+                dstep = max(2, mode.guard_size // 128)
+                d = np.arange(-(mode.guard_size // 2),
+                              mode.guard_size + dstep, dstep)
+                hann = np.hanning(K)
+                ang = 2.0 * np.pi * np.outer(np.arange(K),
+                                             d) / mode.fft_size
+                self.cir_d = d
+                self.cir_tab = (
+                    (hann[:, None] * np.cos(ang)).astype(np.float32),
+                    (hann[:, None] * np.sin(ang)).astype(np.float32))
             self.group_syms, self.regroup, self.weights = \
-                _banded_interp_weights(K, SEG, [full_set(l)
-                                                for l in range(L)])
+                _banded_interp_weights(K, SEG, sets)
         else:
             self._build_miso(L, K, SEG, full_set)
 
@@ -270,22 +402,33 @@ class EqTables:
         wdt = (jnp.bfloat16 if _jax.default_backend() != "cpu"
                else jnp.float32)
         def dev_w(weights):
-            return tuple((_jax.device_put(jnp.asarray(wi)),
-                          _jax.device_put(jnp.asarray(si).astype(wdt)),
-                          _jax.device_put(jnp.asarray(wb).astype(wdt)))
-                         for wi, si, wb in weights)
+            # rot stays f32: a bf16 post-rotation phase costs ~-48 dB on
+            # the whole estimate; si/wband bf16 errors stay pre-MMSE
+            return tuple(
+                (_jax.device_put(jnp.asarray(wi)),
+                 _jax.device_put(jnp.asarray(sr).astype(wdt)),
+                 None if si is None else
+                 _jax.device_put(jnp.asarray(si).astype(wdt)),
+                 _jax.device_put(jnp.asarray(wb).astype(wdt)),
+                 None if rot is None else
+                 tuple(_jax.device_put(jnp.asarray(r)) for r in rot))
+                for wi, sr, si, wb, rot in weights)
         consts = dict(
             w=dev_w(self.weights),
             ph_mask=tuple(_jax.device_put(jnp.asarray(m))
                           for m in self.ph_mask),
         )
+        if self.ph_rot is not None:
+            consts["ph_rot"] = _jax.device_put(jnp.asarray(self.ph_rot))
+        if self.cir_tab is not None:
+            consts["cir_tab"] = tuple(_jax.device_put(jnp.asarray(t))
+                                      for t in self.cir_tab)
         if self.mode.miso:
             consts.update(
                 w_alt=dev_w(self.weights_alt),
                 o_sign=_jax.device_put(jnp.asarray(self.o_sign)),
                 pair_idx=_jax.device_put(jnp.asarray(self.pair_idx)),
                 pair_sign=_jax.device_put(jnp.asarray(self.pair_sign)),
-                ph_rot=_jax.device_put(jnp.asarray(self.ph_rot)),
             )
         _EQ_DEVICE_CONSTS[key] = consts
         return consts
@@ -440,19 +583,31 @@ def _grouped_interp(packed, weights_c, group_syms, regroup, K) -> C:
     of 256 carriers, gather the pilot window straight from the carrier
     plane and multiply by the banded weight block."""
     outs_re, outs_im = [], []
-    for syms, (win_idx, sign_inv, wband) in zip(group_syms, weights_c):
+    for syms, (win_idx, si_re, si_im, wband, rot) in zip(group_syms,
+                                                         weights_c):
         g = jax.lax.gather(
             packed, win_idx.reshape(-1, 1), _FAST_GATHER, (1,),
             mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
         h = _unpack_bf16(g.reshape(win_idx.shape), wband.dtype)
-        hr = h.re * sign_inv                                  # [Lg, S, Wg]
-        hi = h.im * sign_inv
+        if si_im is None:
+            hr = h.re * si_re                                 # [Lg, S, Wg]
+            hi = h.im * si_re
+        else:
+            # complex sign_inv: Wiener rows fold the delay-centering
+            # pre-rotation e^{+2pi j k c/Tu} into the pilot reference
+            hr = h.re * si_re - h.im * si_im
+            hi = h.re * si_im + h.im * si_re
         er = jnp.einsum("lsw,swc->lsc", hr, wband,
                         preferred_element_type=jnp.float32)
         ei = jnp.einsum("lsw,swc->lsc", hi, wband,
                         preferred_element_type=jnp.float32)
-        outs_re.append(er.reshape(er.shape[0], -1)[:, :K])
-        outs_im.append(ei.reshape(ei.shape[0], -1)[:, :K])
+        er = er.reshape(er.shape[0], -1)[:, :K]
+        ei = ei.reshape(ei.shape[0], -1)[:, :K]
+        if rot is not None:                    # undo the delay centering
+            rr, ri = rot
+            er, ei = er * rr - ei * ri, er * ri + ei * rr
+        outs_re.append(er)
+        outs_im.append(ei)
     return C(jnp.concatenate(outs_re)[regroup],
              jnp.concatenate(outs_im)[regroup])               # [L, K]
 
@@ -462,7 +617,7 @@ def equalize_plane(carriers: C, plan: ChainPlan, consts):
     ep = plan.eq_plan
     K = plan.mode.k_total
 
-    if plan.mode.miso:
+    if "ph_rot" in consts:
         # Per-symbol common-phase pre-derotation.  The MISO h1/h2
         # separation pairs a data symbol's estimate with its NEIGHBOUR's
         # (temporal pairing); residual CFO gives each symbol a different
@@ -472,10 +627,25 @@ def equalize_plane(carriers: C, plan: ChainPlan, consts):
         # same carriers every symbol, so the channel-weighted bias of the
         # estimate is common to all symbols and cancels in the pairing);
         # the conjugations in the Alamouti combine also require
-        # phase-aligned symbols.
+        # phase-aligned symbols.  SISO SFN-capable modes provide ph_rot
+        # too: their temporal-union interpolation mixes pilots from a
+        # Dy-symbol window, which must be phase-consistent the same way.
+        #
+        # The phase is measured DIFFERENTIALLY against symbol 0:
+        # z_l = sum_cp a_l(k) conj(a_0(k)) with a = carriers * ph_rot.
+        # An absolute pilot-phasor sum (sum_cp h(k) sign(k)) can cancel
+        # to ~zero on a frequency-selective SFN channel (the CP phasors
+        # rotate through 2pi several times across the spectrum), making
+        # its angle pure noise and randomizing every symbol's rotation;
+        # the differential product weights by |h(k)|^2 >= 0 instead, so
+        # the channel can never cancel it.  The leftover common rotation
+        # (symbol 0's own CPE) is absorbed by the channel estimate — it
+        # is common to every row, which is all the union/pairing needs.
         m = consts["ph_rot"]
-        zr = jnp.sum(carriers.re * m, axis=1, keepdims=True)
-        zi = jnp.sum(carriers.im * m, axis=1, keepdims=True)
+        ar = carriers.re * m
+        ai = carriers.im * m
+        zr = jnp.sum(ar * ar[0:1] + ai * ai[0:1], axis=1, keepdims=True)
+        zi = jnp.sum(ai * ar[0:1] - ar * ai[0:1], axis=1, keepdims=True)
         inv_mag = jax.lax.rsqrt(jnp.maximum(zr * zr + zi * zi, 1e-18))
         carriers = carriers * C(zr * inv_mag, -zi * inv_mag)
 
@@ -547,11 +717,32 @@ def equalize_plane(carriers: C, plan: ChainPlan, consts):
     pwr = jnp.mean(sro_pil.abs2(), axis=1)
     sro = jnp.concatenate([jnp.zeros((1,)), (d2 - d1)
                            / jnp.maximum(pwr[1:] * sro_pil.shape[1], 1e-9)])
-    return eq, dict(phase_offset=phase_offset, sro=sro)
+    diag = dict(phase_offset=phase_offset, sro=sro)
+    if "cir_tab" in consts:
+        # per-carrier channel power (mean-normalized) for the demapper's
+        # per-cell LLR weighting: an SFN echo carves deep nulls where the
+        # ZF-equalized cells are pure amplified noise (bf16: 40 dB+ of
+        # headroom above the int8 LLR grid)
+        ab2 = h_d.abs2()
+        csi = ab2 / jnp.maximum(jnp.mean(ab2), 1e-12)
+        diag["csi"] = csi.astype(jnp.bfloat16)
+        # delay profile |cir(d)|^2 of the frame-mean channel estimate
+        # (rows are phase-aligned by the ph_rot derotation above) — feeds
+        # the CIR-anchored first-path timing loop (runtime/stream.py)
+        tr, ti = consts["cir_tab"]                         # [K, nd]
+        hr = jnp.mean(h_d.re, axis=0)
+        hi = jnp.mean(h_d.im, axis=0)
+        diag["cir_p"] = ((hr @ tr - hi @ ti) ** 2
+                         + (hr @ ti + hi @ tr) ** 2)
+    return eq, diag
 
 
-def packed_to_llr_t(packed, plan: ChainPlan, consts):
+def packed_to_llr_t(packed, plan: ChainPlan, consts, csi=None):
     """Packed eq planes u32 [F, L, K] -> (llr_T [N, F*n_fec], snr_db [F]).
+
+    ``csi`` (optional bf16 [F, L, K], from the eq diag of SFN modes):
+    per-carrier channel power; deinterleaved by the same composed cell
+    gather and handed to the demapper as per-cell LLR reliability.
 
     The deinterleave gather moves both IQ components in ONE u32 gather by
     packing them as bf16 halves (gathers are index-bound on TPU; halving
@@ -582,7 +773,11 @@ def packed_to_llr_t(packed, plan: ChainPlan, consts):
     g = jax.vmap(one_plane)(packed)
     g = g.reshape(-1, consts["cell_idx"].shape[1])     # [F*n_fec, n_cells]
     cells = _unpack_bf16(g)
-    planes, snr = llr_mod.demap_cells_planes(cells, f, plan.demap)
+    csi_cells = None
+    if csi is not None:
+        csi_cells = jax.vmap(one_plane)(csi).reshape(g.shape)
+    planes, snr = llr_mod.demap_cells_planes(cells, f, plan.demap,
+                                             csi=csi_cells)
     if plan.bit_blocks is not None:
         # structured path: each kernel-row block is one bit plane sliced at
         # stride `step` and cyclically rolled — no N-element gather at all
@@ -642,6 +837,7 @@ def frames_to_llr_t(frames_iq: C, plan: ChainPlan, consts):
     llr_T rows are in LDPC-kernel bit order; columns are codewords.
     """
     packed, diag = frames_to_eq(frames_iq, plan, consts)
-    llr_t, snr = packed_to_llr_t(packed, plan, consts)
+    llr_t, snr = packed_to_llr_t(packed, plan, consts,
+                                 csi=diag.pop("csi", None))
     diag["snr_db"] = snr
     return llr_t, diag

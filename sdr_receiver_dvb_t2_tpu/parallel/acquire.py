@@ -118,7 +118,8 @@ def _acquire_one(raw_row: np.ndarray, step: float, head_elem: int,
     acq = acquisition.acquire_mode(elem[t0 + p1_mod.P1_LEN:], s1, s2 // 2)
     if acq is None:
         return None
-    r0 = mu_acq + 2.0 * step * t0           # raw position of frame start
+    # raw position of frame start (+ first-path re-anchor, SFN channels)
+    r0 = mu_acq + 2.0 * step * (t0 + acq.timing_off)
     freq_raw = cfo_total / (2.0 * step)     # rad/elem -> rad/raw
     return r0, freq_raw, acq
 

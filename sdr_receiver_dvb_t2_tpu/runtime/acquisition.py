@@ -48,21 +48,80 @@ def gi_candidates(fft_size: int) -> list[GuardInterval]:
     return out
 
 
-def _demod_p2(x: np.ndarray, mode: T2Mode) -> np.ndarray:
-    """Elementary samples starting at the first P2 symbol -> P2 carriers."""
+def _demod_p2(x: np.ndarray, mode: T2Mode, start: int = 0) -> np.ndarray:
+    """Elementary samples starting at the first P2 symbol -> P2 carriers.
+
+    ``start`` shifts the FFT windows (may be negative down to -guard_size:
+    the window then eats into what was sliced off as the first guard)."""
     out = np.empty((mode.n_p2, mode.k_total), dtype=np.complex64)
-    pos = 0
+    pos = start
     for s in range(mode.n_p2):
-        sym = x[pos:pos + mode.symbol_size]
+        sym = x[pos + mode.guard_size:pos + mode.symbol_size]
         pos += mode.symbol_size
-        spec = np.fft.fftshift(np.fft.fft(sym[mode.guard_size:]))
+        spec = np.fft.fftshift(np.fft.fft(sym))
         spec /= mode.fft_size / np.sqrt(mode.k_total)
         out[s] = spec[mode.left_nulls:mode.left_nulls + mode.k_total]
     return out
 
 
+def _first_path_offset(p2_carriers: np.ndarray, mode: T2Mode) -> int:
+    """Timing offset that places the channel's FIRST path at delay ~0.
+
+    SFN anchor: the P1 correlator locks onto EITHER transmitter of a
+    near-0 dB echo pair (its metric is ambiguous between them), but
+    ISI-free FFT placement requires every path delay in [0, GI] — i.e.
+    sync to the first path, not the strongest.  Estimate the CIR from the
+    P2 pilot estimates (Hann-windowed DFT; P2's every-3rd-carrier grid
+    resolves delays to +-Tu/6) and return the earliest delay within
+    -11 dB of the strongest."""
+    ref = pilots.reference_symbol(mode, 0)
+    pidx = np.nonzero(ref != 0)[0]
+    h_p = p2_carriers[0][pidx] / ref[pidx]
+    gap = int(np.diff(pidx).max())
+    dmax = min(mode.guard_size, int(0.45 * mode.fft_size / gap))
+    step = max(1, mode.guard_size // 256)
+    d = np.arange(-dmax, dmax, step)
+    w = np.hanning(len(pidx))
+    cir = (h_p * w) @ np.exp(2j * np.pi * np.outer(pidx, d) / mode.fft_size)
+    p = np.abs(cir) ** 2
+    return int(d[int(np.argmax(p >= 0.08 * p.max()))])
+
+
 def _interp_c(k, pidx, vals):
     return np.interp(k, pidx, vals.real) + 1j * np.interp(k, pidx, vals.imag)
+
+
+def _mmse_interp_c(k, pidx, vals, fftn, guard, reg=2e-2):
+    """Banded host LMMSE pilot->carrier interpolation.
+
+    Linear interpolation fails on SFN channels long before the pilot grid
+    aliases: a 0 dB in-guard echo rotates H(k) by up to ~2 rad between P2
+    pilots.  Per 64-carrier segment this solves the LMMSE weights for a
+    uniform delay prior over [-GI/4, GI] (covering post-echoes to the full
+    guard plus moderate pre-echo / timing error), using the complex kernel
+    E[h(k1)h*(k2)] = sinc(dk*span/Tu) e^{-2pi j dk c/Tu}.  Host-side
+    acquisition only; the streaming path's equivalent is the Wiener rows
+    of ops/rx_chain._banded_interp_weights."""
+    pidx = np.asarray(pidx)
+    gap = int(np.diff(pidx).max()) if len(pidx) > 1 else 1
+    span = min(1.25 * guard, 0.8 * fftn / gap)
+    c = span / 2 - span / 8      # prior window [-span/8, 7*span/8]
+
+    def kern(d):
+        return (np.sinc(d * span / fftn)
+                * np.exp(-2j * np.pi * d * (c / fftn)))
+
+    out = np.empty(len(k), np.complex128)
+    seg, H, n = 64, 16, len(pidx)
+    for s0 in range(0, len(k), seg):
+        ks = k[s0:s0 + seg]
+        a = max(0, np.searchsorted(pidx, ks[0]) - H)
+        b = min(n, np.searchsorted(pidx, ks[-1]) + H)
+        p = pidx[a:b]
+        r_pp = kern(p[:, None] - p[None, :]) + reg * np.eye(len(p))
+        r_dp = kern(ks[:, None] - p[None, :])
+        out[s0:s0 + seg] = r_dp @ np.linalg.solve(r_pp, vals[a:b])
+    return out
 
 
 def _equalize_p2(carriers: np.ndarray, mode: T2Mode) -> np.ndarray:
@@ -81,10 +140,12 @@ def _equalize_p2(carriers: np.ndarray, mode: T2Mode) -> np.ndarray:
         didx = pilots.data_cell_indices(mode, s)
         if mode.miso:
             inv = pilots.miso_inversion_mask(mode, s)[pidx]
-            h1 = 0.5 * (_interp_c(k, pidx[~inv], h_p[~inv])
-                        + _interp_c(k, pidx[inv], h_p[inv]))
-            h2 = 0.5 * (_interp_c(k, pidx[~inv], h_p[~inv])
-                        - _interp_c(k, pidx[inv], h_p[inv]))
+            h_own = _mmse_interp_c(k, pidx[~inv], h_p[~inv],
+                                   mode.fft_size, mode.guard_size)
+            h_alt = _mmse_interp_c(k, pidx[inv], h_p[inv],
+                                   mode.fft_size, mode.guard_size)
+            h1 = 0.5 * (h_own + h_alt)
+            h2 = 0.5 * (h_own - h_alt)
             r = carriers[s]
             a, b = didx[0::2], didx[1::2]
             d1 = np.maximum(np.abs(h1[a]) ** 2 + np.abs(h2[b]) ** 2, 1e-9)
@@ -95,8 +156,7 @@ def _equalize_p2(carriers: np.ndarray, mode: T2Mode) -> np.ndarray:
             data[1::2] = (np.conj(h1[b]) * r[b]
                           - h2[a] * np.conj(r[a])) / d2
         else:
-            # linear complex interpolation over all carriers
-            h = _interp_c(k, pidx, h_p)
+            h = _mmse_interp_c(k, pidx, h_p, mode.fft_size, mode.guard_size)
             eq = carriers[s] * np.conj(h) / np.maximum(np.abs(h) ** 2, 1e-9)
             data = eq[didx]
         perm = freq_interleaver.tx_permutation(mode, len(data), s)
@@ -110,6 +170,7 @@ class AcquisitionResult:
     l1_pre: l1.L1Pre
     l1_post: l1.L1Post
     p2_cells: np.ndarray
+    timing_off: int = 0     # add to the P1 position: first-path alignment
 
 
 def decode_l1_from_p2(cells: np.ndarray, pre: l1.L1Pre):
@@ -185,7 +246,17 @@ def acquire_mode(elem: np.ndarray, s1: int, s2_field1: int
             need = mode.n_p2 * mode.symbol_size
             if len(elem) < need:
                 continue
-            carriers = _demod_p2(elem[:need], mode)
+            carriers = _demod_p2(elem, mode)
+            # re-anchor to the channel's first path (SFN: the P1 position
+            # may be the echo's); a wrong GI hypothesis yields a garbage
+            # offset but would have failed its L1 CRC regardless
+            off = _first_path_offset(carriers, mode)
+            off = int(np.clip(off, -mode.guard_size + 1,
+                              len(elem) - need))
+            if abs(off) > 8:
+                carriers = _demod_p2(elem, mode, off)
+            else:
+                off = 0
             cells = _equalize_p2(carriers, mode)
             pre_bits = (cells[:l1.L1_PRE_CELLS].real < 0).astype(np.uint8)
             pre = l1.parse_l1_pre(l1_fec.decode_l1_pre_systematic(pre_bits))
@@ -211,5 +282,6 @@ def acquire_mode(elem: np.ndarray, s1: int, s2_field1: int
             if post is None:
                 continue
             return AcquisitionResult(mode=full_mode, l1_pre=pre,
-                                     l1_post=post, p2_cells=cells)
+                                     l1_post=post, p2_cells=cells,
+                                     timing_off=off)
     return None

@@ -330,7 +330,7 @@ class StreamingReceiver:
         self.rx = self.rxs[0]
         from ..ops import equalizer as eq_mod
         self._sro_coeff = eq_mod.sro_coefficient(self.mode)
-        self.frame_pos = t0
+        self.frame_pos = max(0, t0 + acq.timing_off)
         # FEF geometry (mixed streams): fef_length elementary samples are
         # inserted after every fef_interval-th T2 frame; the frame stepper
         # skips them by L1-dynamic FRAME_IDX arithmetic (clause 8.4)
@@ -402,7 +402,14 @@ class StreamingReceiver:
         win = self._elem[w0:w1]
         t0, peak, _ = p1_detect.detect(cplx.from_np(win))
         if float(peak) > 0.25:
-            self.frame_pos = w0 + int(t0)
+            # snap only for small corrections: under an SFN echo the P1
+            # metric is ambiguous between the transmitters, and a bare
+            # snap jumps frame_pos by the echo delay batch-to-batch.
+            # Large offsets are left to the CIR-anchored timing loop
+            # (step_batch), which syncs to the FIRST path.
+            nudge = w0 + int(t0) - self.frame_pos
+            if abs(nudge) <= 12:
+                self.frame_pos = w0 + int(t0)
             self._p1_misses = 0
         else:
             self._p1_misses = getattr(self, "_p1_misses", 0) + 1
@@ -527,11 +534,25 @@ class StreamingReceiver:
         slip = float(np.mean(result.diag["sro"])) / self._sro_coeff
         trim = np.clip(-self.cfg.sro_gain * slip, -2e-5, 2e-5)
         self.step *= (1.0 + trim)
+        # CIR-anchored timing (SFN modes): the equalizer diag carries the
+        # delay-domain channel profile; steer frame_pos so the FIRST path
+        # (earliest within -11 dB of the peak) sits at delay ~0, keeping
+        # every echo inside [0, GI] (ISI-free) and inside the Wiener
+        # prior.  The P1 snap above is clamped to +-12, so this loop is
+        # the only authority for larger moves.
+        cir_nudge = 0
+        cir_p = result.diag.get("cir_p")
+        if cir_p is not None:
+            prof = np.mean(np.asarray(cir_p), axis=0)
+            d = self.rx._plan.eq.cir_d
+            first = int(d[int(np.argmax(prof >= 0.08 * float(prof.max())))])
+            if abs(first) > 6:
+                cir_nudge = int(np.clip(first // 2, -24, 24))
         self.stats.sro_ppm = (self.step * UPSAMPLE * SAMPLE_RATE
                               / (4.0 * self.src.info.sample_rate) - 1.0) * 1e6
 
         # ---- bookkeeping / stats -------------------------------------
-        self.frame_pos = pos_next
+        self.frame_pos = pos_next + cir_nudge
         fi0 = getattr(self, "_frame_idx0_l1", None)
         if fi0 is not None:              # L1-dynamic resync (see above)
             idx_next = (fi0 + f) % getattr(self, "_num_t2", 1)
