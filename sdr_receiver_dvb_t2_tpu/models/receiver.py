@@ -48,6 +48,9 @@ class RxConfig:
     plp_start: int = 0                  # cell address after L1 (multi-PLP)
     ldpc_max_iters: int = 15
     use_pallas: bool | None = None      # None = auto (TPU only)
+    sfn: bool = False                   # force Wiener rows (long echoes
+    #                                     measured at acquisition) on modes
+    #                                     whose default plan is linear
 
 
 @dataclasses.dataclass
@@ -62,7 +65,8 @@ class FrameBatchResult:
 
 
 def config_from_l1(mode_hint: T2Mode, pre: l1_mod.L1Pre,
-                   post: l1_mod.L1Post, plp_idx: int = 0) -> RxConfig:
+                   post: l1_mod.L1Post, plp_idx: int = 0,
+                   sfn: bool = False) -> RxConfig:
     """Build the receiver configuration from decoded L1 signalling."""
     p = post.plp[plp_idx]
     mode = T2Mode(
@@ -88,7 +92,7 @@ def config_from_l1(mode_hint: T2Mode, pre: l1_mod.L1Pre,
     n_fec = post.dyn.plp[plp_idx].num_blocks
     n_ti = max(1, p.time_il_length if p.time_il_type == 0 else 1)
     return RxConfig(mode=mode, plp=plp, n_fec_per_frame=n_fec, n_ti=n_ti,
-                    plp_start=post.dyn.plp[plp_idx].start)
+                    plp_start=post.dyn.plp[plp_idx].start, sfn=sfn)
 
 
 class TpuReceiver:
@@ -112,7 +116,8 @@ class TpuReceiver:
     def _plan(self):
         return rx_chain.get_plan(
             self.mode, self.plp, self.cfg.n_fec_per_frame, self.cfg.n_ti,
-            l1_mod.L1_PRE_CELLS + self._l1_post_cells + self.cfg.plp_start)
+            l1_mod.L1_PRE_CELLS + self._l1_post_cells + self.cfg.plp_start,
+            sfn=self.cfg.sfn)
 
     @functools.cached_property
     def _consts(self):

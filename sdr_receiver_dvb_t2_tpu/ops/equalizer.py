@@ -89,6 +89,26 @@ def get_plan(mode: T2Mode) -> EqualizerPlan:
 
 
 @functools.lru_cache(maxsize=None)
+def sfn_reach_gated(mode: T2Mode) -> bool:
+    """True if the mode's DEFAULT interpolation plan is already SFN-grade.
+
+    Mirrors the per-row reach test in ops/rx_chain.EqTables: any row whose
+    own-pilot grid resolves less delay than the guard interval forces the
+    whole mode onto temporal-union + Wiener rows unconditionally.  Modes
+    where this returns False default to cheap 2-tap linear rows and rely
+    on the acquisition-time delay-spread measurement (``RxConfig.sfn``) to
+    escalate when the channel actually carries long echoes."""
+    if mode.miso:
+        return True          # MISO builds its own (union-equivalent) plan
+    ep = get_plan(mode)
+    for l in range(mode.frame_symbols):
+        pidx = np.asarray(ep.pilot_idx[l][:int(ep.n_pilots[l])])
+        if mode.fft_size // int(np.diff(pidx).max()) < mode.guard_size:
+            return True
+    return False
+
+
+@functools.lru_cache(maxsize=None)
 def sro_coefficient(mode: T2Mode) -> float:
     """d(sro discriminator)/d(sampling-rate offset), computed numerically.
 

@@ -177,10 +177,20 @@ def _banded_interp_weights(K: int, seg: int, sets: list):
 
 
 class EqTables:
-    """Mode-only equalizer tables (shared by every PLP of a mux)."""
+    """Mode-only equalizer tables (shared by every PLP of a mux).
 
-    def __init__(self, mode: T2Mode):
+    ``sfn=True`` forces the Wiener/CSI/CIR machinery onto modes whose
+    default plan is linear (single-symbol pilot reach covers the guard):
+    the grid is unaliased there, but 2-tap linear WEIGHTS still cannot
+    follow an in-guard echo near the reach limit (e.g. 32K GI1/128 PP7:
+    a 250-sample echo rotates H(k) by 4.6 rad between pilots).  The flag
+    comes from the acquisition-time delay-spread measurement
+    (runtime/acquisition.acquire_mode), so clean channels keep the
+    cheaper linear rows."""
+
+    def __init__(self, mode: T2Mode, sfn: bool = False):
         self.mode = mode
+        self.sfn = bool(sfn)
         L, K = mode.frame_symbols, mode.k_total
         self.eq_plan = eq_mod.get_plan(mode)       # pilot gather tables, diag
         ep = self.eq_plan
@@ -231,7 +241,7 @@ class EqTables:
                      for s in window])
                 _, first = np.unique(cat["pidx"], return_index=True)
                 sets[l] = {key: v[first] for key, v in cat.items()}
-            if any(need):
+            if any(need) or self.sfn:
                 # SFN-capable mode: LMMSE interpolation weights for a
                 # guard-width delay prior on EVERY row (linear weights
                 # fail on in-guard echoes long before the grid aliases —
@@ -438,8 +448,10 @@ _EQ_DEVICE_CONSTS: dict = {}
 
 
 @functools.lru_cache(maxsize=8)
-def get_eq_tables(mode: T2Mode) -> EqTables:
-    return EqTables(mode)
+def get_eq_tables(mode: T2Mode, sfn: bool = False) -> EqTables:
+    if sfn and eq_mod.sfn_reach_gated(mode):
+        return get_eq_tables(mode, False)   # already Wiener — dedup tables
+    return EqTables(mode, sfn)
 
 
 class ChainPlan:
@@ -450,13 +462,13 @@ class ChainPlan:
     the per-PLP gather + demap + FEC per PLP)."""
 
     def __init__(self, mode: T2Mode, plp: PlpConfig, n_fec: int, n_ti: int,
-                 l1_cells: int):
+                 l1_cells: int, sfn: bool = False):
         self.mode = mode
         self.plp = plp
         self.n_fec = n_fec
         self.l1_cells = l1_cells
         L, K = mode.frame_symbols, mode.k_total
-        self.eq = get_eq_tables(mode)
+        self.eq = get_eq_tables(mode, sfn)
         self.eq_plan = self.eq.eq_plan
         self.group_syms = self.eq.group_syms
         self.regroup = self.eq.regroup
@@ -553,8 +565,10 @@ class ChainPlan:
 
 @functools.lru_cache(maxsize=8)
 def get_plan(mode: T2Mode, plp: PlpConfig, n_fec: int, n_ti: int,
-             l1_cells: int) -> ChainPlan:
-    return ChainPlan(mode, plp, n_fec, n_ti, l1_cells)
+             l1_cells: int, sfn: bool = False) -> ChainPlan:
+    if sfn and eq_mod.sfn_reach_gated(mode):
+        return get_plan(mode, plp, n_fec, n_ti, l1_cells)  # dedup plans
+    return ChainPlan(mode, plp, n_fec, n_ti, l1_cells, sfn)
 
 
 def _pack_bf16(x: C):

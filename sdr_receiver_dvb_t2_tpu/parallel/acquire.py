@@ -153,12 +153,13 @@ def blind_acquire(raw: np.ndarray, device_rate: float,
     mu0 = r0s - pos0
 
     from ..models.receiver import config_from_l1
-    rx_cfg = config_from_l1(acq0.mode, acq0.l1_pre, acq0.l1_post, plp_index)
+    rx_cfg = config_from_l1(acq0.mode, acq0.l1_pre, acq0.l1_post, plp_index,
+                            sfn=acq0.sfn)
     cfg = sharding.ShardedConfig(
         mode=rx_cfg.mode, plp=rx_cfg.plp,
         n_fec_per_frame=rx_cfg.n_fec_per_frame, n_ti=rx_cfg.n_ti,
         l1_post_cells=acq0.l1_pre.l1_post_size, plp_start=rx_cfg.plp_start,
         frames_per_shard=frames_per_shard, fir_preset=fir_preset,
-        ldpc_max_iters=ldpc_max_iters)
+        ldpc_max_iters=ldpc_max_iters, sfn=rx_cfg.sfn)
     return MeshLock(cfg=cfg, l1_pre=acq0.l1_pre, l1_post=acq0.l1_post,
                     pos0=pos0, mu0=mu0, freq=freqs, step=step)

@@ -78,6 +78,8 @@ class ShardedConfig:
     # portable XLA decoder elsewhere); True forces Pallas (interpret mode
     # off-TPU — CI coverage of the pod FEC path); False forces portable
     use_pallas: bool | None = None
+    sfn: bool = False                # force Wiener rows (long measured
+    #                                  echoes) on reach-ungated modes
 
 
 class ShardedReceiver:
@@ -114,7 +116,8 @@ class ShardedReceiver:
         self.n_ch = mesh.shape["ch"]
         self.chain_plan = rx_chain.get_plan(
             self.mode, cfg.plp, cfg.n_fec_per_frame, cfg.n_ti,
-            l1_mod.L1_PRE_CELLS + cfg.l1_post_cells + cfg.plp_start)
+            l1_mod.L1_PRE_CELLS + cfg.l1_post_cells + cfg.plp_start,
+            sfn=cfg.sfn)
         self.taps = fe.fir_taps(cfg.fir_preset)
         self.n_taps = len(self.taps)
         self.hb_taps = np.asarray(fe.halfband_taps(), np.float32)

@@ -64,8 +64,9 @@ def _demod_p2(x: np.ndarray, mode: T2Mode, start: int = 0) -> np.ndarray:
     return out
 
 
-def _first_path_offset(p2_carriers: np.ndarray, mode: T2Mode) -> int:
-    """Timing offset that places the channel's FIRST path at delay ~0.
+def _first_path_offset(p2_carriers: np.ndarray,
+                       mode: T2Mode) -> tuple[int, int]:
+    """(timing offset placing the FIRST path at delay ~0, delay spread).
 
     SFN anchor: the P1 correlator locks onto EITHER transmitter of a
     near-0 dB echo pair (its metric is ambiguous between them), but
@@ -84,7 +85,8 @@ def _first_path_offset(p2_carriers: np.ndarray, mode: T2Mode) -> int:
     w = np.hanning(len(pidx))
     cir = (h_p * w) @ np.exp(2j * np.pi * np.outer(pidx, d) / mode.fft_size)
     p = np.abs(cir) ** 2
-    return int(d[int(np.argmax(p >= 0.08 * p.max()))])
+    above = np.nonzero(p >= 0.08 * p.max())[0]
+    return int(d[above[0]]), int(d[above[-1]] - d[above[0]])
 
 
 def _interp_c(k, pidx, vals):
@@ -171,6 +173,7 @@ class AcquisitionResult:
     l1_post: l1.L1Post
     p2_cells: np.ndarray
     timing_off: int = 0     # add to the P1 position: first-path alignment
+    sfn: bool = False       # measured delay spread demands Wiener rows
 
 
 def decode_l1_from_p2(cells: np.ndarray, pre: l1.L1Pre):
@@ -250,7 +253,7 @@ def acquire_mode(elem: np.ndarray, s1: int, s2_field1: int
             # re-anchor to the channel's first path (SFN: the P1 position
             # may be the echo's); a wrong GI hypothesis yields a garbage
             # offset but would have failed its L1 CRC regardless
-            off = _first_path_offset(carriers, mode)
+            off, spread = _first_path_offset(carriers, mode)
             off = int(np.clip(off, -mode.guard_size + 1,
                               len(elem) - need))
             if abs(off) > 8:
@@ -281,7 +284,17 @@ def acquire_mode(elem: np.ndarray, s1: int, s2_field1: int
             post = decode_l1_from_p2(cells, pre)
             if post is None:
                 continue
+            # SFN decision: does the measured delay spread rotate H(k)
+            # between the DATA symbols' scattered pilots faster than the
+            # cheap 2-tap linear rows can follow (~phi^2/8 amplitude
+            # error)?  Above ~0.35 rad force the Wiener/CSI/CIR plan even
+            # on modes whose pilot reach covers the guard (e.g. a
+            # 250-sample echo in 32K GI1/128 PP7 rotates 4.6 rad); the
+            # clean-channel CIR main lobe measures ~0.1-0.2 rad and keeps
+            # the linear plan.  Modes already reach-gated ignore the flag.
+            gap = full_mode.dx * full_mode.dy
+            sfn = (2.0 * np.pi * spread * gap / full_mode.fft_size) > 0.35
             return AcquisitionResult(mode=full_mode, l1_pre=pre,
                                      l1_post=post, p2_cells=cells,
-                                     timing_off=off)
+                                     timing_off=off, sfn=sfn)
     return None

@@ -321,7 +321,7 @@ class StreamingReceiver:
         self.rxs = []
         for i in plp_indices:
             rx_cfg = receiver_mod.config_from_l1(acq.mode, acq.l1_pre,
-                                                 acq.l1_post, i)
+                                                 acq.l1_post, i, sfn=acq.sfn)
             rx_cfg.ldpc_max_iters = self.cfg.ldpc_max_iters
             rx_cfg.use_pallas = self.cfg.use_pallas
             rx = receiver_mod.TpuReceiver(rx_cfg)
@@ -453,7 +453,7 @@ class StreamingReceiver:
             if (dyn.num_blocks != cfg.n_fec_per_frame
                     or dyn.start != cfg.plp_start):
                 new_cfg = receiver_mod.config_from_l1(
-                    self.mode, self._l1_pre, post, idx)
+                    self.mode, self._l1_pre, post, idx, sfn=cfg.sfn)
                 new_cfg.ldpc_max_iters = cfg.ldpc_max_iters
                 new_cfg.use_pallas = cfg.use_pallas
                 new_rx = receiver_mod.TpuReceiver(new_cfg)
@@ -639,11 +639,13 @@ def save_state(rx: StreamingReceiver) -> dict:
             num_blocks_max=c.plp.num_blocks_max,
             time_il_length=c.plp.time_il_length,
             time_il_type=c.plp.time_il_type, plp_id=c.plp.plp_id,
-            n_fec=c.n_fec_per_frame, n_ti=c.n_ti, plp_start=c.plp_start))
+            n_fec=c.n_fec_per_frame, n_ti=c.n_ti, plp_start=c.plp_start,
+            sfn=c.sfn))
     return dict(
         mode=dict(fft_mode=int(m.fft_mode), guard=int(m.guard),
                   pilot_pattern=int(m.pilot_pattern),
                   extended=m.extended_carriers, papr=int(m.papr),
+                  miso=m.miso, lite=m.lite,
                   n_data_symbols=m.n_data_symbols),
         plps=plps,
         l1_post_cells=rx.rxs[0]._l1_post_cells,
@@ -664,6 +666,7 @@ def load_state(rx: StreamingReceiver, state: dict) -> bool:
                      guard=GuardInterval(md["guard"]),
                      pilot_pattern=PilotPattern(md["pilot_pattern"]),
                      extended_carriers=md["extended"], papr=Papr(md["papr"]),
+                     miso=md.get("miso", False), lite=md.get("lite", False),
                      n_data_symbols=md["n_data_symbols"])
     rx.freq = state["freq"]
     rx.step = state["step"]
@@ -682,7 +685,7 @@ def load_state(rx: StreamingReceiver, state: dict) -> bool:
             mode=rx.mode, plp=plp, n_fec_per_frame=p["n_fec"],
             n_ti=p["n_ti"], plp_start=p["plp_start"],
             ldpc_max_iters=rx.cfg.ldpc_max_iters,
-            use_pallas=rx.cfg.use_pallas)
+            use_pallas=rx.cfg.use_pallas, sfn=p.get("sfn", False))
         r = receiver_mod.TpuReceiver(cfg)
         r._l1_post_cells = state["l1_post_cells"]
         rx.rxs.append(r)

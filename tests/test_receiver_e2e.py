@@ -104,7 +104,10 @@ def test_near_threshold_bch_guard():
     ts = random_ts_stream(300, seed=9)
     iq = tx.modulate(ts)[:4 * mode.frame_samples].reshape(4, -1)
     rng = np.random.default_rng(3)
-    snr = 6.8
+    # sits on the waterfall: this mode is SFN-gated (guard 256 > pilot
+    # reach 21), so the Wiener equalizer moved the threshold down from
+    # the 6.8 the test was originally tuned to
+    snr = 6.45
     npow = np.mean(np.abs(iq) ** 2) / 10 ** (snr / 10)
     noisy = (iq + (rng.standard_normal(iq.shape)
                    + 1j * rng.standard_normal(iq.shape)) * np.sqrt(npow / 2)

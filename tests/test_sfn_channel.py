@@ -30,8 +30,8 @@ PLP = PlpConfig(constellation=Constellation.QAM16, code_rate=CodeRate.C1_2,
 
 
 def _sfn_capture(tmp_path, echoes, n_frames=8, snr_db=24.0, cfo_hz=9e3,
-                 sro_ppm=8.0):
-    tx = Transmitter(TxConfig(mode=MODE, plp=PLP, fec_blocks_per_frame=4,
+                 sro_ppm=8.0, mode=MODE):
+    tx = Transmitter(TxConfig(mode=mode, plp=PLP, fec_blocks_per_frame=4,
                               num_t2_frames=n_frames))
     bytes_per_frame = 4 * (PLP.k_bch // 8 - 10)
     ts = random_ts_stream((n_frames + 2) * bytes_per_frame // 188, seed=17)
@@ -44,15 +44,15 @@ def _sfn_capture(tmp_path, echoes, n_frames=8, snr_db=24.0, cfo_hz=9e3,
     return str(path), ts
 
 
-def _run_blind(path, max_frames=5):
+def _run_blind(path, max_frames=5, mode=MODE):
     src = sources.RawFileSource(path)
     sink = sinks.BufferTsSink()
     cfg = stream_mod.StreamConfig(frames_per_batch=1,
-                                  acq_elem_samples=3 * MODE.frame_samples,
+                                  acq_elem_samples=3 * mode.frame_samples,
                                   use_pallas=False)
     rx = stream_mod.StreamingReceiver(src, sink, cfg)
     stats = rx.run(max_frames=max_frames)
-    return stats, sink.data.tobytes()
+    return stats, sink.data.tobytes(), rx
 
 
 def _assert_ts_match(ts_in, got, min_pkts):
@@ -110,11 +110,43 @@ def test_sfn_0db_echo_blind_stream(tmp_path):
     # GI 1/8 at 2K = 256 elementary samples; PP3 (Dx=6) supports delay
     # spread to Tu/6 = 341, so 200 is inside both limits.
     path, ts = _sfn_capture(tmp_path, echoes=((0, 1.0), (200, 1.0j)))
-    stats, got = _run_blind(path)
+    stats, got, _ = _run_blind(path)
     assert stats.state == "locked", stats
     assert stats.ldpc_failures == 0, stats
     assert stats.bch_dirty == 0, stats
     _assert_ts_match(ts, got, 20)
+
+
+MODE_UNGATED = T2Mode(fft_mode=FftMode.FFT_2K, guard=GuardInterval.G1_32,
+                      pilot_pattern=PilotPattern.PP4, extended_carriers=False,
+                      n_data_symbols=30)
+
+
+@pytest.mark.slow
+def test_sfn_escalation_on_reach_ungated_mode(tmp_path):
+    """A mode whose pilot reach covers the guard (2K G1/32 PP4: reach 85
+    vs guard 64) defaults to cheap linear rows — but an in-guard echo at
+    56 samples rotates H(k) by 4.1 rad between scattered pilots, so the
+    acquisition-time delay-spread measurement must force the Wiener plan
+    (RxConfig.sfn).  Guards both directions: the echo capture decodes
+    TS-exact with sfn=True, and a clean capture keeps the linear plan
+    (sfn=False, no ph_rot) so the 32K bench path never pays for SFN."""
+    path, ts = _sfn_capture(tmp_path, echoes=((0, 1.0), (56, 0.95j)),
+                            mode=MODE_UNGATED)
+    stats, got, rx = _run_blind(path, mode=MODE_UNGATED)
+    assert stats.state == "locked", stats
+    assert rx.rx.cfg.sfn, "delay-spread measurement did not escalate"
+    assert rx.rx._plan.eq.ph_rot is not None
+    assert stats.ldpc_failures == 0, stats
+    _assert_ts_match(ts, got, 20)
+
+    clean, ts2 = _sfn_capture(tmp_path, echoes=(), mode=MODE_UNGATED)
+    stats2, got2, rx2 = _run_blind(clean, mode=MODE_UNGATED)
+    assert stats2.state == "locked", stats2
+    assert not rx2.rx.cfg.sfn, "clean channel escalated spuriously"
+    assert rx2.rx._plan.eq.ph_rot is None
+    assert stats2.ldpc_failures == 0, stats2
+    _assert_ts_match(ts2, got2, 20)
 
 
 @pytest.mark.slow
@@ -126,7 +158,7 @@ def test_sfn_pre_echo_blind_stream(tmp_path):
         echoes=((0, 0.79), (60, 1.0 * np.exp(1j * 2.0)),
                 (150, 0.35 * np.exp(-1j * 0.7))),
         snr_db=22.0)
-    stats, got = _run_blind(path)
+    stats, got, _ = _run_blind(path)
     assert stats.state == "locked", stats
     assert stats.ldpc_failures == 0, stats
     _assert_ts_match(ts, got, 20)
