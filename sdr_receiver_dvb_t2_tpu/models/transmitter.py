@@ -19,7 +19,8 @@ from ..io.bbframe import BBFramePacker
 from ..params import (bch, bit_interleaver, freq_interleaver, l1, l1_fec,
                       ldpc, modes, p1, pilots, qam, time_interleaver)
 from ..params.modes import (T2Mode, PlpConfig, Constellation, CodeRate,
-                            FecFrame, FftMode, GuardInterval, PilotPattern)
+                            FecFrame, FftMode, GuardInterval, Papr,
+                            PilotPattern)
 
 
 @dataclasses.dataclass
@@ -241,11 +242,15 @@ class Transmitter:
             didx = pilots.data_cell_indices(mode, sym)
             carriers = ref[sym].astype(np.complex64)
             carriers[didx] = interleaved
+            if mode.papr in (Papr.TR, Papr.BOTH):
+                carriers = self._tr_reduce(carriers, sym)
             sym_samples.append(self._ofdm_symbol(carriers))
             if miso:
                 carriers2 = pilots.reference_symbol_tx(mode, sym, 2
                                                        ).astype(np.complex64)
                 carriers2[didx] = self._miso_pair_encode(interleaved)
+                if mode.papr in (Papr.TR, Papr.BOTH):
+                    carriers2 = self._tr_reduce(carriers2, sym)
                 sym_samples2.append(self._ofdm_symbol(carriers2))
         assert pos == total
         self._frame_idx += 1
@@ -271,12 +276,56 @@ class Transmitter:
             n_fill)) * np.sqrt(0.5)).astype(np.complex64)
         return np.concatenate([head, fill])
 
+    def _carrier_bins(self) -> np.ndarray:
+        mode = self.mode
+        return np.mod(mode.left_nulls + np.arange(mode.k_total)
+                      - mode.fft_size // 2, mode.fft_size)
+
+    def _tr_reduce(self, carriers: np.ndarray, sym: int,
+                   v_clip: float = 2.2, iters: int = 12) -> np.ndarray:
+        """Tone-reservation PAPR reduction (EN 302 755 clause 9.3.2).
+
+        Iterative peak cancellation: the kernel is the IFFT of a unit
+        spectrum on the symbol's reserved carriers (a near-impulse, so a
+        circular shift of it cancels one time-domain peak while touching
+        ONLY reserved tones); each iteration shaves the largest residual
+        peak down to ``v_clip`` times the RMS.  The accumulated
+        correction is read back off the reserved bins and clipped to the
+        spec's amplitude limit of 5.  The reference transmits nothing (it
+        is a receiver); gr-dvbt2 implements the same clause at TX."""
+        mode = self.mode
+        tr = pilots.tr_cell_indices(mode, sym)
+        if len(tr) == 0:
+            return carriers
+        N = mode.fft_size
+        bins = self._carrier_bins()
+        spec = np.zeros(N, dtype=np.complex128)
+        spec[bins] = carriers
+        kern_spec = np.zeros(N, dtype=np.complex128)
+        kern_spec[bins[tr]] = 1.0
+        kern = np.fft.ifft(kern_spec) * (N / len(tr))      # kern[0] = 1
+        x = np.fft.ifft(spec)
+        clip = v_clip * np.sqrt(np.mean(np.abs(x) ** 2))
+        c = np.zeros(N, dtype=np.complex128)
+        for _ in range(iters):
+            y = x + c
+            m = int(np.argmax(np.abs(y)))
+            pk = y[m]
+            if abs(pk) <= clip:
+                break
+            c -= (pk * (1.0 - clip / abs(pk))) * np.roll(kern, m)
+        c_tr = np.fft.fft(c)[bins[tr]]
+        mag = np.abs(c_tr)
+        c_tr = np.where(mag > 5.0, c_tr * (5.0 / np.maximum(mag, 1e-12)),
+                        c_tr)
+        out = carriers.copy()
+        out[tr] = c_tr.astype(np.complex64)
+        return out
+
     def _ofdm_symbol(self, carriers: np.ndarray) -> np.ndarray:
         mode = self.mode
         spec = np.zeros(mode.fft_size, dtype=np.complex64)
-        bins = np.mod(mode.left_nulls + np.arange(mode.k_total)
-                      - mode.fft_size // 2, mode.fft_size)
-        spec[bins] = carriers
+        spec[self._carrier_bins()] = carriers
         x = np.fft.ifft(spec).astype(np.complex64)
         x *= mode.fft_size / np.sqrt(mode.k_total)
         return np.concatenate([x[-mode.guard_size:], x])

@@ -267,3 +267,11 @@ def data_cell_indices(mode: T2Mode, symbol_index: int) -> np.ndarray:
     cmap = carrier_map_for_symbol(mode, symbol_index)
     idx = np.nonzero(cmap == DATA)[0]
     return idx
+
+
+def tr_cell_indices(mode: T2Mode, symbol_index: int) -> np.ndarray:
+    """PAPR-reserved carrier indices for one symbol (clause 9.3.2): the
+    tone-reservation kernel may place arbitrary energy here (amplitude
+    cap 5); receivers must simply never read these cells."""
+    cmap = carrier_map_for_symbol(mode, symbol_index)
+    return np.nonzero((cmap == TR_PAPR) | (cmap == P2_PAPR))[0]

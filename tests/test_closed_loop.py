@@ -170,3 +170,46 @@ def test_tr_papr_round_trip():
     got, sync = res.ts_bytes.tobytes(), ts.tobytes()
     at = sync.find(got[:376])
     assert at >= 0 and got == sync[at:at + len(got)]
+
+
+def test_tr_papr_actually_reduces_peaks():
+    """The TX fixture computes a real clause-9.3.2 tone-reservation
+    correction (iterative peak cancellation), not zeroed tones: the
+    reserved cells carry energy within the spec's amplitude-5 cap and
+    the symbol PAPR drops measurably.  This also makes the round-trip
+    test above exercise the receiver's exclusion of NON-zero TR cells."""
+    from sdr_receiver_dvb_t2_tpu.params import pilots
+    mode = T2Mode(
+        fft_mode=FftMode.FFT_2K, guard=GuardInterval.G1_8,
+        pilot_pattern=PilotPattern.PP7, extended_carriers=False,
+        papr=Papr.TR, n_data_symbols=30).validate()
+    plp = PlpConfig(constellation=Constellation.QAM16,
+                    code_rate=CodeRate.C1_2, fec_frame=FecFrame.SHORT,
+                    rotation=True, time_il_length=1)
+    tx = Transmitter(TxConfig(mode=mode, plp=plp, fec_blocks_per_frame=4,
+                              num_t2_frames=2))
+    rng = np.random.default_rng(5)
+    cells = ((1 - 2 * rng.integers(0, 2, mode.c_data))
+             + 1j * (1 - 2 * rng.integers(0, 2, mode.c_data))
+             ).astype(np.complex64) / np.sqrt(2)
+    sym = mode.n_p2 + 1                        # a plain data symbol
+    didx = pilots.data_cell_indices(mode, sym)
+    carriers = pilots.reference_frame(mode)[sym].astype(np.complex64)
+    carriers[didx] = cells
+
+    def papr_db(c):
+        x = tx._ofdm_symbol(c)
+        p = np.abs(x) ** 2
+        return 10 * np.log10(p.max() / p.mean())
+
+    reduced = tx._tr_reduce(carriers, sym)
+    tr = pilots.tr_cell_indices(mode, sym)
+    assert len(tr) > 0
+    assert np.any(np.abs(reduced[tr]) > 0.1), "reserved tones unused"
+    assert np.all(np.abs(reduced[tr]) <= 5.0 + 1e-6), "amplitude cap"
+    # payload/pilot carriers untouched
+    mask = np.ones(mode.k_total, bool)
+    mask[tr] = False
+    assert np.array_equal(reduced[mask], carriers[mask])
+    gain = papr_db(carriers) - papr_db(reduced)
+    assert gain > 0.8, f"PAPR gain only {gain:.2f} dB"

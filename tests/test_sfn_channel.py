@@ -150,6 +150,47 @@ def test_sfn_escalation_on_reach_ungated_mode(tmp_path):
 
 
 @pytest.mark.slow
+def test_sfn_echo_appears_midstream(tmp_path):
+    """A second transmitter joining the SFN while the receiver is locked
+    with the cheap linear plan: the batches go dead (nothing decodes),
+    the dead-batch watchdog forces a relock, re-acquisition re-measures
+    the delay spread, escalates to the Wiener plan, and the stream
+    recovers — the documented escalation chain, end to end."""
+    mode = MODE_UNGATED
+    n_frames = 14
+    tx = Transmitter(TxConfig(mode=mode, plp=PLP, fec_blocks_per_frame=4,
+                              num_t2_frames=n_frames))
+    bytes_per_frame = 4 * (PLP.k_bch // 8 - 10)
+    ts = random_ts_stream((n_frames + 2) * bytes_per_frame // 188, seed=41)
+    iq = tx.modulate(ts)
+    taps = np.zeros(57, np.complex128)
+    taps[0], taps[56] = 1.0, 0.95j
+    onset = 6 * mode.frame_samples          # echo turns on mid-frame-6
+    ech = np.convolve(iq, taps)[:len(iq)]
+    iq = np.concatenate([iq[:onset], ech[onset:]])
+    dev = impair(iq, ChannelConfig(device_rate=10_000_000, cfo_hz=9e3,
+                                   sro_ppm=8.0, snr_db=24.0, seed=9))
+    path = tmp_path / "capture_dvbt2_sfn_0_10000000_8.raw"
+    quantize(dev, "u8", scale=0.35).tofile(path)
+
+    stats, got, rx = _run_blind(str(path), max_frames=11, mode=mode)
+    assert stats.state == "locked", stats
+    assert rx.rx.cfg.sfn, "relock did not escalate to the Wiener plan"
+    sync = ts.tobytes()
+    # pre-echo head decoded exact (the transition batch may emit
+    # TEI-flagged packets before the dead-batch watchdog fires)...
+    at = sync.find(got[:376])
+    assert at >= 0, "recovered TS not found in transmitted stream"
+    head = got[:188 * 15]
+    assert sync[at:at + len(head)] == head
+    # ...and the post-relock tail decodes exact again
+    tail = got[-188 * 8:]
+    at = sync.find(tail[:376])
+    assert at >= 0, "post-relock TS not found in transmitted stream"
+    assert sync[at:at + len(tail)] == tail
+
+
+@pytest.mark.slow
 def test_sfn_pre_echo_blind_stream(tmp_path):
     """A -2 dB PRE-echo (the receiver syncs to the weaker, later path at
     t=0 power-wise; classic SFN corner case) plus a third path."""
