@@ -65,6 +65,14 @@ class Transmitter:
         self._bch_m = self.plp.bch_m
         self._bch_t = self.plp.bch_t
         self._frame_idx = 0
+        # ACE PAPR applies only to non-rotated, non-MISO configurations
+        # (see _ace_reduce); with Papr.BOTH the TR half still applies
+        self._ace_ok = (not self.mode.miso
+                        and all(not p.rotation for p in cfg.plps))
+        if self.mode.papr == Papr.ACE and not self._ace_ok:
+            raise ValueError(
+                "PAPR=ACE is invalid with rotated constellations or MISO "
+                "(EN 302 755 clause 9.3.1); use TR or disable rotation")
         self._build_l1()
 
     # ------------------------------------------------------------------
@@ -242,6 +250,11 @@ class Transmitter:
             didx = pilots.data_cell_indices(mode, sym)
             carriers = ref[sym].astype(np.complex64)
             carriers[didx] = interleaved
+            if (mode.papr in (Papr.ACE, Papr.BOTH) and self._ace_ok
+                    and sym >= mode.n_p2
+                    and not (mode.has_fc
+                             and sym == mode.frame_symbols - 1)):
+                carriers = self._ace_reduce(carriers, didx)
             if mode.papr in (Papr.TR, Papr.BOTH):
                 carriers = self._tr_reduce(carriers, sym)
             sym_samples.append(self._ofdm_symbol(carriers))
@@ -320,6 +333,57 @@ class Transmitter:
                         c_tr)
         out = carriers.copy()
         out[tr] = c_tr.astype(np.complex64)
+        return out
+
+    def _ace_reduce(self, carriers: np.ndarray, didx: np.ndarray,
+                    v_clip: float = 2.4, gain: float = 2.0,
+                    ext_max: float = 0.6, iters: int = 3) -> np.ndarray:
+        """Active constellation extension (EN 302 755 clause 9.3.1).
+
+        Clip the time-domain symbol, take the clipping noise back to the
+        carrier domain, and keep only the components that push OUTER
+        constellation points further OUTWARD on each axis (inner points
+        and inward pushes would cross decision boundaries and are
+        dropped), scaled by ``gain`` and capped at ``ext_max`` of the
+        outer amplitude.  Receivers need no cooperation: outward
+        extension only increases demap margin.  Not applied to rotated
+        constellations (the spec forbids it: the Q component rides a
+        different carrier, so a per-carrier extension would corrupt the
+        paired axis) nor to MISO (an independent per-transmitter
+        extension breaks the exact Alamouti pair structure)."""
+        N = self.mode.fft_size
+        bins = self._carrier_bins()
+        base = carriers[didx].copy()
+        amax_r = float(np.max(np.abs(base.real)))
+        amax_i = float(np.max(np.abs(base.imag)))
+        outer_r = np.abs(base.real) >= 0.98 * amax_r
+        outer_i = np.abs(base.imag) >= 0.98 * amax_i
+        lo_r = np.where(base.real > 0, 0.0, -ext_max * amax_r)
+        hi_r = np.where(base.real > 0, ext_max * amax_r, 0.0)
+        lo_i = np.where(base.imag > 0, 0.0, -ext_max * amax_i)
+        hi_i = np.where(base.imag > 0, ext_max * amax_i, 0.0)
+        out = carriers.copy()
+        spec = np.zeros(N, dtype=np.complex128)
+        for _ in range(iters):
+            spec[:] = 0.0
+            spec[bins] = out
+            x = np.fft.ifft(spec)
+            mag = np.abs(x)
+            clip = v_clip * np.sqrt(np.mean(mag ** 2))
+            if mag.max() <= clip:
+                break
+            xc = np.where(mag > clip, x * (clip / np.maximum(mag, 1e-12)),
+                          x)
+            e = np.fft.fft(xc - x)[bins[didx]]
+            er = np.where(outer_r & (np.sign(e.real) == np.sign(base.real)),
+                          e.real * gain, 0.0)
+            ei = np.where(outer_i & (np.sign(e.imag) == np.sign(base.imag)),
+                          e.imag * gain, 0.0)
+            cur = out[didx]
+            ext_r = np.clip(cur.real + er - base.real, lo_r, hi_r)
+            ext_i = np.clip(cur.imag + ei - base.imag, lo_i, hi_i)
+            out[didx] = ((base.real + ext_r)
+                         + 1j * (base.imag + ext_i)).astype(np.complex64)
         return out
 
     def _ofdm_symbol(self, carriers: np.ndarray) -> np.ndarray:

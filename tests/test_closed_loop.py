@@ -1,4 +1,6 @@
 """Closed-loop TX -> RX oracle tests: bit-exact TS recovery, ideal channel."""
+import dataclasses
+
 import numpy as np
 import pytest
 
@@ -213,3 +215,55 @@ def test_tr_papr_actually_reduces_peaks():
     assert np.array_equal(reduced[mask], carriers[mask])
     gain = papr_db(carriers) - papr_db(reduced)
     assert gain > 0.8, f"PAPR gain only {gain:.2f} dB"
+
+
+def test_ace_papr_round_trip():
+    """ACE PAPR (clause 9.3.1): outer constellation points are extended
+    outward by the TX clipping loop, the frame PAPR measurably drops,
+    and the receiver decodes the extended cells TS-exact without any
+    cooperation (outward extension only adds demap margin)."""
+    from sdr_receiver_dvb_t2_tpu.models import receiver as receiver_mod
+    plp = PlpConfig(constellation=Constellation.QAM16,
+                    code_rate=CodeRate.C1_2, fec_frame=FecFrame.SHORT,
+                    rotation=False, time_il_length=1)
+    ts = random_ts_stream(150, seed=4)
+    frames = {}
+    for papr in (Papr.OFF, Papr.ACE):
+        mode = T2Mode(
+            fft_mode=FftMode.FFT_2K, guard=GuardInterval.G1_8,
+            pilot_pattern=PilotPattern.PP7, extended_carriers=False,
+            papr=papr, n_data_symbols=30).validate()
+        tx = Transmitter(TxConfig(mode=mode, plp=plp,
+                                  fec_blocks_per_frame=4, num_t2_frames=2))
+        frames[papr] = tx.modulate(ts)[:2 * mode.frame_samples]
+
+    def papr_db(x):
+        p = np.abs(x) ** 2
+        return 10 * np.log10(p.max() / p.mean())
+
+    gain = papr_db(frames[Papr.OFF]) - papr_db(frames[Papr.ACE])
+    assert gain > 0.5, f"ACE gain only {gain:.2f} dB"
+
+    mode = T2Mode(
+        fft_mode=FftMode.FFT_2K, guard=GuardInterval.G1_8,
+        pilot_pattern=PilotPattern.PP7, extended_carriers=False,
+        papr=Papr.ACE, n_data_symbols=30).validate()
+    iq = frames[Papr.ACE].reshape(2, -1)
+    rng = np.random.default_rng(0)
+    iq = (iq + (rng.standard_normal(iq.shape)
+                + 1j * rng.standard_normal(iq.shape))
+          * np.sqrt(np.mean(np.abs(iq) ** 2) / 1e3)).astype(np.complex64)
+    rx = receiver_mod.TpuReceiver(receiver_mod.RxConfig(
+        mode=mode, plp=plp, n_fec_per_frame=4, n_ti=1, use_pallas=False))
+    rx.prime(iq[0])
+    res = rx.receive(iq)
+    assert np.all(res.ldpc_ok)
+    got, sync = res.ts_bytes.tobytes(), ts.tobytes()
+    at = sync.find(got[:376])
+    assert at >= 0 and got == sync[at:at + len(got)]
+
+    with pytest.raises(ValueError):
+        Transmitter(TxConfig(
+            mode=mode,
+            plp=dataclasses.replace(plp, rotation=True),
+            fec_blocks_per_frame=4, num_t2_frames=2))
