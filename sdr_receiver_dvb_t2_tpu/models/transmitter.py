@@ -37,6 +37,10 @@ class TxConfig:
     fef_interval: int = 0
     fef_length: int = 0
     fef_type: int = 0
+    # L1 repetition (EN 302 755 clause 7.2.3.1): append the NEXT frame's
+    # L1-dynamic block to every L1-post, giving receivers one frame of
+    # time diversity on the dynamic signalling
+    l1_repetition: bool = False
     # multi-PLP: parallel lists override (plp, fec_blocks_per_frame)
     plps: list = None
     fec_blocks: list = None
@@ -96,6 +100,7 @@ class Transmitter:
             bwt_ext=int(mode.extended_carriers),
             num_data_symbols=mode.n_data_symbols,
             num_t2_frames=cfg.num_t2_frames,
+            l1_repetition_flag=int(cfg.l1_repetition),
         )
         if cfg.fef_interval:
             assert cfg.fef_length >= p1.P1_LEN, cfg.fef_length
@@ -124,6 +129,9 @@ class Transmitter:
             post.dyn.plp.append(l1.L1DynPlp(id=p.id, start=start,
                                             num_blocks=n_fec))
             start += n_fec * pc.cells_per_fec_block
+        if cfg.l1_repetition:
+            import copy
+            post.dyn_next = copy.deepcopy(post.dyn)
         # size the L1-post: build once with zero sizes to learn K_sig
         tmp = l1.build_l1_post_info(post, pre)
         k_sig = len(tmp)
@@ -177,6 +185,11 @@ class Transmitter:
         pre_cells = (1.0 - 2.0 * coded_pre.astype(np.float32)).astype(np.complex64)
 
         self.l1_post.dyn.frame_idx = self._frame_idx % self.cfg.num_t2_frames
+        if self.l1_pre.l1_repetition_flag:
+            import copy
+            nxt = copy.deepcopy(self.l1_post.dyn)
+            nxt.frame_idx = (self._frame_idx + 1) % self.cfg.num_t2_frames
+            self.l1_post.dyn_next = nxt
         post_bits = l1.build_l1_post_info(self.l1_post, self.l1_pre)
         coded_post = l1_fec.encode_l1_post(post_bits, self.cfg.l1_post_mod,
                                            self.mode.n_p2)

@@ -440,8 +440,32 @@ class StreamingReceiver:
         except Exception:
             post = None
         if post is None:
-            self._l1_dyn_errors = getattr(self, "_l1_dyn_errors", 0) + 1
-            return
+            # L1 repetition (EN 302 755 clause 7.2.3.1): the previous
+            # batch's L1-post carried dyn_next — one frame of time
+            # diversity on the dynamic signalling.  Resume from it
+            # instead of flying blind on the stale configuration.
+            nxt = getattr(self, "_l1_dyn_next", None)
+            cache = getattr(self, "_l1_post_cache", None)
+            if nxt is not None and cache is not None:
+                import copy
+                post = copy.copy(cache)
+                post.dyn = copy.copy(nxt)
+                # dyn_next indexes the frame AFTER the previous batch's
+                # first; this batch's first frame is F-1 further on
+                post.dyn.frame_idx = (
+                    (nxt.frame_idx + self.cfg.frames_per_batch - 1)
+                    % max(1, getattr(self, "_num_t2", 1)))
+                self._l1_dyn_next = None            # single-use
+                self._l1_dyn_repaired = getattr(
+                    self, "_l1_dyn_repaired", 0) + 1
+            else:
+                self._l1_dyn_errors = getattr(self, "_l1_dyn_errors", 0) + 1
+                return
+        else:
+            self._l1_post_cache = post
+            rep = getattr(self._l1_pre, "l1_repetition_flag", 0)
+            self._l1_dyn_next = (post.dyn_next
+                                 if rep and post.dyn_next.plp else None)
         # the broadcast FRAME_IDX of this batch's first frame anchors the
         # FEF-gap arithmetic (drift would misplace the skip and kill the
         # following batch); step_batch folds it into the next prediction

@@ -404,3 +404,66 @@ def test_stream_fef_mixed_capture(tmp_path):
     n = min(len(got), len(sync) - idx)
     assert n > 188 * 40
     assert got[:n] == sync[idx:idx + n]
+
+
+@pytest.mark.slow
+def test_l1_repetition_stream_and_fallback(tmp_path):
+    """L1 repetition (EN 302 755 clause 7.2.3.1): the TX appends the next
+    frame's L1-dynamic block (the L1-post grows; blind acquisition must
+    size it from L1-pre), the stream decodes TS-exact, and when one
+    batch's L1 read is knocked out the tracker repairs the dynamic
+    configuration from the previous batch's dyn_next instead of
+    counting a blind error."""
+    mode = T2Mode(fft_mode=FftMode.FFT_2K, guard=GuardInterval.G1_8,
+                  pilot_pattern=PilotPattern.PP7, extended_carriers=False,
+                  n_data_symbols=30)
+    plp = PlpConfig(constellation=Constellation.QAM16,
+                    code_rate=CodeRate.C1_2, fec_frame=FecFrame.SHORT,
+                    rotation=True, time_il_length=1)
+    n_frames = 9
+    tx = Transmitter(TxConfig(mode=mode, plp=plp, fec_blocks_per_frame=4,
+                              num_t2_frames=n_frames, l1_repetition=True))
+    assert tx.l1_pre.l1_repetition_flag == 1
+    bytes_per_frame = 4 * (plp.k_bch // 8 - 10)
+    ts = random_ts_stream((n_frames + 2) * bytes_per_frame // 188, seed=6)
+    iq = tx.modulate(ts)
+    dev = impair(iq, ChannelConfig(device_rate=10_000_000, cfo_hz=12e3,
+                                   sro_ppm=9.0, snr_db=26.0, seed=5))
+    path = tmp_path / "capture_dvbt2_l1rep_0_10000000_8.raw"
+    quantize(dev, "u8", scale=0.4).tofile(path)
+
+    src = sources.RawFileSource(str(path))
+    sink = sinks.BufferTsSink()
+    cfg = stream_mod.StreamConfig(frames_per_batch=1,
+                                  acq_elem_samples=3 * mode.frame_samples,
+                                  use_pallas=False)
+    rx = stream_mod.StreamingReceiver(src, sink, cfg)
+    stats = rx.run(max_frames=3)
+    assert stats.state == "locked", stats
+    assert rx._l1_dyn_next is not None          # repetition is being read
+
+    # knock out ONE batch's L1 read: the repair path must kick in
+    orig = rx.rx.l1_cells
+    calls = {"n": 0}
+
+    def flaky(plane):
+        if calls["n"] == 0:
+            calls["n"] += 1
+            raise RuntimeError("injected L1 fade")
+        return orig(plane)
+
+    rx.rx.l1_cells = flaky
+    assert rx.step_batch()
+    assert getattr(rx, "_l1_dyn_repaired", 0) == 1
+    assert getattr(rx, "_l1_dyn_errors", 0) == 0
+    rx.rx.l1_cells = orig
+    while rx.stats.frames < 6 and rx.step_batch():
+        pass
+    assert rx.stats.ldpc_failures == 0, rx.stats
+
+    sync, got = ts.tobytes(), sink.data.tobytes()
+    idx = sync.find(got[:376])
+    assert idx >= 0
+    n = min(len(got), len(sync) - idx)
+    assert n > 188 * 30
+    assert got[:n] == sync[idx:idx + n]
