@@ -153,8 +153,11 @@ def blind_acquire(raw: np.ndarray, device_rate: float,
     mu0 = r0s - pos0
 
     from ..models.receiver import config_from_l1
+    # one chain plan serves every channel (SPMD): escalate to the Wiener
+    # rows if ANY channel's measured delay spread demands them
+    sfn = any(acq.sfn for _, _, acq in locks)
     rx_cfg = config_from_l1(acq0.mode, acq0.l1_pre, acq0.l1_post, plp_index,
-                            sfn=acq0.sfn)
+                            sfn=sfn)
     cfg = sharding.ShardedConfig(
         mode=rx_cfg.mode, plp=rx_cfg.plp,
         n_fec_per_frame=rx_cfg.n_fec_per_frame, n_ti=rx_cfg.n_ti,

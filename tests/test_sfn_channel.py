@@ -150,6 +150,40 @@ def test_sfn_escalation_on_reach_ungated_mode(tmp_path):
 
 
 @pytest.mark.slow
+def test_mesh_blind_acquire_escalates_sfn():
+    """parallel.acquire.blind_acquire carries the delay-spread decision
+    onto the mesh: ONE channel with long echoes forces the pod's shared
+    chain plan (SPMD — one plan serves every channel) onto the Wiener
+    rows, and an all-clean capture keeps the linear plan."""
+    from sdr_receiver_dvb_t2_tpu.parallel import acquire as pacq
+    mode = MODE_UNGATED
+    n_frames = 6
+    bytes_per_frame = 4 * (PLP.k_bch // 8 - 10)
+
+    def channel(seed, echoes):
+        ts = random_ts_stream((n_frames + 2) * bytes_per_frame // 188,
+                              seed=seed)
+        tx = Transmitter(TxConfig(mode=mode, plp=PLP,
+                                  fec_blocks_per_frame=4,
+                                  num_t2_frames=n_frames))
+        return impair(tx.modulate(ts),
+                      ChannelConfig(device_rate=10e6, snr_db=28.0,
+                                    cfo_hz=3e3, sro_ppm=2.0,
+                                    echoes=echoes, seed=seed))
+
+    clean = channel(61, ())
+    echoed = channel(62, ((0, 1.0), (56, 0.95j)))
+    n = min(len(clean), len(echoed))
+    lock = pacq.blind_acquire(np.stack([clean[:n], echoed[:n]]), 10e6)
+    assert lock is not None, "blind acquisition failed"
+    assert lock.cfg.sfn, "echoed channel did not escalate the pod plan"
+
+    lock2 = pacq.blind_acquire(np.stack([clean[:n], clean[:n]]), 10e6)
+    assert lock2 is not None
+    assert not lock2.cfg.sfn, "clean pod escalated spuriously"
+
+
+@pytest.mark.slow
 def test_sfn_echo_appears_midstream(tmp_path):
     """A second transmitter joining the SFN while the receiver is locked
     with the cheap linear plan: the batches go dead (nothing decodes),
