@@ -463,7 +463,10 @@ class StreamingReceiver:
                 return
         else:
             self._l1_post_cache = post
-            rep = getattr(self._l1_pre, "l1_repetition_flag", 0)
+            # _l1_pre is unset on a warm (checkpoint) restart: the resume
+            # path relocks from P1 alone and never re-reads L1-pre
+            rep = getattr(getattr(self, "_l1_pre", None),
+                          "l1_repetition_flag", 0)
             self._l1_dyn_next = (post.dyn_next
                                  if rep and post.dyn_next.plp else None)
         # the broadcast FRAME_IDX of this batch's first frame anchors the
