@@ -85,11 +85,18 @@ def _mode_field(header72: np.ndarray, hem: bool) -> int:
 
 @dataclasses.dataclass
 class BBFramePacker:
-    """Packs a TS byte stream into BB frames (single PLP, CCM)."""
+    """Packs a TS byte stream into BB frames (single PLP, CCM).
+
+    ``padding_hook(frame_index)`` (optional) returns a bit array to carry
+    in that BB frame's padding field — the in-band signalling insertion
+    point (EN 302 755 clause 5.2.3; see io/inband.py): the frame's DFL
+    shrinks to leave room and the bits follow the data field.
+    """
     k_bch: int
     hem: bool = True
     issyi: bool = False
     npd: bool = False
+    padding_hook: object = None
 
     def __post_init__(self):
         self._pending = np.empty(0, dtype=np.uint8)   # unit-stream bytes
@@ -98,6 +105,7 @@ class BBFramePacker:
             + (1 if self.npd else 0)
         self._last_crc = 0
         self._dnp = 0                                 # nulls deleted so far
+        self._frame_counter = 0                       # BB frames built
 
     def _push_packets(self, ts: np.ndarray):
         ts = np.asarray(ts, dtype=np.uint8).reshape(-1, TS_LEN)
@@ -125,17 +133,25 @@ class BBFramePacker:
         """Feed TS bytes; returns list of K_bch-bit scrambled BB frames."""
         self._push_packets(ts_stream)
         frames = []
-        dfl_bytes = (self.k_bch - HEADER_BITS) // 8
-        while len(self._pending) >= dfl_bytes:
+        max_dfl_bytes = (self.k_bch - HEADER_BITS) // 8
+        while True:
+            pad = (self.padding_hook(self._frame_counter)
+                   if self.padding_hook is not None else None)
+            dfl_bytes = max_dfl_bytes - (
+                0 if pad is None else -(-len(pad) // 8))
+            if len(self._pending) < dfl_bytes:
+                break
             data = self._pending[:dfl_bytes]
             self._pending = self._pending[dfl_bytes:]
             to_boundary = (self._unit - self._offset_in_packet) % self._unit
             syncd = to_boundary * 8
             self._offset_in_packet = (self._offset_in_packet + dfl_bytes) % self._unit
-            frames.append(self._build_frame(data, syncd))
+            frames.append(self._build_frame(data, syncd, pad))
+            self._frame_counter += 1
         return frames
 
-    def _build_frame(self, data: np.ndarray, syncd: int) -> np.ndarray:
+    def _build_frame(self, data: np.ndarray, syncd: int,
+                     padding_bits: np.ndarray | None = None) -> np.ndarray:
         bits = np.zeros(self.k_bch, dtype=np.uint8)
         hdr = np.zeros(72, dtype=np.uint8)
         # MATYPE-1: TS_GS=11, SIS_MIS=1(single), CCM_ACM=1(CCM), ISSYI, NPD, EXT=00
@@ -145,7 +161,7 @@ class BBFramePacker:
         hdr[8:16] = 0                                    # MATYPE-2 / ISI
         upl = TS_LEN * 8 if not self.hem else 0
         hdr[16:32] = np.unpackbits(np.array([upl >> 8, upl & 0xFF], dtype=np.uint8))
-        dfl = self.k_bch - HEADER_BITS
+        dfl = len(data) * 8
         hdr[32:48] = np.unpackbits(np.array([dfl >> 8, dfl & 0xFF], dtype=np.uint8))
         sync = 0x47 if not self.hem else 0
         hdr[48:56] = np.unpackbits(np.uint8(sync))
@@ -153,7 +169,10 @@ class BBFramePacker:
         mode = _mode_field(hdr, self.hem)
         bits[:72] = hdr
         bits[72:80] = np.unpackbits(np.uint8(mode))
-        bits[80:] = _bits_of_bytes(data)
+        bits[80:80 + dfl] = _bits_of_bytes(data)
+        if padding_bits is not None:
+            pad = np.asarray(padding_bits, dtype=np.uint8)
+            bits[80 + dfl:80 + dfl + len(pad)] = pad
         from ..params import prbs
         return bits ^ prbs.bb_scrambler(self.k_bch)
 

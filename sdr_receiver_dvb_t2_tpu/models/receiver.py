@@ -30,7 +30,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..io.bbframe import BBFrameParser
+from ..io.bbframe import BBFrameParser, HEADER_BITS
 from ..ops import bch_ops, cplx, rx_chain
 from ..params import l1 as l1_mod
 from ..params.modes import (T2Mode, PlpConfig, Constellation, CodeRate,
@@ -62,6 +62,10 @@ class FrameBatchResult:
     snr_db: float
     ldpc_iters: np.ndarray          # per-codeword first-clean iteration
     diag: dict
+    # (bb_frame_index, padding-field bits) for each first-BB-frame-of-an-
+    # interleaving-frame whose DFL left a padding field — the in-band
+    # signalling carrier (EN 302 755 clause 5.2.3; io/inband.py)
+    padding: list = dataclasses.field(default_factory=list)
 
 
 def config_from_l1(mode_hint: T2Mode, pre: l1_mod.L1Pre,
@@ -278,4 +282,28 @@ class TpuReceiver:
             snr_db=float(np.mean(np.asarray(diags["snr_db"]))),
             ldpc_iters=np.asarray(iters),
             diag={k: np.asarray(v) for k, v in diags.items()},
+            padding=self._collect_padding(frames_bytes),
         )
+
+    @functools.cached_property
+    def _scrambler_bytes(self) -> np.ndarray:
+        from ..params import prbs
+        return np.packbits(prbs.bb_scrambler(self.plp.k_bch))
+
+    def _collect_padding(self, frames_bytes: np.ndarray) -> list:
+        """Padding-field bits of each interleaving frame's first BB frame
+        (where in-band signalling rides, EN 302 755 clause 5.2.3).  Only
+        frames whose DFL actually leaves padding are descrambled — a
+        padding-free stream costs one 10-byte XOR per frame here."""
+        out = []
+        scr = self._scrambler_bytes
+        kb = self.plp.k_bch // 8
+        for j in range(0, len(frames_bytes), self.cfg.n_fec_per_frame):
+            hdr = frames_bytes[j, :10] ^ scr[:10]
+            dfl = int(hdr[4]) << 8 | int(hdr[5])
+            if dfl <= 0 or dfl % 8 or HEADER_BITS + dfl >= kb * 8:
+                continue
+            pad = np.unpackbits(
+                frames_bytes[j, 10 + dfl // 8:] ^ scr[10 + dfl // 8:])
+            out.append((j, pad))
+        return out

@@ -41,6 +41,10 @@ class TxConfig:
     # L1-dynamic block to every L1-post, giving receivers one frame of
     # time diversity on the dynamic signalling
     l1_repetition: bool = False
+    # In-band type A signalling (EN 302 755 clause 5.2.3.1): the first BB
+    # frame of each interleaving frame carries the NEXT frame's dynamic
+    # schedule in its padding field, for every PLP
+    in_band_a: bool = False
     # multi-PLP: parallel lists override (plp, fec_blocks_per_frame)
     plps: list = None
     fec_blocks: list = None
@@ -78,6 +82,29 @@ class Transmitter:
                 "PAPR=ACE is invalid with rotated constellations or MISO "
                 "(EN 302 755 clause 9.3.1); use TR or disable rotation")
         self._build_l1()
+        if cfg.in_band_a:
+            self._arm_inband_hooks()
+
+    def _arm_inband_hooks(self):
+        """In-band type A (EN 302 755 clause 5.2.3.1): every PLP's first BB
+        frame per interleaving frame carries the next frame's schedule in
+        its padding field.  The fixture's schedule is static, so the block
+        is built once per PLP; the hook fires on every n_fec-th BB frame."""
+        from ..io import inband
+        dyn = self.l1_post.dyn
+        for i, (packer, n_fec) in enumerate(zip(self.packers,
+                                                self.cfg.fec_blocks)):
+            blk = inband.InBandA(
+                sub_slice_interval=dyn.sub_slice_interval,
+                current_plp_start=dyn.plp[i].start,
+                current_plp_num_blocks=dyn.plp[i].num_blocks,
+                other=[inband.InBandOtherPlp(
+                    plp_id=dyn.plp[j].id, plp_start=dyn.plp[j].start,
+                    plp_num_blocks=dyn.plp[j].num_blocks)
+                    for j in range(len(dyn.plp)) if j != i])
+            bits = inband.build_inband_a(blk)
+            packer.padding_hook = (
+                lambda k, b=bits, n=n_fec: b if k % n == 0 else None)
 
     # ------------------------------------------------------------------
     def _build_l1(self):
@@ -126,6 +153,7 @@ class Transmitter:
             p.time_il_length = pc.time_il_length
             p.time_il_type = pc.time_il_type
             p.plp_mode = 2 if cfg.hem else 1
+            p.in_band_a_flag = int(cfg.in_band_a)
             post.dyn.plp.append(l1.L1DynPlp(id=p.id, start=start,
                                             num_blocks=n_fec))
             start += n_fec * pc.cells_per_fec_block

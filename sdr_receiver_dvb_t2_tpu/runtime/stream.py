@@ -84,6 +84,7 @@ class RunStats:
     snr_db: float = 0.0
     cfo_hz: float = 0.0
     sro_ppm: float = 0.0
+    inband_a_blocks: int = 0     # in-band type A blocks harvested (5.2.3.1)
     state: str = "init"
 
 
@@ -440,13 +441,20 @@ class StreamingReceiver:
         except Exception:
             post = None
         if post is None:
-            # L1 repetition (EN 302 755 clause 7.2.3.1): the previous
-            # batch's L1-post carried dyn_next — one frame of time
-            # diversity on the dynamic signalling.  Resume from it
-            # instead of flying blind on the stale configuration.
+            # Repair sources, preferred first: in-band type A (EN 302 755
+            # clause 5.2.3.1 — the previous batch's DATA path carried
+            # next-frame schedules in the BB padding field, so as long as
+            # data decodes the dynamic configuration survives P2 erasure
+            # indefinitely), then L1 repetition (clause 7.2.3.1 — the
+            # previous batch's L1-post carried dyn_next, one frame of
+            # time diversity on the dynamic signalling).
+            post = self._repair_dyn_from_inband()
+            if post is not None:
+                self._l1_post_cache = post     # fresh dyn: next batch's
+                #                                in-band chains from it
             nxt = getattr(self, "_l1_dyn_next", None)
             cache = getattr(self, "_l1_post_cache", None)
-            if nxt is not None and cache is not None:
+            if post is None and nxt is not None and cache is not None:
                 import copy
                 post = copy.copy(cache)
                 post.dyn = copy.copy(nxt)
@@ -458,7 +466,7 @@ class StreamingReceiver:
                 self._l1_dyn_next = None            # single-use
                 self._l1_dyn_repaired = getattr(
                     self, "_l1_dyn_repaired", 0) + 1
-            else:
+            elif post is None:
                 self._l1_dyn_errors = getattr(self, "_l1_dyn_errors", 0) + 1
                 return
         else:
@@ -488,6 +496,51 @@ class StreamingReceiver:
                 self.rxs[j] = new_rx
                 if j == 0:
                     self.rx = new_rx
+
+    def _repair_dyn_from_inband(self):
+        """Rebuild this batch's L1-post from the last harvested in-band
+        type A block (single-use; _harvest_inband re-arms it every batch
+        the data path decodes).  Returns None when no block is armed."""
+        blk = getattr(self, "_inband_next", None)
+        cache = getattr(self, "_l1_post_cache", None)
+        if blk is None or cache is None:
+            return None
+        import copy
+        post = copy.copy(cache)
+        post.dyn = copy.deepcopy(cache.dyn)
+        sb = blk.starts_blocks(self.rx.plp.plp_id)
+        for dp in post.dyn.plp:
+            if dp.id in sb:
+                dp.start, dp.num_blocks = sb[dp.id]
+        post.dyn.sub_slice_interval = blk.sub_slice_interval
+        post.dyn.start_rf_idx = blk.start_rf_idx
+        # the in-band block rode the previous batch's LAST interleaving
+        # frame and describes the one after it == this batch's first;
+        # FRAME_IDX itself is not signalled in-band — _frame_idx tracks it
+        post.dyn.frame_idx = (getattr(self, "_frame_idx", 0)
+                              % max(1, getattr(self, "_num_t2", 1)))
+        self._inband_next = None                # single-use until re-armed
+        self._inband_repaired = getattr(self, "_inband_repaired", 0) + 1
+        return post
+
+    def _harvest_inband(self, result):
+        """Keep the newest in-band type A block (EN 302 755 clause
+        5.2.3.1) from this batch's padding fields: the LAST interleaving
+        frame's block describes the next batch's first frame, which is
+        exactly what _check_l1_dynamic needs if the next P2 read fades."""
+        post = getattr(self, "_l1_post_cache", None)
+        if post is None or not result.padding:
+            return
+        idx = 0 if self.cfg.plp_index is None else self.cfg.plp_index
+        if not post.plp[idx].in_band_a_flag:
+            return
+        from ..io import inband
+        for _, pad in reversed(result.padding):
+            blk = inband.parse_inband_a(pad)
+            if blk is not None:
+                self._inband_next = blk
+                self.stats.inband_a_blocks += 1
+                return
 
     def _frame_starts(self, f: int):
         """Start positions of the next f T2 frames in the elementary stream
@@ -530,6 +583,7 @@ class StreamingReceiver:
         # check rebuilds the per-PLP receivers below
         self._check_l1_dynamic(plane)
         result = self.rx.receive_plane(plane, diag)
+        self._harvest_inband(result)
         if self.sink is None and self.sink_factory is not None:
             self.sink = self.sink_factory(0, self.rx.plp.plp_id)
         if self.sink is not None:
