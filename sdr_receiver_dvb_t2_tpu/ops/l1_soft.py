@@ -49,7 +49,11 @@ def cell_llrs(cells: np.ndarray, l1_post_mod: int, scale: float = 24.0
         return np.asarray(cells).real * scale
     from ..params.modes import BITS_PER_CELL, NORM_FACTOR
     const = {1: Constellation.QPSK, 2: Constellation.QAM16,
-             3: Constellation.QAM64}[l1_post_mod]
+             3: Constellation.QAM64}.get(l1_post_mod)
+    if const is None:           # reserved L1_POST mod code in a valid pre
+        from ..params import l1 as _l1
+        raise _l1.L1DecodeError(
+            f"reserved L1_POST modulation {l1_post_mod}")
     eta = BITS_PER_CELL[const]
     per_axis = eta // 2
     c = np.asarray(cells) / NORM_FACTOR[const]

@@ -19,6 +19,14 @@ CRC32_POLY = 0x04C11DB7
 L1_PRE_BITS = 200          # 168 info + 32 CRC
 L1_PRE_CELLS = 1840
 
+
+class L1DecodeError(ValueError):
+    """A CRC-valid L1 block carries out-of-spec field values (e.g. a
+    reserved L1_POST modulation code).  Distinguishes malformed *signal*
+    from programming errors: the streaming tracker treats this as an
+    erasure (repairable from in-band / repetition caches) while any other
+    exception propagates as a bug (runtime/stream._check_l1_dynamic)."""
+
 # (field_name, bit_width) in transmission order
 L1_PRE_FIELDS = [
     ("type", 8), ("bwt_ext", 1), ("s1", 3), ("s2_field1", 3), ("s2_field2", 1),

@@ -192,7 +192,9 @@ def decode_l1_from_p2(cells: np.ndarray, pre: l1.L1Pre):
     else:
         from ..params.modes import Constellation
         const = {1: Constellation.QPSK, 2: Constellation.QAM16,
-                 3: Constellation.QAM64}[mod]
+                 3: Constellation.QAM64}.get(mod)
+        if const is None:       # reserved L1_POST mod code in a valid pre
+            raise l1.L1DecodeError(f"reserved L1_POST modulation {mod}")
         stream = qam.hard_bits(post_cells, const)
     coded = l1_fec.undo_l1_post_interleave(stream, mod)
     info = coded[:k_sig]

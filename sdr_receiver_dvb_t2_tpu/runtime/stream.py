@@ -438,7 +438,11 @@ class StreamingReceiver:
                 pre = None if info is None else l1_lib.parse_l1_pre(info)
             if pre is not None:
                 post = acquisition.decode_l1_from_p2(cells, pre)
-        except Exception:
+        except l1_lib.L1DecodeError:
+            # malformed-but-CRC-valid signalling: an erasure, repairable
+            # below.  Anything else (a parser bug, a device failure) must
+            # raise — silently "repairing" a programming error every batch
+            # would mask it forever.
             post = None
         if post is None:
             # Repair sources, preferred first: in-band type A (EN 302 755

@@ -23,7 +23,12 @@ _REF = Path(os.environ.get("DVBT2_REFERENCE_DIR",
                            "/root/reference")) / "src" / "DVB_T2"
 
 _SOURCES = ["dvbt2_definition.cpp", "address_freq_deinterleaver.cpp",
-            "pilot_generator.cpp", "LDPC/tables_handler.cc"]
+            "pilot_generator.cpp", "LDPC/tables_handler.cc",
+            # interleaver oracle (shim_interleaver.cc): the reference's
+            # bit-deint LUT builder and cell/time deinterleaver, run inert
+            # behind the Qt stubs
+            "time_deinterleaver.cpp", "llr_demapper.cpp"]
+_SHIMS = ["shim.cc", "shim_interleaver.cc"]
 
 
 @functools.lru_cache(maxsize=1)
@@ -33,15 +38,20 @@ def load():
     if not (_REF / "dvbt2_definition.h").exists():
         return None
     h = hashlib.sha256()
-    h.update((_HERE / "shim.cc").read_bytes())
+    for s in _SHIMS:
+        h.update((_HERE / s).read_bytes())
     for s in _SOURCES:
         h.update((_REF / s).read_bytes())
+    for stub in sorted((_HERE / "qt_stubs").iterdir()):
+        h.update(stub.read_bytes())
     so = Path(tempfile.gettempdir()) / f"dvbt2_oracle_{h.hexdigest()[:16]}.so"
     if not so.exists():
+        # -mavx2: llr_demapper.cpp's demap kernels are AVX2 intrinsics
         cmd = ["g++", "-O2", "-fPIC", "-shared", "-std=c++17",
-               "-Wno-attributes",
-               f"-I{_HERE / 'qt_stubs'}", f"-I{_REF}",
-               str(_HERE / "shim.cc")] + [str(_REF / s) for s in _SOURCES] \
+               "-Wno-attributes", "-mavx2",
+               f"-I{_HERE / 'qt_stubs'}", f"-I{_REF}", f"-I{_REF.parent}"] \
+              + [str(_HERE / s) for s in _SHIMS] \
+              + [str(_REF / s) for s in _SOURCES] \
               + ["-o", str(so)]
         try:
             subprocess.run(cmd, check=True, capture_output=True, text=True,
@@ -75,6 +85,12 @@ def load():
     lib.oracle_ldpc_decode.restype = ctypes.c_int
     lib.oracle_ldpc_decode.argtypes = [ctypes.c_void_p, i8p, ctypes.c_int]
     lib.oracle_ldpc_free.argtypes = [ctypes.c_void_p]
+    lib.oracle_bit_deint_lut.restype = ctypes.c_int
+    lib.oracle_bit_deint_lut.argtypes = [ctypes.c_int] * 3 + [ip]
+    lib.oracle_cell_deint_permutation.restype = ctypes.c_int
+    lib.oracle_cell_deint_permutation.argtypes = [ctypes.c_int] * 3 + [ip]
+    lib.oracle_time_deint.restype = ctypes.c_int
+    lib.oracle_time_deint.argtypes = [ctypes.c_int] * 5 + [fp] * 4
     return lib
 
 
@@ -217,3 +233,56 @@ class LdpcOracle:
     def __del__(self):
         if getattr(self, "_h", None) and self._lib:
             self._lib.oracle_ldpc_free(self._h)
+
+
+# reference code-rate enum (dvbt2_definition.h:68-76) and mod codes
+CODE_RATE = {"C1_2": 0, "C3_5": 1, "C2_3": 2, "C3_4": 3, "C4_5": 4,
+             "C5_6": 5}
+PLP_MOD = {"QPSK": 0, "QAM16": 1, "QAM64": 2, "QAM256": 3}
+
+
+def bit_deint_lut(plp_mod: int, normal: bool, code_rate: int) -> np.ndarray:
+    """Reference combined bit-deinterleave scatter LUT (llr_demapper ctor):
+    u_position = lut[demapped_stream_bit] with u the parity-interleaved
+    codeword."""
+    lib = load()
+    out = np.zeros(64800 if normal else 16200, np.int32)
+    n = lib.oracle_bit_deint_lut(plp_mod, 1 if normal else 0, code_rate,
+                                 _ip(out))
+    assert n == len(out), (n, len(out))
+    return out
+
+
+def cell_deint_permutation(plp_mod: int, normal: bool,
+                           num_blocks: int) -> np.ndarray:
+    """Reference cell-deinterleaver permutation, [num_blocks * cells]."""
+    lib = load()
+    bits = {0: 2, 1: 4, 2: 6, 3: 8}[plp_mod]
+    cells = (64800 if normal else 16200) // bits
+    out = np.zeros(num_blocks * cells, np.int32)
+    n = lib.oracle_cell_deint_permutation(plp_mod, 1 if normal else 0,
+                                          num_blocks, _ip(out))
+    assert n == len(out)
+    return out.reshape(num_blocks, cells)
+
+
+def time_deinterleave(plp_mod: int, normal: bool, stream: np.ndarray,
+                      num_blocks: int, num_blocks_max: int,
+                      time_il_length: int) -> np.ndarray:
+    """Run the reference time_deinterleaver on one interleaving frame.
+
+    stream: [num_blocks * cells] complex64, the PLP cell slice in
+    transmission order.  Returns the deinterleaved cells (natural
+    FEC-block-major order, Q-delay removed) as complex64."""
+    lib = load()
+    stream = np.asarray(stream, np.complex64)
+    in_re = np.ascontiguousarray(stream.real, np.float32)
+    in_im = np.ascontiguousarray(stream.imag, np.float32)
+    out_re = np.zeros(len(stream), np.float32)
+    out_im = np.zeros(len(stream), np.float32)
+    n = lib.oracle_time_deint(plp_mod, 1 if normal else 0, num_blocks,
+                              num_blocks_max, time_il_length,
+                              _fp(in_re), _fp(in_im), _fp(out_re),
+                              _fp(out_im))
+    assert n == len(stream), (n, len(stream))
+    return (out_re + 1j * out_im).astype(np.complex64)
