@@ -199,6 +199,190 @@ def main():
         f"{ts_total // 188 // e2e_reps} TS pkts/batch "
         f"(tunnel d2h-bound; see BENCH notes)\n")
 
+    # round-3 capability paths on the REAL chip (VERDICT r3 next #4):
+    # Wiener/temporal-union equalization (SFN) and MISO Alamouti.  Each is
+    # throughput-measured on the same two-stage pipeline as the headline;
+    # failures must not cost the already-printed headline.
+    for variant in (_bench_sfn, _bench_miso):
+        try:
+            variant(on_tpu)
+        except Exception as e:                    # pragma: no cover
+            sys.stderr.write(f"secondary {variant.__name__} FAILED: "
+                             f"{type(e).__name__}: {e}\n")
+
+
+def _pipeline_throughput(tag, mode, plp, frames, n_fec, l1_post_cells,
+                         on_tpu, sfn=False):
+    """Time the two-stage (demod->LLR, FEC) pipeline for one variant."""
+    from sdr_receiver_dvb_t2_tpu.ops import (cplx, rx_chain, ldpc_decode,
+                                             ldpc_pallas, bch_ops)
+    from sdr_receiver_dvb_t2_tpu.params import l1 as l1_mod
+    n_frames = frames.shape[0]
+    plan = rx_chain.get_plan(mode, plp, n_fec, 1,
+                             l1_mod.L1_PRE_CELLS + l1_post_cells, sfn=sfn)
+    n_cw = n_frames * n_fec
+    if on_tpu:
+        tiles = -(-n_cw // 128)
+        decoder = ldpc_pallas.make_pallas_decoder(
+            plp.ldpc_table_name, batch=128, n_tiles=tiles, max_iters=15,
+            bch_h=bch_ops._h_matrix(plp.k_bch, plp.bch_m, plp.bch_t))
+        n_pad = tiles * 128
+    else:
+        decoder = ldpc_decode.make_decoder_t(plp.ldpc_table_name,
+                                             max_iters=15)
+        n_pad = n_cw
+    consts = plan.device_consts()
+
+    @jax.jit
+    def to_llr(frames_iq, c):
+        llr_t, diag = rx_chain.frames_to_llr_t(frames_iq, plan, c)
+        llr_t = llr_t.astype(jnp.int8)
+        if n_pad > llr_t.shape[1]:
+            llr_t = jnp.concatenate(
+                [llr_t, jnp.zeros((llr_t.shape[0], n_pad - llr_t.shape[1]),
+                                  jnp.int8)], axis=1)
+        return llr_t, jnp.mean(diag["snr_db"])
+
+    @jax.jit
+    def fec(llr_t):
+        out = decoder(llr_t)
+        if len(out) == 4:
+            hard_t, ok, iters, clean = out
+            return ok[:n_cw], clean[:n_cw], iters
+        hard_t, ok, iters = out
+        clean = bch_ops.syndrome_flags_t(hard_t[:plp.n_bch, :n_cw], plp)
+        return ok[:n_cw], clean, iters
+
+    def pipeline(frames_iq):
+        llr, snr = to_llr(frames_iq, consts)
+        ok, clean, iters = fec(llr)
+        return ok, clean, iters, snr
+
+    dev_frames = jax.device_put(cplx.from_np(frames))
+    ok, clean, iters, snr = jax.block_until_ready(pipeline(dev_frames))
+    n_clean = int(np.sum(np.asarray(clean)))
+    reps = 25 if on_tpu else 1
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = pipeline(dev_frames)
+    _ = int(np.asarray(out[2]).max())
+    dt = time.perf_counter() - t0
+    msps = n_frames * mode.frame_samples * reps / dt / 1e6
+    sys.stderr.write(
+        f"secondary: {tag} {msps:.1f} Msps = "
+        f"{msps * 1e6 / ELEM_RATE:.1f}x real time "
+        f"(bch_clean {n_clean}/{n_cw}, snr {float(snr):.1f} dB)\n")
+
+
+def _variant_frames(cache, make):
+    if cache.exists():
+        z = np.load(cache)
+        return z["frames"], int(z["n_fec"]), int(z["l1_post_cells"])
+    frames, n_fec, l1pc = make()
+    np.savez(cache, frames=frames, n_fec=n_fec, l1_post_cells=l1pc)
+    return frames, n_fec, l1pc
+
+
+def _frame_capacity(mode, plp, n_frames):
+    from sdr_receiver_dvb_t2_tpu.models.transmitter import (Transmitter,
+                                                            TxConfig)
+    from sdr_receiver_dvb_t2_tpu.params import l1 as l1_mod
+    tmp = Transmitter(TxConfig(mode=mode, plp=plp, fec_blocks_per_frame=1,
+                               num_t2_frames=n_frames))
+    l1_cells = l1_mod.L1_PRE_CELLS + tmp.l1_pre.l1_post_size
+    n_fec = (mode.frame_cells - l1_cells) // plp.cells_per_fec_block
+    return n_fec, tmp.l1_pre.l1_post_size
+
+
+def _bench_sfn(on_tpu):
+    """Wiener rows + temporal-union pilots (the SFN equalizer) on a 32K
+    mode whose per-row pilot reach is below the guard — the plan is
+    SFN-grade by construction (ops/equalizer.sfn_reach_gated), with an
+    in-guard echo in the signal so the path is exercised for real."""
+    from sdr_receiver_dvb_t2_tpu.models.transmitter import (
+        Transmitter, TxConfig, random_ts_stream)
+    from sdr_receiver_dvb_t2_tpu.params.modes import (
+        T2Mode, PlpConfig, FftMode, GuardInterval, PilotPattern,
+        Constellation, CodeRate, FecFrame)
+    mode = T2Mode(fft_mode=FftMode.FFT_32K, guard=GuardInterval.G1_32,
+                  pilot_pattern=PilotPattern.PP7, extended_carriers=True,
+                  n_data_symbols=59).validate()
+    plp = PlpConfig(constellation=Constellation.QAM256, rotation=True,
+                    code_rate=CodeRate.C2_3, fec_frame=FecFrame.NORMAL,
+                    time_il_length=1, num_blocks_max=254)
+    n_frames = 4 if on_tpu else 1
+
+    def make():
+        n_fec, l1pc = _frame_capacity(mode, plp, n_frames + 1)
+        tx = Transmitter(TxConfig(mode=mode, plp=plp,
+                                  fec_blocks_per_frame=n_fec,
+                                  num_t2_frames=n_frames + 1))
+        ts = random_ts_stream(
+            (n_frames + 2) * n_fec * (plp.k_bch // 8) // 188, seed=13)
+        iq = tx.modulate(ts)[:(n_frames + 1) * mode.frame_samples]
+        # -10 dB echo at 60% of the guard; drop frame 0 (echo warm-up)
+        d = int(0.6 * mode.guard_size)
+        echo = np.concatenate([np.zeros(d, np.complex64), iq[:-d]])
+        iq = iq + 0.32 * echo
+        rng = np.random.default_rng(29)
+        npow = np.mean(np.abs(iq) ** 2) / 10 ** (27.0 / 10)
+        iq = iq + ((rng.standard_normal(len(iq))
+                    + 1j * rng.standard_normal(len(iq)))
+                   * np.sqrt(npow / 2)).astype(np.complex64)
+        frames = iq[mode.frame_samples:].reshape(n_frames,
+                                                 mode.frame_samples)
+        return frames.astype(np.complex64), n_fec, l1pc
+
+    cache = Path(__file__).resolve().parent / ".bench_cache_sfn.npz"
+    frames, n_fec, l1pc = _variant_frames(cache, make)
+    _pipeline_throughput("sfn/wiener 32K GI1/32", mode, plp, frames,
+                         n_fec, l1pc, on_tpu)
+
+
+def _bench_miso(on_tpu):
+    """MISO (Alamouti) on 32K: distinct per-TX-group channels summed at
+    the antenna; the receiver separates h1/h2 from the inverted pilots
+    and pair-combines (beyond the reference, whose MISO is vestigial)."""
+    from sdr_receiver_dvb_t2_tpu.models.transmitter import (
+        Transmitter, TxConfig, random_ts_stream)
+    from sdr_receiver_dvb_t2_tpu.params.modes import (
+        T2Mode, PlpConfig, FftMode, GuardInterval, PilotPattern,
+        Constellation, CodeRate, FecFrame)
+    mode = T2Mode(fft_mode=FftMode.FFT_32K, guard=GuardInterval.G1_128,
+                  pilot_pattern=PilotPattern.PP8, extended_carriers=True,
+                  n_data_symbols=59, miso=True).validate()
+    plp = PlpConfig(constellation=Constellation.QAM256, rotation=True,
+                    code_rate=CodeRate.C2_3, fec_frame=FecFrame.NORMAL,
+                    time_il_length=1, num_blocks_max=254)
+    n_frames = 4 if on_tpu else 1
+
+    def make():
+        n_fec, l1pc = _frame_capacity(mode, plp, n_frames)
+        tx = Transmitter(TxConfig(mode=mode, plp=plp,
+                                  fec_blocks_per_frame=n_fec,
+                                  num_t2_frames=n_frames))
+        ts = random_ts_stream(
+            (n_frames + 1) * n_fec * (plp.k_bch // 8) // 188, seed=17)
+        iq1, iq2 = tx.modulate(ts)
+        n = n_frames * mode.frame_samples
+        iq1, iq2 = iq1[:n], iq2[:n]
+        g1 = np.zeros(64, np.complex64)
+        g1[0], g1[23] = 0.9 * np.exp(1j * 0.3), 0.22 * np.exp(-1j * 2.1)
+        g2 = np.zeros(64, np.complex64)
+        g2[4], g2[41] = 0.6 * np.exp(1j * 1.2), 0.18 * np.exp(1j * 0.4)
+        rxs = (np.convolve(iq1, g1)[:n] + np.convolve(iq2, g2)[:n])
+        rng = np.random.default_rng(31)
+        npow = np.mean(np.abs(rxs) ** 2) / 10 ** (27.0 / 10)
+        rxs = rxs + ((rng.standard_normal(n) + 1j * rng.standard_normal(n))
+                     * np.sqrt(npow / 2)).astype(np.complex64)
+        frames = rxs.reshape(n_frames, mode.frame_samples)
+        return frames.astype(np.complex64), n_fec, l1pc
+
+    cache = Path(__file__).resolve().parent / ".bench_cache_miso.npz"
+    frames, n_fec, l1pc = _variant_frames(cache, make)
+    _pipeline_throughput("miso/alamouti 32K PP8", mode, plp, frames,
+                         n_fec, l1pc, on_tpu)
+
 
 if __name__ == "__main__":
     main()

@@ -22,8 +22,14 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="sdr_receiver_dvb_t2_tpu",
         description="TPU-native DVB-T2 receiver: raw IQ in, MPEG-TS out.")
+    p.add_argument("--pod", metavar="TOML", default=None,
+                   help="multi-channel pod mode: decode every channel of a "
+                        "TOML config (per-channel inputs/sinks) on a "
+                        "(ch x time) device mesh with blind per-channel "
+                        "acquisition, L1-dynamic tracking and relock — "
+                        "see docs in cli.run_pod")
     src = p.add_argument_group("input")
-    src.add_argument("--input", required=True,
+    src.add_argument("--input", required=False,
                      help="raw IQ capture file ('*_<rate>_<8|16|fc>.raw'), "
                           "or 'udp://:<port>' for live IQ datagrams")
     src.add_argument("--rate", type=float, default=None,
@@ -108,11 +114,142 @@ def _plp_sink_factory(out_spec: str):
     return factory
 
 
+def run_pod(args) -> int:
+    """Pod deployment entry (VERDICT r3 next #6): N channels, one mesh.
+
+    The TOML config maps per-channel inputs onto blind acquisition +
+    MultiChannelReceiver with per-channel TS sinks and stats lines::
+
+        rate = 10e6          # device sample rate (Hz); or per channel
+        format = "u8"        # raw format (u8/s8/s16/f32) for files
+        mesh = [4, 1]        # optional [ch, time]; default: auto
+        track = true         # close CFO/SRO loops per channel
+        track_l1 = true      # per-step dynamic-L1 tracking
+        relock = true        # partial acquisition + mid-stream relock
+        max_steps = 0        # 0 = until the captures run out
+
+        [[channel]]
+        input = "ch0_10000000_8.raw"
+        out = "udp://127.0.0.1:7654"
+
+        [[channel]]
+        input = "ch1.raw"
+        out = "ch1.ts"
+    """
+    import tomllib
+    import numpy as np
+    import jax
+    from .io import sources, sinks
+    from .io.native import make_bb_parser
+    from .parallel import acquire, pod, sharding
+    from .runtime.stream import raw_to_complex_np
+
+    with open(args.pod, "rb") as f:
+        cfg = tomllib.load(f)
+    chans = cfg.get("channel", [])
+    if not chans:
+        print("pod config has no [[channel]] entries", file=sys.stderr)
+        return 2
+    C = len(chans)
+    rate = float(cfg.get("rate", 0)) or None
+    fmt = cfg.get("format")
+
+    # load per-channel captures (the pod CLI drives recorded captures;
+    # live multi-SDR ingest feeds pod.stream chunk-wise from daemons)
+    rows = []
+    import os
+    for ch in chans:
+        src = sources.RawFileSource(ch["input"], sample_rate=rate, fmt=fmt)
+        item = {"u8": 1, "s8": 1, "s16": 2, "f32": 4}[src.info.fmt]
+        n_samp = os.path.getsize(ch["input"]) // (2 * item)
+        blk = src.read(n_samp)
+        src.close()
+        if blk is None or n_samp == 0:
+            print(f"empty capture: {ch['input']}", file=sys.stderr)
+            return 2
+        rows.append(blk if blk.dtype == np.complex64
+                    else raw_to_complex_np(blk, src.info.fmt))
+        rate = src.info.sample_rate
+    n = min(len(r) for r in rows)
+    raw = np.stack([r[:n] for r in rows])
+
+    relock = bool(cfg.get("relock", True))
+    lock = acquire.blind_acquire(
+        raw, rate, plp_index=int(cfg.get("plp", 0)),
+        all_plps=cfg.get("plp") == "all", allow_partial=relock)
+    if lock is None:
+        print("pod acquisition failed on every channel", file=sys.stderr)
+        return 1
+    for c in range(C):
+        state = ("locked" if lock.locked[c]
+                 else "MISMATCHED MUX" if c in lock.mismatched else "dark")
+        print(f"ch{c}: {chans[c]['input']} -> {state}", file=sys.stderr)
+    m = lock.cfg.mode
+    print(f"pod config: {m.fft_size//1024}K FFT GI {m.guard.name} "
+          f"{lock.cfg.plp.constellation.name} r="
+          f"{lock.cfg.plp.code_rate.name}; {C} channels", file=sys.stderr)
+
+    mesh_shape = cfg.get("mesh")
+    if mesh_shape:
+        mesh = sharding.make_mesh(int(mesh_shape[0]), int(mesh_shape[1]))
+    else:
+        nd = len(jax.devices())
+        n_ch = max(d for d in range(1, min(C, nd) + 1) if C % d == 0)
+        mesh = sharding.make_mesh(n_ch, 1)
+    rx = pod.MultiChannelReceiver(lock.cfg, mesh)
+
+    out_sinks = [sinks.make_sink(ch.get("out", f"udp://127.0.0.1:{7654+c}"))
+                 for c, ch in enumerate(chans)]
+    parsers = [make_bb_parser() for _ in range(C)]   # native when built
+    kb = lock.cfg.plp.k_bch // 8
+    max_steps = int(cfg.get("max_steps", 0)) or None
+    aligned = lock.aligned(raw)
+    pkts = np.zeros(C, np.int64)
+    t_last = time.monotonic()
+    n_steps = 0
+    for hard, stats in rx.stream(
+            aligned, lock.mu0, lock.step, freq=lock.freq,
+            max_steps=max_steps, track=bool(cfg.get("track", True)),
+            track_l1=bool(cfg.get("track_l1", True)), relock=relock,
+            locked=lock.locked, frame_idx0=lock.frame_idx0):
+        for e in stats["events"]:
+            print(f"event: {e}", file=sys.stderr)
+        bb = stats["plp_results"][0].bb_bytes    # packed, device-packed 8x
+        for c in range(C):
+            if not stats["alive"][c]:
+                continue
+            ts = parsers[c].parse_batch(bb[c].reshape(-1, bb.shape[-1])
+                                        [:, :kb])
+            if len(ts):
+                out_sinks[c].write(ts)
+                pkts[c] += len(ts) // 188
+        n_steps += 1
+        if time.monotonic() - t_last >= float(cfg.get("stats", 5.0)):
+            line = " ".join(
+                f"ch{c}:{'up' if stats['alive'][c] else 'DOWN'}"
+                f"/{pkts[c]}pkt/{stats['bch_dirty_ch'][c]}dirty"
+                for c in range(C))
+            print(f"step {n_steps} snr={stats['snr_db']:.1f}dB {line}",
+                  file=sys.stderr)
+            t_last = time.monotonic()
+    for s in out_sinks:
+        s.close()
+    print(f"done: {n_steps} steps, per-channel TS packets: "
+          f"{pkts.tolist()}", file=sys.stderr)
+    return 0
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
+
+    if args.pod is not None:
+        return run_pod(args)
+    if args.input is None:
+        print("--input is required (or --pod)", file=sys.stderr)
+        return 2
 
     from .io import sources, sinks
     from .runtime import stream as stream_mod

@@ -1,4 +1,4 @@
-"""Pod-scale deployment configuration: many RF channels across hosts.
+"""Pod-scale deployment: many RF channels across hosts, steady-state.
 
 The BASELINE north star is 64 concurrent 8 MHz channels sharded over a
 multi-host TPU pod.  RF channels are embarrassingly parallel, so the
@@ -8,12 +8,32 @@ cannot hold a whole channel's frame batch.
 
 On a pod, initialize with jax.distributed.initialize() per host; the same
 ShardedReceiver code runs unchanged — jax.make_mesh lays devices out so
-the "time" axis (which carries the ppermute halo exchange) stays on
-ICI-adjacent chips, while "ch" may span hosts (no cross-channel
-communication exists, so DCN hops are free).
+the "time" axis (which carries the halo) stays on ICI-adjacent chips,
+while "ch" may span hosts (no cross-channel communication exists, so DCN
+hops are free).
 
-This module only arranges meshes and fans per-channel IQ/TS at the edges;
-the compute path is parallel/sharding.ShardedReceiver.
+``MultiChannelReceiver.stream`` is the steady-state loop (VERDICT round-3
+next #1/#3).  It runs on the WINDOW front-end path (one raw window per
+(channel, time-shard) at host-chosen float64 positions,
+sharding.plane_step_windows), which is what makes the following possible
+without any device-shape change:
+
+* **L1-dynamic tracking** (``track_l1=True``): the plane stage returns the
+  first frame's equalized L1 cells per channel; the host re-reads dynamic
+  L1 every step (reference: per-frame dyn L1 re-read,
+  /root/reference/src/DVB_T2/dvbt2_demodulator.cpp:328-346) and rebuilds
+  only the per-PLP fec jits when PLP_NUM_BLOCKS / PLP_START move.
+* **FEF hops** (ShardedConfig.fef): per-channel FRAME_IDX arithmetic
+  places each shard's window after the gaps (EN 302 755 clause 8.4).
+* **multi-PLP**: every configured PLP decodes from the same plane.
+* **per-channel health + relock** (``relock=True``): a channel whose BCH
+  stays dirty is re-acquired blind from its own recent raw while the
+  other channels keep decoding (single-chip analogue: dead-batch relock,
+  runtime/stream.py; reference: per-instance reset, rx_base.cpp:163-167).
+
+Single-PLP static muxes can also use the legacy fixed-cadence step()
+(contiguous raw + ppermute halo exchange), which remains the bench and
+dryrun path.
 """
 from __future__ import annotations
 
@@ -21,6 +41,7 @@ import numpy as np
 import jax
 
 from . import sharding
+from ..params.modes import SAMPLE_RATE
 
 
 def pod_mesh(n_channels: int, time_per_channel: int = 1, devices=None):
@@ -53,6 +74,11 @@ class MultiChannelReceiver:
     heterogeneous configs would use one ShardedReceiver per group.
     """
 
+    # minimum raw position of any window start (sharding.WINDOW_LEAD of
+    # left context per window); acquisition folds whole raw samples into
+    # pos0 to land mu0 just past this
+    _MU_LO = float(sharding.WINDOW_LEAD)
+
     def __init__(self, cfg: sharding.ShardedConfig, mesh):
         self.rx = sharding.ShardedReceiver(cfg, mesh)
         self.n_ch = mesh.shape["ch"]
@@ -74,82 +100,302 @@ class MultiChannelReceiver:
             n_channels=raw_per_channel.shape[0])
         return self.rx.step(raw_per_channel, idx0, frac0, phase0, freq, step)
 
-    # The per-shard halo exchange covers shards 1..n-1 within a step;
-    # shard 0's left context comes from OVERLAPPING the feed windows
-    # (consume slightly less than a window per step and keep the warm-up
-    # position mu inside [32, 33) raw samples, past the zero-padded halo
-    # edge and the half-band transient), so a continuous stream decodes
-    # continuously across steps.
-    _MU_LO = 32.0
+    # ------------------------------------------------------------------
+    def _frame_offsets(self, frame_idx: np.ndarray):
+        """Per-channel elementary offsets of each shard's frame start for
+        one step, plus (elementary consumed, frame_idx after the step).
 
+        FRAME_IDX arithmetic (EN 302 755 clause 8.4): fef_length
+        elementary samples follow every fef_interval-th T2 frame.
+        """
+        rx = self.rx
+        fs = rx.mode.frame_samples
+        fps = rx.cfg.frames_per_shard
+        fef = rx.cfg.fef
+        n_t2 = max(1, rx.cfg.num_t2)
+        C = len(frame_idx)
+        e_off = np.zeros((C, self.n_time), np.float64)
+        e_total = np.zeros(C, np.float64)
+        idx_next = frame_idx.copy()
+        if fef is None:
+            off = np.arange(self.n_time) * fps * fs
+            e_off[:] = off[None, :]
+            e_total[:] = self.n_time * fps * fs
+            return e_off, e_total, idx_next
+        assert fps == 1, "FEF streaming needs frames_per_shard == 1"
+        interval, fef_len = fef
+        for c in range(C):
+            idx, pos = int(frame_idx[c]), 0.0
+            for t in range(self.n_time):
+                e_off[c, t] = pos
+                pos += fs
+                if interval > 0 and (idx + 1) % interval == 0:
+                    pos += fef_len
+                idx = (idx + 1) % n_t2
+            e_total[c] = pos
+            idx_next[c] = idx
+        return e_off, e_total, idx_next
+
+    def _decode_l1(self, plane, channel: int):
+        from ..runtime import acquisition
+        from ..params import l1 as l1_mod
+        try:
+            return acquisition.decode_l1_cells(plane.l1_cells(channel))
+        except l1_mod.L1DecodeError:
+            return None
+
+    def _apply_l1_dyn(self, post, events: list) -> None:
+        """Rebuild the per-PLP fec stages if dynamic L1 moved the PLPs
+        (PLP_NUM_BLOCKS / PLP_START).  The plane stage is untouched."""
+        rx = self.rx
+        for i, st in enumerate(list(rx.plps)):
+            dyn = next((d for d in post.dyn.plp if d.id == st.plp.plp_id),
+                       None)
+            if dyn is None:
+                continue
+            if (dyn.num_blocks != st.n_fec_per_frame
+                    or dyn.start != st.plp_start):
+                events.append(
+                    f"l1_dyn: plp{st.plp.plp_id} num_blocks "
+                    f"{st.n_fec_per_frame}->{dyn.num_blocks} start "
+                    f"{st.plp_start}->{dyn.start}")
+                rx.replace_plp(i, sharding.PlpState(
+                    st.plp, dyn.num_blocks, st.n_ti, dyn.start))
+
+    def _try_relock(self, raw: np.ndarray, c: int, r_lo: float,
+                    step_c: float, events: list):
+        """Blind re-acquisition of one dark channel from its recent raw
+        (P1 search + CFO + GI/L1 scan) while the rest of the pod keeps
+        decoding.  Returns (r_frame, freq, frame_idx) or None.
+
+        The search depth is bounded (~4 frames + a FEF gap): the channel
+        relocks within a few steps of signal appearing, and a channel
+        that stays dark costs a bounded scan per step instead of the
+        whole remaining capture."""
+        from . import acquire
+        rx = self.rx
+        depth_elem = 4 * rx.mode.frame_samples
+        if rx.cfg.fef is not None:
+            depth_elem += rx.cfg.fef[1]
+        lo = max(0, int(r_lo))
+        head = raw[c, lo:lo + int(depth_elem * 2.0 * step_c) + 64]
+        if len(head) < 200_000:
+            return None
+        got = acquire._acquire_one(head, step_c, depth_elem,
+                                   self.rx.cfg.fir_preset)
+        if got is None:
+            return None
+        r0, freq_raw, acq = got
+        if acq.mode.fft_mode != self.rx.mode.fft_mode:
+            events.append(f"relock: ch{c} locked to a different mux "
+                          f"(fft {acq.mode.fft_mode}); staying dark")
+            return None
+        events.append(f"relock: ch{c} reacquired")
+        return (lo + r0, freq_raw,
+                acq.l1_post.dyn.frame_idx % max(1, self.rx.cfg.num_t2))
+
+    # ------------------------------------------------------------------
     def stream(self, raw: np.ndarray, mu0, step,
                freq=0.0, max_steps: int | None = None,
                track: bool = False, cfo_gain: float = 0.3,
-               sro_gain: float = 0.5):
+               sro_gain: float = 0.5, track_l1: bool = False,
+               relock: bool = False, locked=None, frame_idx0=0,
+               dead_after: int = 3):
         """Generator over consecutive steps of a continuous capture.
 
         raw: [C, N] complex64 (one continuous stream per channel);
-        mu0: raw-domain position of elementary sample 0 relative to raw[0]
-        — the frame alignment, scalar or [C] (parallel.acquire derives it
-        blind per channel).  step/freq likewise scalar or [C].
-        Yields (hard, stats) per step until the capture is exhausted.
+        mu0: raw-domain position of the first frame start relative to
+        raw[:, 0] — scalar or [C] (parallel.acquire derives it blind per
+        channel), must be >= sharding.WINDOW_LEAD.  step/freq likewise
+        scalar or [C].
 
-        ``track=True`` closes the CFO / sampling-rate loops on the mesh
-        path PER CHANNEL: the "time"-reduced [C] guard-interval and
-        pilot-drift discriminators from ``stats`` trim each channel's NCO
-        frequency and resample step between steps, exactly like the
-        single-chip loop (runtime/stream.py:344-357) — independent RF
-        channels have independent LO/clock errors, so a 64-channel pod
-        holds lock per channel without a shared clock.  Host-applied state
-        is reported in stats as cfo_hz_applied / sro_ppm_applied ([C]).
+        Yields (hard, stats) per step until the capture is exhausted;
+        ``hard`` is the primary PLP's bits [C, n_time*F, n_fec, n_bch].
+
+        ``track=True`` closes the CFO / sampling-rate loops PER CHANNEL:
+        the "time"-reduced [C] guard-interval and pilot-drift
+        discriminators trim each channel's NCO frequency and resample
+        step between steps, exactly like the single-chip loop
+        (runtime/stream.py) — independent RF channels have independent
+        LO/clock errors, so a 64-channel pod holds lock per channel
+        without a shared clock.  SFN plans additionally steer first-path
+        timing from the CIR profile.  Host-applied state is reported in
+        stats as cfo_hz_applied / sro_ppm_applied ([C]).
+
+        ``track_l1=True`` re-reads dynamic L1 every step and rebuilds the
+        per-PLP fec stages when the schedule moves; ``relock=True`` (with
+        ``locked`` an optional [C] bool mask from partial acquisition)
+        re-acquires dark/dead channels mid-stream.  FEF-mixed streams
+        (ShardedConfig.fef) hop the gaps by per-channel FRAME_IDX
+        arithmetic seeded from ``frame_idx0``.
         """
-        from ..ops import equalizer as eq_mod
-        from ..params.modes import SAMPLE_RATE
+        rx = self.rx
         C = raw.shape[0]
         mu = np.broadcast_to(np.asarray(mu0, np.float64), (C,)).copy()
         step = np.broadcast_to(np.asarray(step, np.float64), (C,)).copy()
         freq = np.broadcast_to(np.asarray(freq, np.float64), (C,)).copy()
-        # the raw window size stays FIXED at the initial step (SRO trims are
-        # <= 2e-5 relative; re-deriving it per step would change jit shapes)
-        rb = self.rx.raw_block_for(float(np.max(step)))
-        window = self.n_time * rb
-        # elementary samples consumed per step (exact, by construction)
-        elem_per_step = self.n_time * self.rx.k_loc
-        sro_coeff = eq_mod.sro_coefficient(self.rx.mode)
-        raw_per_elem0 = 2.0 * step          # raw samples per elementary [C]
-        pos = np.zeros(C, np.int64)
-        assert ((self._MU_LO <= mu) & (mu < self._MU_LO + 2)).all(), (
-            "mu0 must land in the warm-up band; fold whole raw samples "
-            "into the window start instead (see test_pod_stream_continuity)")
-        n = 0
-        phase = np.zeros(C, np.float64)
+        frame_idx = np.broadcast_to(
+            np.asarray(frame_idx0, np.int64), (C,)).copy()
+        alive = (np.ones(C, bool) if locked is None
+                 else np.asarray(locked, bool).copy())
+        assert (mu[alive] >= self._MU_LO).all(), (
+            "mu0 must be >= WINDOW_LEAD; fold whole raw samples into pos0")
+
+        from ..ops import equalizer as eq_mod
+        sro_coeff = eq_mod.sro_coefficient(rx.mode)
+        raw_per_elem0 = 2.0 * step.copy()    # raw samples per elementary
+        # window size is FIXED from the initial steps (SRO trims <= 2e-5)
+        win = rx.window_len(float(np.max(step)))
+        r_frame = mu.copy()                  # raw position of next frame 0
+        phase_origin = np.zeros(C, np.float64)   # NCO phase at raw[:, 0]
         cfo_hz_applied = np.zeros(C, np.float64)
-        buf = np.empty((C, window), raw.dtype)
-        while int(np.max(pos)) + window <= raw.shape[1]:
-            idx0, frac0, phase0 = self.rx.host_bases(mu, step, phase, freq,
-                                                     rb)
+        dead_steps = np.zeros(C, np.int64)
+        post_cache = None
+        dyn_next = None
+        l1_dyn_errors = 0
+        n = 0
+        buf = np.empty((C, self.n_time, win), raw.dtype)
+        while True:
+            e_off, e_total, idx_next = self._frame_offsets(frame_idx)
+            r0 = r_frame[:, None] + raw_per_elem0[:, None] * e_off
+            w0, idx0, frac0, phase0 = rx.host_bases_windows(
+                r0, step, phase_origin, freq)
+            live = alive if alive.any() else np.ones(C, bool)
+            if int(w0[live].max()) + win > raw.shape[1]:
+                return
+            # dark channels: clamp their windows into range (their output
+            # is flagged dead; the data is don't-care)
+            w0 = np.clip(w0, 0, raw.shape[1] - win)
+            # per-(channel, shard) CONTIGUOUS slices into a reused buffer:
+            # measured ~20x faster than one fancy-index gather at the
+            # 64-channel 32K config (tools/bench_pod_host.py) — each copy
+            # is a straight memcpy, the loop is C*n_time iterations
             for c in range(C):
-                buf[c] = raw[c, pos[c]:pos[c] + window]
-            hard, stats = self.rx.step(buf, idx0, frac0, phase0, freq, step)
+                for t in range(self.n_time):
+                    buf[c, t] = raw[c, w0[c, t]:w0[c, t] + win]
+
+            plane = rx.plane_step_windows(buf, idx0, frac0, phase0,
+                                          freq, step)
+            events: list = []
+            post = None
+            if track_l1:
+                got = self._decode_l1(plane, 0)
+                if got is not None:
+                    pre, post = got
+                    post_cache = post
+                    dyn_next = (post.dyn_next
+                                if pre.l1_repetition_flag
+                                and post.dyn_next.plp else None)
+                elif dyn_next is not None and post_cache is not None:
+                    import copy
+                    post = copy.copy(post_cache)
+                    post.dyn = dyn_next          # one frame of diversity
+                    dyn_next = None
+                    events.append("l1_dyn: repaired from L1 repetition")
+                else:
+                    l1_dyn_errors += int(alive.any())
+                if post is not None:
+                    self._apply_l1_dyn(post, events)
+                    # broadcast FRAME_IDX re-anchors the FEF arithmetic
+                    # (drift would misplace the gap hop); per-channel
+                    # resync when channels are offset captures
+                    if rx.cfg.fef is not None:
+                        n_t2 = max(1, rx.cfg.num_t2)
+                        frame_idx[0] = post.dyn.frame_idx % n_t2
+                        for c in range(1, C):
+                            if not alive[c]:
+                                continue
+                            gc = self._decode_l1(plane, c)
+                            if gc is not None:
+                                frame_idx[c] = gc[1].dyn.frame_idx % n_t2
+                        e_off, e_total, idx_next = self._frame_offsets(
+                            frame_idx)
+
+            results = [rx.fec_step(plane, i) for i in range(len(rx.plps))]
+            fec = results[0]
+            hard = np.unpackbits(fec.bb_bytes, axis=-1)
+            diag = plane.diag_host()
+
+            # ---- per-channel health / relock -------------------------
+            ch_clean = fec.bch_clean.reshape(C, -1).any(axis=1)
+            dead_steps = np.where(ch_clean, 0, dead_steps + 1)
+            just_relocked = np.zeros(C, bool)
+            if relock:
+                newly_dead = alive & (dead_steps >= dead_after)
+                if newly_dead.any():
+                    for c in np.nonzero(newly_dead)[0]:
+                        events.append(f"relock: ch{c} dead "
+                                      f"({dead_steps[c]} dirty steps)")
+                    alive &= ~newly_dead
+                for c in np.nonzero(~alive)[0]:
+                    got = self._try_relock(raw, c, r_frame[c],
+                                           float(step[c]), events)
+                    if got is not None:
+                        # fresh lock: this channel's r_frame now points at
+                        # its NEXT frame; don't advance it again below
+                        r_frame[c], freq[c], frame_idx[c] = got
+                        phase_origin[c] = 0.0
+                        cfo_hz_applied[c] = (freq[c] * 2.0 * SAMPLE_RATE
+                                             * step[c] / (2 * np.pi))
+                        alive[c] = True
+                        dead_steps[c] = 0
+                        just_relocked[c] = True
+
+            stats = dict(
+                ldpc_failures=int(np.sum(~fec.ldpc_ok[alive])),
+                bch_dirty=int(np.sum(~fec.bch_clean[alive])),
+                snr_db=float(np.mean(fec.snr_db[alive]))
+                if alive.any() else 0.0,
+                gi_cfo=diag["gi_cfo"], sro=diag["sro"],
+                ldpc_iters=int(np.max(fec.ldpc_iters)),
+                ldpc_failures_ch=np.sum(~fec.ldpc_ok, axis=(1, 2)),
+                bch_dirty_ch=np.sum(~fec.bch_clean, axis=(1, 2)),
+                snr_db_ch=fec.snr_db, alive=alive.copy(),
+                l1_dyn_errors=l1_dyn_errors, events=events,
+                plp_results=results,
+                l1_post=post if post is not None else post_cache,
+                frame_idx=frame_idx.copy())
+
+            # ---- tracking: apply step-N estimates to step N+1 --------
             if track:
-                # CFO: rad/elementary-sample residual -> rad/raw-sample NCO
-                cfo_res = np.asarray(stats["gi_cfo"], np.float64)   # [C]
-                freq += cfo_gain * cfo_res / raw_per_elem0
-                cfo_hz_applied += (cfo_gain * cfo_res * SAMPLE_RATE
-                                   / (2 * np.pi))
-                # sampling rate: pilot-drift slip -> resample step trim
-                slip = np.asarray(stats["sro"], np.float64) / sro_coeff
-                trim = np.clip(-sro_gain * slip, -2e-5, 2e-5)
+                cfo_res = np.asarray(diag["gi_cfo"], np.float64)  # [C]
+                dfreq = np.where(alive & ~just_relocked,
+                                 cfo_gain * cfo_res / raw_per_elem0, 0.0)
+                # keep the NCO phase continuous at the current stream
+                # position when the frequency moves:
+                # phase(r) = origin + freq*r  must be invariant at r_frame
+                phase_origin = (phase_origin - dfreq * r_frame) % (2 * np.pi)
+                freq = freq + dfreq
+                cfo_hz_applied += np.where(
+                    alive & ~just_relocked,
+                    cfo_gain * cfo_res * SAMPLE_RATE / (2 * np.pi), 0.0)
+                slip = np.asarray(diag["sro"], np.float64) / sro_coeff
+                trim = np.where(alive & ~just_relocked,
+                                np.clip(-sro_gain * slip, -2e-5, 2e-5),
+                                0.0)
                 step *= (1.0 + trim)
-                stats = dict(stats, cfo_hz_applied=cfo_hz_applied.copy(),
-                             sro_ppm_applied=(step * 2.0 / raw_per_elem0
-                                              - 1.0) * 1e6)
+                stats["cfo_hz_applied"] = cfo_hz_applied.copy()
+                stats["sro_ppm_applied"] = (step * 2.0 / raw_per_elem0
+                                            - 1.0) * 1e6
+                # CIR-anchored first-path timing (SFN plans): keep every
+                # echo inside [0, GI] like the single-chip loop
+                cir_p = diag.get("cir_p")
+                if cir_p is not None:
+                    d = rx.plans[0].eq.cir_d
+                    for c in np.nonzero(alive)[0]:
+                        prof = cir_p[c]
+                        first = int(d[int(np.argmax(
+                            prof >= 0.08 * float(prof.max())))])
+                        if abs(first) > 6:
+                            nudge = int(np.clip(first // 2, -24, 24))
+                            r_frame[c] += nudge * 2.0 * step[c]
+                            events.append(f"timing: ch{c} cir nudge "
+                                          f"{nudge}")
+
             yield hard, stats
             n += 1
             if max_steps is not None and n >= max_steps:
                 return
-            advance_exact = mu + elem_per_step * (2.0 * step) - self._MU_LO
-            adv = np.floor(advance_exact).astype(np.int64)
-            mu = mu + elem_per_step * (2.0 * step) - adv
-            phase = (phase + freq * adv) % (2 * np.pi)
-            pos += adv
+            r_frame = np.where(just_relocked, r_frame,
+                               r_frame + 2.0 * step * e_total)
+            frame_idx = np.where(just_relocked, frame_idx, idx_next)

@@ -215,6 +215,29 @@ def decode_l1_from_p2(cells: np.ndarray, pre: l1.L1Pre):
     return l1.parse_l1_post_info(info, pre)
 
 
+def decode_l1_cells(cells: np.ndarray):
+    """Equalized L1 signalling cells -> (pre, post), or None on erasure.
+
+    The steady-state L1 read shared by the single-chip tracker
+    (runtime/stream._check_l1_dynamic) and the pod tracker
+    (parallel/pod.MultiChannelReceiver.stream): hard systematic L1-pre
+    parse, soft-FEC fallback near threshold, then the L1-post decode
+    (hard + soft fallback).  Raises params.l1.L1DecodeError only for
+    malformed-but-CRC-valid signalling; returns None for plain erasure.
+    """
+    pre_bits = (cells[:l1.L1_PRE_CELLS].real < 0).astype(np.uint8)
+    pre = l1.parse_l1_pre(l1_fec.decode_l1_pre_systematic(pre_bits))
+    if pre is None:
+        from ..ops import l1_soft
+        info = l1_soft.decode_l1_pre_fec(
+            l1_soft.cell_llrs(cells[:l1.L1_PRE_CELLS], 0))
+        pre = None if info is None else l1.parse_l1_pre(info)
+    if pre is None:
+        return None
+    post = decode_l1_from_p2(cells, pre)
+    return None if post is None else (pre, post)
+
+
 def acquire_mode(elem: np.ndarray, s1: int, s2_field1: int
                  ) -> AcquisitionResult | None:
     """Blind GI/EXT search + L1 decode.

@@ -426,18 +426,9 @@ class StreamingReceiver:
         from ..params import l1 as l1_lib
         post = None
         try:
-            cells = self.rx.l1_cells(plane)
-            pre_bits = (cells[:l1_lib.L1_PRE_CELLS].real < 0).astype(np.uint8)
-            from ..params import l1_fec
-            pre = l1_lib.parse_l1_pre(
-                l1_fec.decode_l1_pre_systematic(pre_bits))
-            if pre is None:
-                from ..ops import l1_soft
-                info = l1_soft.decode_l1_pre_fec(
-                    l1_soft.cell_llrs(cells[:l1_lib.L1_PRE_CELLS], 0))
-                pre = None if info is None else l1_lib.parse_l1_pre(info)
-            if pre is not None:
-                post = acquisition.decode_l1_from_p2(cells, pre)
+            got = acquisition.decode_l1_cells(self.rx.l1_cells(plane))
+            if got is not None:
+                post = got[1]
         except l1_lib.L1DecodeError:
             # malformed-but-CRC-valid signalling: an erasure, repairable
             # below.  Anything else (a parser bug, a device failure) must

@@ -1,0 +1,300 @@
+"""Pod steady-state parity (VERDICT round-3 next #1/#3): the mesh path
+must survive a real mux — L1-dynamic schedule changes, FEF gaps,
+multi-PLP — and a real deployment — dark antennas, mismatched tuners —
+with every channel decoding TS-exact.
+
+All tests run on the virtual CPU mesh (conftest) with the window
+streaming front end (sharding.plane_step_windows): per-(channel, shard)
+raw windows at host-chosen float64 positions, which is what lets the pod
+hop FEF gaps and re-seed relocked channels without any device-shape
+change.
+"""
+import numpy as np
+import pytest
+
+import jax
+
+from sdr_receiver_dvb_t2_tpu.models.transmitter import (Transmitter,
+                                                        TxConfig,
+                                                        random_ts_stream)
+from sdr_receiver_dvb_t2_tpu.models.channel import ChannelConfig, impair
+from sdr_receiver_dvb_t2_tpu.io.bbframe import BBFrameParser
+from sdr_receiver_dvb_t2_tpu.parallel import acquire, pod, sharding
+from sdr_receiver_dvb_t2_tpu.params.modes import (
+    T2Mode, PlpConfig, FftMode, GuardInterval, PilotPattern, Constellation,
+    CodeRate, FecFrame, SAMPLE_RATE)
+
+DEVICE_RATE = 10_000_000
+STEP = DEVICE_RATE / (2 * SAMPLE_RATE)
+
+
+def _mode(n_data=30):
+    return T2Mode(fft_mode=FftMode.FFT_2K, guard=GuardInterval.G1_8,
+                  pilot_pattern=PilotPattern.PP7, extended_carriers=False,
+                  n_data_symbols=n_data)
+
+
+def _plp(**kw):
+    base = dict(constellation=Constellation.QAM16, code_rate=CodeRate.C1_2,
+                fec_frame=FecFrame.SHORT, rotation=True, time_il_length=1)
+    base.update(kw)
+    return PlpConfig(**base)
+
+
+def _channels(iq, n_ch, offs, snr_db=30.0, cfo_hz=0.0, seed=3,
+              tail=40_000):
+    """TX iq -> [C, N] impaired device-rate capture with per-channel
+    unknown timing offsets (acquisition must find them blind)."""
+    dev = impair(iq, ChannelConfig(device_rate=DEVICE_RATE, snr_db=snr_db,
+                                   cfo_hz=cfo_hz, seed=seed))
+    need = len(dev) + max(offs) + tail
+    rng = np.random.default_rng(17)
+    pwr = np.sqrt(np.mean(np.abs(dev) ** 2) / 400.0)
+    raw = (rng.standard_normal((n_ch, need))
+           + 1j * rng.standard_normal((n_ch, need))
+           ).astype(np.complex64) * pwr
+    for c in range(n_ch):
+        raw[c, offs[c]:offs[c] + len(dev)] += dev
+    return raw
+
+
+def _collect_ts(parsers, hard, k_bch):
+    """Accumulate TS bytes per channel from one step's hard bits."""
+    out = []
+    for c in range(hard.shape[0]):
+        chunks = [parsers[c].parse(hard[c, f, k, :k_bch].astype(np.uint8))
+                  for f in range(hard.shape[1])
+                  for k in range(hard.shape[2])]
+        out.append(np.concatenate(chunks) if chunks else np.empty(0, np.uint8))
+    return out
+
+
+def _assert_ts_match(got: bytes, sync: bytes, min_bytes: int, what: str,
+                     prefix_only: bool = False):
+    at = sync.find(got[:376])
+    assert at >= 0, f"{what}: recovered TS not in transmitted stream"
+    n = min(len(got), len(sync) - at)
+    assert n >= min_bytes, (what, n)
+    if prefix_only:                 # e.g. up to a mux-reconfig boundary
+        n = min_bytes
+    assert got[:n] == sync[at:at + n], what
+
+
+@pytest.mark.slow
+def test_mesh_l1_dynamic_change():
+    """PLP_NUM_BLOCKS changes mid-stream: the pod tracker re-reads dynamic
+    L1 from the plane every step, rebuilds only the fec stage, and both
+    segments' TS decode exactly on BOTH channels (reference analogue: the
+    per-frame dyn L1 re-read, dvbt2_demodulator.cpp:328-346)."""
+    mode, plp = _mode(), _plp()
+    mesh = sharding.make_mesh(2, 2)
+    segs, ts_segs = [], []
+    # 4 frames per segment = 2 steps of (n_time=2 x 1 frame) each: the
+    # schedule change lands on a step boundary, like the single-chip
+    # frames_per_batch contract
+    for n_fec, seed in ((4, 31), (3, 32)):
+        tx = Transmitter(TxConfig(mode=mode, plp=plp,
+                                  fec_blocks_per_frame=n_fec,
+                                  num_t2_frames=4))
+        ts = random_ts_stream(
+            5 * n_fec * (plp.k_bch // 8 - 10) // 188, seed=seed)
+        segs.append(tx.modulate(ts)[:4 * mode.frame_samples])
+        ts_segs.append(ts)
+    iq = np.concatenate(segs)
+    raw = _channels(iq, 2, [700, 1400])
+
+    lock = acquire.blind_acquire(raw, DEVICE_RATE)
+    assert lock is not None and lock.cfg.n_fec_per_frame == 4
+    rx = pod.MultiChannelReceiver(lock.cfg, mesh)
+    aligned = lock.aligned(raw)
+    parsers = [BBFrameParser() for _ in range(2)]
+    ts_out = [[] for _ in range(2)]
+    events = []
+    dirty = []
+    for hard, stats in rx.stream(aligned, lock.mu0, lock.step,
+                                 freq=lock.freq, max_steps=4,
+                                 track_l1=True):
+        events += stats["events"]
+        dirty.append(stats["bch_dirty"])
+        for c, t in enumerate(_collect_ts(parsers, hard, plp.k_bch)):
+            ts_out[c].append(t)
+    assert any(e.startswith("l1_dyn: plp0 num_blocks 4->3")
+               for e in events), events
+    assert rx.rx.plps[0].n_fec_per_frame == 3
+    assert sum(dirty) == 0, dirty
+    for c in range(2):
+        got = np.concatenate(ts_out[c]).tobytes()
+        a, b = ts_segs[0].tobytes(), ts_segs[1].tobytes()
+        # segment B starts a fresh TS in the output; split there (the
+        # transmitted stream is shorter than the generated TS, so only
+        # the parts up to each boundary can match)
+        cut = got.find(b[:188])
+        assert cut > 0, f"ch{c}: segment B never appeared"
+        _assert_ts_match(got[:cut], a, 188 * 20, f"ch{c} segment A",
+                         prefix_only=True)
+        _assert_ts_match(got[cut:], b, 188 * 10, f"ch{c} segment B",
+                         prefix_only=True)
+
+
+@pytest.mark.slow
+def test_mesh_fef_stream():
+    """FEF-mixed capture on the mesh: blind acquisition reads the FEF
+    geometry from L1, and the window streaming path hops the gaps by
+    per-channel FRAME_IDX arithmetic — TS-exact on both channels."""
+    mode, plp = _mode(), _plp()
+    mesh = sharding.make_mesh(2, 2)
+    n_frames, fef_len = 8, 3 * 2048 + 1234
+    tx = Transmitter(TxConfig(mode=mode, plp=plp, fec_blocks_per_frame=4,
+                              num_t2_frames=n_frames,
+                              fef_interval=2, fef_length=fef_len))
+    ts = random_ts_stream(
+        (n_frames + 2) * 4 * (plp.k_bch // 8 - 10) // 188, seed=21)
+    iq = np.concatenate([tx.build_fef_part(), tx.modulate(ts)])
+    raw = _channels(iq, 2, [500, 1100], cfo_hz=4e3, seed=5)
+
+    lock = acquire.blind_acquire(raw, DEVICE_RATE)
+    assert lock is not None
+    assert lock.cfg.fef == (2, fef_len), lock.cfg.fef
+    assert lock.cfg.num_t2 == n_frames
+    rx = pod.MultiChannelReceiver(lock.cfg, mesh)
+    aligned = lock.aligned(raw)
+    parsers = [BBFrameParser() for _ in range(2)]
+    ts_out = [[] for _ in range(2)]
+    n_dirty = 0
+    for hard, stats in rx.stream(aligned, lock.mu0, lock.step,
+                                 freq=lock.freq, max_steps=3,
+                                 track=True, track_l1=True,
+                                 frame_idx0=lock.frame_idx0):
+        n_dirty += stats["bch_dirty"]
+        for c, t in enumerate(_collect_ts(parsers, hard, plp.k_bch)):
+            ts_out[c].append(t)
+    assert n_dirty == 0
+    for c in range(2):
+        got = np.concatenate(ts_out[c]).tobytes()
+        _assert_ts_match(got, ts.tobytes(), 188 * 40, f"ch{c}")
+
+
+@pytest.mark.slow
+def test_mesh_multi_plp():
+    """Two PLPs decode concurrently from ONE equalized plane per channel
+    (the reference re-runs its whole pipeline per PLP)."""
+    mode = _mode()
+    plp_a = _plp(plp_id=0)
+    plp_b = _plp(plp_id=1, constellation=Constellation.QAM64,
+                 code_rate=CodeRate.C2_3, rotation=False)
+    mesh = sharding.make_mesh(2, 2)
+    tx = Transmitter(TxConfig(mode=mode, plps=[plp_a, plp_b],
+                              fec_blocks=[3, 4], num_t2_frames=6))
+    ts_a = random_ts_stream(7 * 3 * (plp_a.k_bch // 8 - 10) // 188, seed=1)
+    ts_b = random_ts_stream(7 * 4 * (plp_b.k_bch // 8 - 10) // 188, seed=2)
+    iq = tx.modulate_multi([ts_a, ts_b])
+    raw = _channels(iq, 2, [900, 300])
+
+    lock = acquire.blind_acquire(raw, DEVICE_RATE, all_plps=True)
+    assert lock is not None
+    assert len(lock.cfg.extra_plps) == 1
+    rx = pod.MultiChannelReceiver(lock.cfg, mesh)
+    aligned = lock.aligned(raw)
+    parsers = {0: [BBFrameParser() for _ in range(2)],
+               1: [BBFrameParser() for _ in range(2)]}
+    ts_out = {0: [[] for _ in range(2)], 1: [[] for _ in range(2)]}
+    for hard, stats in rx.stream(aligned, lock.mu0, lock.step,
+                                 freq=lock.freq, max_steps=2,
+                                 track_l1=True):
+        assert stats["bch_dirty"] == 0, stats
+        for i, res in enumerate(stats["plp_results"]):
+            assert np.all(res.bch_clean), (i, res.bch_clean)
+            bits = np.unpackbits(res.bb_bytes, axis=-1)
+            kb = res.state.plp.k_bch
+            for c, t in enumerate(_collect_ts(parsers[i][0:2], bits, kb)):
+                ts_out[i][c].append(t)
+    for i, ts_in in ((0, ts_a), (1, ts_b)):
+        for c in range(2):
+            got = np.concatenate(ts_out[i][c]).tobytes()
+            _assert_ts_match(got, ts_in.tobytes(), 188 * 10,
+                             f"plp{i} ch{c}")
+
+
+@pytest.mark.slow
+def test_mesh_dark_channel_relock():
+    """One channel starts dark (noise only) and comes alive mid-capture:
+    the pod acquires partially, streams with the dark channel masked, and
+    relocks it blind while the live channel never stalls — then BOTH
+    decode TS-exact (reference analogue: per-instance front-end reset,
+    rx_base.cpp:163-167; the reference has no multi-channel story)."""
+    mode, plp = _mode(), _plp()
+    mesh = sharding.make_mesh(2, 1)
+    tx = Transmitter(TxConfig(mode=mode, plp=plp, fec_blocks_per_frame=4,
+                              num_t2_frames=10))
+    ts = random_ts_stream(11 * 4 * (plp.k_bch // 8 - 10) // 188, seed=9)
+    iq = tx.modulate(ts)
+    fs = mode.frame_samples
+    raw = _channels(iq, 2, [600, 600], tail=60_000)
+    # channel 1 is dark for the first 4 frames of the capture
+    dev_per_elem = DEVICE_RATE / SAMPLE_RATE
+    dark = int(4 * fs * dev_per_elem)
+    rng = np.random.default_rng(23)
+    raw[1, :dark] = (rng.standard_normal(dark)
+                     + 1j * rng.standard_normal(dark)
+                     ).astype(np.complex64) * np.sqrt(
+                         np.mean(np.abs(raw[0]) ** 2) / 400.0)
+
+    lock = acquire.blind_acquire(raw[:, :3 * int(fs * dev_per_elem)],
+                                 DEVICE_RATE, allow_partial=True)
+    assert lock is not None
+    assert lock.locked.tolist() == [True, False], lock.locked
+    rx = pod.MultiChannelReceiver(lock.cfg, mesh)
+    parsers = [BBFrameParser() for _ in range(2)]
+    ts_out = [[] for _ in range(2)]
+    alive_hist, events = [], []
+    for hard, stats in rx.stream(raw, lock.mu0, lock.step,
+                                 freq=lock.freq, max_steps=8,
+                                 relock=True, locked=lock.locked,
+                                 dead_after=2):
+        alive_hist.append(stats["alive"].tolist())
+        events += stats["events"]
+        collected = _collect_ts(parsers, hard, plp.k_bch)
+        for c in range(2):
+            if stats["alive"][c]:
+                ts_out[c].append(collected[c])
+    assert any(e.startswith("relock: ch1 reacquired") for e in events), \
+        events
+    # ch1 came alive mid-stream (the bounded relock search cannot reach
+    # the signal until the pod has streamed close to its onset)
+    first_up = next(i for i, a in enumerate(alive_hist) if a[1])
+    assert 0 < first_up < len(alive_hist) - 1, alive_hist
+    assert alive_hist[-1] == [True, True], alive_hist
+    # the live channel never stalled
+    assert all(a[0] for a in alive_hist)
+    got0 = np.concatenate(ts_out[0]).tobytes()
+    _assert_ts_match(got0, ts.tobytes(), 188 * 40, "ch0")
+    got1 = np.concatenate(ts_out[1]).tobytes()
+    _assert_ts_match(got1, ts.tobytes(), 188 * 10, "ch1 (late)")
+
+
+@pytest.mark.slow
+def test_blind_acquire_partial_and_mismatch():
+    """Cross-channel configuration trust at cold start: a channel locked
+    to a DIFFERENT mux decodes its own valid L1, so only the pod-level
+    equality check catches it — loudly, in lock.mismatched."""
+    mode = _mode()
+    tx_a = Transmitter(TxConfig(mode=mode, plp=_plp(),
+                                fec_blocks_per_frame=4, num_t2_frames=4))
+    tx_b = Transmitter(TxConfig(mode=mode,
+                                plp=_plp(constellation=Constellation.QAM64,
+                                         code_rate=CodeRate.C2_3),
+                                fec_blocks_per_frame=4, num_t2_frames=4))
+    ts_a = random_ts_stream(300, seed=1)
+    ts_b = random_ts_stream(300, seed=2)
+    iq_a, iq_b = tx_a.modulate(ts_a), tx_b.modulate(ts_b)
+    raw_a = _channels(iq_a, 2, [400, 800])
+    raw_b = _channels(iq_b, 1, [600], seed=8)
+    n = min(raw_a.shape[1], raw_b.shape[1])
+    raw = np.concatenate([raw_a[:, :n], raw_b[:, :n]], axis=0)
+
+    assert acquire.blind_acquire(raw, DEVICE_RATE) is None
+    lock = acquire.blind_acquire(raw, DEVICE_RATE, allow_partial=True)
+    assert lock is not None
+    assert lock.mismatched == [2], lock.mismatched
+    assert lock.locked.tolist() == [True, True, False]
+    assert lock.cfg.plp.constellation == Constellation.QAM16
