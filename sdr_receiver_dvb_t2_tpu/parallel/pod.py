@@ -136,6 +136,54 @@ class MultiChannelReceiver:
             idx_next[c] = idx
         return e_off, e_total, idx_next
 
+    def _harvest_inband(self, fec, post_cache, channel: int):
+        """Newest in-band type A block (EN 302 755 clause 5.2.3.1) from
+        one live channel's BB padding fields this step — the data path
+        carries next-frame schedules, so the dynamic configuration
+        survives P2 erasure indefinitely (pod twin of the single-chip
+        harvest, runtime/stream.py)."""
+        st = self.rx.plps[0]
+        if post_cache is None:
+            return None
+        plp_l1 = next((p for p in post_cache.plp
+                       if p.id == st.plp.plp_id), None)
+        if plp_l1 is None or not plp_l1.in_band_a_flag:
+            return None
+        from ..io import inband
+        from ..io.bbframe import HEADER_BITS
+        from ..params import prbs
+        kb = st.plp.k_bch // 8
+        scr = np.packbits(prbs.bb_scrambler(st.plp.k_bch))
+        bb = fec.bb_bytes                       # [C, F, n_fec, nb/8]
+        for f in reversed(range(bb.shape[1])):  # newest block wins
+            frame = bb[channel, f, 0, :kb]
+            hdr = frame[:10] ^ scr[:10]
+            dfl = int(hdr[4]) << 8 | int(hdr[5])
+            if dfl <= 0 or dfl % 8 or HEADER_BITS + dfl >= kb * 8:
+                continue
+            pad = np.unpackbits(frame[10 + dfl // 8:]
+                                ^ scr[10 + dfl // 8:])
+            blk = inband.parse_inband_a(pad)
+            if blk is not None:
+                return blk
+        return None
+
+    def _repair_from_inband(self, blk, post_cache, frame_idx0: int):
+        """Rebuild this step's L1-post dynamic block from an in-band type
+        A block harvested from the PREVIOUS step's data path."""
+        import copy
+        post = copy.copy(post_cache)
+        post.dyn = copy.deepcopy(post_cache.dyn)
+        sb = blk.starts_blocks(self.rx.plps[0].plp.plp_id)
+        for dp in post.dyn.plp:
+            if dp.id in sb:
+                dp.start, dp.num_blocks = sb[dp.id]
+        post.dyn.sub_slice_interval = blk.sub_slice_interval
+        post.dyn.start_rf_idx = blk.start_rf_idx
+        # FRAME_IDX is not signalled in-band; the tracked counter stands in
+        post.dyn.frame_idx = frame_idx0 % max(1, self.rx.cfg.num_t2)
+        return post
+
     def _decode_l1(self, plane, channel: int):
         from ..runtime import acquisition
         from ..params import l1 as l1_mod
@@ -252,6 +300,9 @@ class MultiChannelReceiver:
         dead_steps = np.zeros(C, np.int64)
         post_cache = None
         dyn_next = None
+        inband_next = None
+        inband_blocks = 0
+        inband_repaired = 0
         l1_dyn_errors = 0
         n = 0
         buf = np.empty((C, self.n_time, win), raw.dtype)
@@ -286,6 +337,17 @@ class MultiChannelReceiver:
                     dyn_next = (post.dyn_next
                                 if pre.l1_repetition_flag
                                 and post.dyn_next.plp else None)
+                elif inband_next is not None and post_cache is not None:
+                    # preferred repair: the previous step's data path
+                    # carried next-frame schedules in the BB padding
+                    # (in-band type A re-arms every step; repetition's
+                    # dyn_next is single-use)
+                    post = self._repair_from_inband(
+                        inband_next, post_cache, int(frame_idx[0]))
+                    post_cache = post
+                    inband_next = None
+                    inband_repaired += 1
+                    events.append("l1_dyn: repaired from in-band type A")
                 elif dyn_next is not None and post_cache is not None:
                     import copy
                     post = copy.copy(post_cache)
@@ -315,6 +377,12 @@ class MultiChannelReceiver:
             fec = results[0]
             hard = np.unpackbits(fec.bb_bytes, axis=-1)
             diag = plane.diag_host()
+            if track_l1 and alive.any():
+                blk = self._harvest_inband(fec, post_cache,
+                                           int(np.argmax(alive)))
+                if blk is not None:
+                    inband_next = blk
+                    inband_blocks += 1
 
             # ---- per-channel health / relock -------------------------
             ch_clean = fec.bch_clean.reshape(C, -1).any(axis=1)
@@ -351,7 +419,9 @@ class MultiChannelReceiver:
                 ldpc_failures_ch=np.sum(~fec.ldpc_ok, axis=(1, 2)),
                 bch_dirty_ch=np.sum(~fec.bch_clean, axis=(1, 2)),
                 snr_db_ch=fec.snr_db, alive=alive.copy(),
-                l1_dyn_errors=l1_dyn_errors, events=events,
+                l1_dyn_errors=l1_dyn_errors,
+                inband_a_blocks=inband_blocks,
+                inband_repaired=inband_repaired, events=events,
                 plp_results=results,
                 l1_post=post if post is not None else post_cache,
                 frame_idx=frame_idx.copy())

@@ -135,7 +135,11 @@ def test_inband_stream_tracking_survives_p2_erasure(tmp_path):
     def flaky(plane):
         if calls["n"] < 3:
             calls["n"] += 1
-            raise RuntimeError("injected P2 fade")
+            # L1DecodeError is the sanctioned erasure signal; any other
+            # exception now propagates as a bug (round-4 exception
+            # scoping, tests/test_round4_fixes.py)
+            from sdr_receiver_dvb_t2_tpu.params.l1 import L1DecodeError
+            raise L1DecodeError("injected P2 fade")
         return orig(plane)
 
     rx.rx.l1_cells = flaky

@@ -273,6 +273,51 @@ def test_mesh_dark_channel_relock():
 
 
 @pytest.mark.slow
+def test_mesh_inband_repair_survives_p2_erasure():
+    """In-band type A on the mesh: with the per-step L1 read knocked out
+    for consecutive steps, the pod keeps repairing the dynamic
+    configuration from the data path's padding blocks and stays clean
+    (pod twin of test_inband.py's single-chip test)."""
+    mode, plp = _mode(), _plp()
+    mesh = sharding.make_mesh(2, 1)
+    tx = Transmitter(TxConfig(mode=mode, plp=plp, fec_blocks_per_frame=4,
+                              num_t2_frames=8, in_band_a=True))
+    assert tx.l1_post.plp[0].in_band_a_flag == 1
+    ts = random_ts_stream(9 * 4 * (plp.k_bch // 8 - 10) // 188, seed=31)
+    raw = _channels(tx.modulate(ts), 2, [400, 900])
+
+    lock = acquire.blind_acquire(raw, DEVICE_RATE)
+    assert lock is not None
+    rx = pod.MultiChannelReceiver(lock.cfg, mesh)
+    # knock out steps 2 and 3's L1 reads (erasure; step 1 arms in-band)
+    orig = rx._decode_l1
+    calls = {"n": 0}
+
+    def flaky(plane, channel):
+        calls["n"] += 1
+        return None if calls["n"] in (2, 3) else orig(plane, channel)
+
+    rx._decode_l1 = flaky
+    aligned = lock.aligned(raw)
+    parsers = [BBFrameParser() for _ in range(2)]
+    ts_out = [[] for _ in range(2)]
+    last = None
+    for hard, stats in rx.stream(aligned, lock.mu0, lock.step,
+                                 freq=lock.freq, max_steps=5,
+                                 track_l1=True):
+        assert stats["bch_dirty"] == 0, stats["events"]
+        for c, t in enumerate(_collect_ts(parsers, hard, plp.k_bch)):
+            ts_out[c].append(t)
+        last = stats
+    assert last["inband_a_blocks"] >= 3, last
+    assert last["inband_repaired"] == 2, last
+    assert last["l1_dyn_errors"] == 0, last
+    for c in range(2):
+        got = np.concatenate(ts_out[c]).tobytes()
+        _assert_ts_match(got, ts.tobytes(), 188 * 30, f"ch{c}")
+
+
+@pytest.mark.slow
 def test_blind_acquire_partial_and_mismatch():
     """Cross-channel configuration trust at cold start: a channel locked
     to a DIFFERENT mux decodes its own valid L1, so only the pod-level

@@ -449,7 +449,9 @@ def test_l1_repetition_stream_and_fallback(tmp_path):
     def flaky(plane):
         if calls["n"] == 0:
             calls["n"] += 1
-            raise RuntimeError("injected L1 fade")
+            # the sanctioned erasure signal (round-4 exception scoping)
+            from sdr_receiver_dvb_t2_tpu.params.l1 import L1DecodeError
+            raise L1DecodeError("injected L1 fade")
         return orig(plane)
 
     rx.rx.l1_cells = flaky
