@@ -59,9 +59,12 @@ def test_pallas_flags_failures_on_garbage():
 
 
 @pytest.mark.parametrize("name", ["NORMAL_C1_2", "NORMAL_C3_5", "NORMAL_C2_3",
-                                  "SHORT_C1_2", "SHORT_C3_4", "SHORT_C5_6"])
+                                  "SHORT_C1_2", "SHORT_C3_4", "SHORT_C5_6",
+                                  "B8", "B9"])
 def test_pallas_all_rate_shapes(name):
-    """Rates with k % r != 0 exercise the sliced-parity BlockSpec path."""
+    """Rates with k % r != 0 exercise the sliced-parity BlockSpec path;
+    B8/B9 are the T2-Lite-only rate-1/3 and 2/5 tables (annex I) — the
+    Lite receive path's kernels on real hardware."""
     hard, ok, _, cws, code = _decode_roundtrip(name)
     assert ok.all(), name
     np.testing.assert_array_equal(hard, cws[:, :code.k])
