@@ -27,8 +27,11 @@ _SOURCES = ["dvbt2_definition.cpp", "address_freq_deinterleaver.cpp",
             # interleaver oracle (shim_interleaver.cc): the reference's
             # bit-deint LUT builder and cell/time deinterleaver, run inert
             # behind the Qt stubs
-            "time_deinterleaver.cpp", "llr_demapper.cpp"]
-_SHIMS = ["shim.cc", "shim_interleaver.cc"]
+            "time_deinterleaver.cpp", "llr_demapper.cpp",
+            # L1-parse oracle (shim_l1.cc): the reference's p2_symbol
+            # L1-pre/post bit walker
+            "p2_symbol.cpp"]
+_SHIMS = ["shim.cc", "shim_interleaver.cc", "shim_l1.cc"]
 
 
 @functools.lru_cache(maxsize=1)
@@ -91,6 +94,8 @@ def load():
     lib.oracle_cell_deint_permutation.argtypes = [ctypes.c_int] * 3 + [ip]
     lib.oracle_time_deint.restype = ctypes.c_int
     lib.oracle_time_deint.argtypes = [ctypes.c_int] * 5 + [fp] * 4
+    lib.oracle_l1_parse.restype = ctypes.c_int
+    lib.oracle_l1_parse.argtypes = [fp, fp, ctypes.c_int, ip, ctypes.c_int]
     return lib
 
 
@@ -286,3 +291,20 @@ def time_deinterleave(plp_mod: int, normal: bool, stream: np.ndarray,
                               _fp(out_im))
     assert n == len(stream), (n, len(stream))
     return (out_re + 1j * out_im).astype(np.complex64)
+
+
+def l1_parse(cells: np.ndarray):
+    """Run the reference's p2_symbol L1 parser on equalized L1 cells.
+
+    Returns the serialized int array (layout: shim_l1.cc), or raises on
+    CRC failure."""
+    lib = load()
+    cells = np.asarray(cells, np.complex64)
+    re = np.ascontiguousarray(cells.real, np.float32)
+    im = np.ascontiguousarray(cells.imag, np.float32)
+    out = np.zeros(4096, np.int32)
+    n = lib.oracle_l1_parse(_fp(re), _fp(im), len(cells), _ip(out),
+                            len(out))
+    if n < 0:
+        raise ValueError(f"reference L1 parse failed: code {n}")
+    return out[:n]
