@@ -30,8 +30,11 @@ _SOURCES = ["dvbt2_definition.cpp", "address_freq_deinterleaver.cpp",
             "time_deinterleaver.cpp", "llr_demapper.cpp",
             # L1-parse oracle (shim_l1.cc): the reference's p2_symbol
             # L1-pre/post bit walker
-            "p2_symbol.cpp"]
-_SHIMS = ["shim.cc", "shim_interleaver.cc", "shim_l1.cc"]
+            "p2_symbol.cpp",
+            # BB-deheader/TS oracle (shim_bb.cc)
+            "bb_de_header.cpp"]
+_SHIMS = ["shim.cc", "shim_interleaver.cc", "shim_l1.cc",
+          "shim_bb.cc"]
 
 
 @functools.lru_cache(maxsize=1)
@@ -96,6 +99,10 @@ def load():
     lib.oracle_time_deint.argtypes = [ctypes.c_int] * 5 + [fp] * 4
     lib.oracle_l1_parse.restype = ctypes.c_int
     lib.oracle_l1_parse.argtypes = [fp, fp, ctypes.c_int, ip, ctypes.c_int]
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.oracle_bb_parse.restype = ctypes.c_int
+    lib.oracle_bb_parse.argtypes = [u8p, ctypes.c_int, ctypes.c_int,
+                                    ctypes.c_int, u8p, ctypes.c_int]
     return lib
 
 
@@ -307,4 +314,34 @@ def l1_parse(cells: np.ndarray):
                             len(out))
     if n < 0:
         raise ValueError(f"reference L1 parse failed: code {n}")
+    return out[:n]
+
+
+def bb_parse(frames_bits: np.ndarray, plp_id: int = 0) -> np.ndarray:
+    """Run the reference bb_de_header on descrambled BB-frame bit arrays
+    ([n_frames, k_bch], one byte per bit) and return the TS bytes it
+    emits."""
+    lib = load()
+    f = np.ascontiguousarray(frames_bits, np.uint8)
+    n_frames, frame_bits = f.shape
+    u8 = ctypes.POINTER(ctypes.c_uint8)
+    out = np.zeros(n_frames * frame_bits // 8 + 4096, np.uint8)
+    n = lib.oracle_bb_parse(f.ctypes.data_as(u8), n_frames, frame_bits,
+                            plp_id, out.ctypes.data_as(u8), len(out))
+    assert 0 <= n <= len(out), n
+    return out[:n]
+
+
+def bb_parse(frames_bits: np.ndarray, plp_id: int = 0) -> np.ndarray:
+    """Run the reference bb_de_header on descrambled BB-frame bit arrays
+    ([n_frames, k_bch], one byte per bit) and return the TS bytes it
+    emits."""
+    lib = load()
+    f = np.ascontiguousarray(frames_bits, np.uint8)
+    n_frames, frame_bits = f.shape
+    u8 = ctypes.POINTER(ctypes.c_uint8)
+    out = np.zeros(n_frames * frame_bits // 8 + 4096, np.uint8)
+    n = lib.oracle_bb_parse(f.ctypes.data_as(u8), n_frames, frame_bits,
+                            plp_id, out.ctypes.data_as(u8), len(out))
+    assert 0 <= n <= len(out), n
     return out[:n]
