@@ -273,6 +273,46 @@ def test_mesh_dark_channel_relock():
 
 
 @pytest.mark.slow
+def test_mesh_miso_stream():
+    """MISO (Alamouti) on the pod path: blind acquisition reads S1=MISO
+    from the P1, the shared plan carries the pilot-separated h1/h2
+    machinery, and both channels decode TS-exact through distinct
+    two-transmitter multipath."""
+    mode = T2Mode(fft_mode=FftMode.FFT_2K, guard=GuardInterval.G1_8,
+                  pilot_pattern=PilotPattern.PP3, extended_carriers=False,
+                  n_data_symbols=30, miso=True)
+    plp = _plp()
+    mesh = sharding.make_mesh(2, 2)
+    tx = Transmitter(TxConfig(mode=mode, plp=plp, fec_blocks_per_frame=4,
+                              num_t2_frames=7))
+    ts = random_ts_stream(8 * 4 * (plp.k_bch // 8 - 10) // 188, seed=19)
+    iq1, iq2 = tx.modulate(ts)
+    g1 = np.zeros(40, np.complex64)
+    g1[0], g1[17] = 0.9 * np.exp(1j * 0.3), 0.25 * np.exp(-1j * 2.1)
+    g2 = np.zeros(40, np.complex64)
+    g2[3], g2[29] = 0.55 * np.exp(1j * 1.2), 0.2 * np.exp(1j * 0.4)
+    mixed = (np.convolve(iq1, g1)[:len(iq1)]
+             + np.convolve(iq2, g2)[:len(iq2)])
+    raw = _channels(mixed, 2, [450, 950], snr_db=27.0)
+
+    lock = acquire.blind_acquire(raw, DEVICE_RATE)
+    assert lock is not None
+    assert lock.cfg.mode.miso
+    rx = pod.MultiChannelReceiver(lock.cfg, mesh)
+    aligned = lock.aligned(raw)
+    parsers = [BBFrameParser() for _ in range(2)]
+    ts_out = [[] for _ in range(2)]
+    for hard, stats in rx.stream(aligned, lock.mu0, lock.step,
+                                 freq=lock.freq, max_steps=2, track=True):
+        assert stats["bch_dirty"] == 0, stats
+        for c, t in enumerate(_collect_ts(parsers, hard, plp.k_bch)):
+            ts_out[c].append(t)
+    for c in range(2):
+        got = np.concatenate(ts_out[c]).tobytes()
+        _assert_ts_match(got, ts.tobytes(), 188 * 20, f"miso ch{c}")
+
+
+@pytest.mark.slow
 def test_mesh_inband_repair_survives_p2_erasure():
     """In-band type A on the mesh: with the per-step L1 read knocked out
     for consecutive steps, the pod keeps repairing the dynamic
