@@ -66,6 +66,103 @@ def pod_64ch_mesh(devices=None):
     return pod_mesh(64, 1, devices=devices)
 
 
+class ChannelStore:
+    """Growable per-channel raw store: LIVE pod ingest.
+
+    ``stream()`` addresses raw samples at ABSOLUTE positions; a
+    ChannelStore lets those samples arrive incrementally instead of as
+    one [C, N] capture array — from ``readers[c]() -> complex64 block or
+    None`` (pulled on demand; a live reader blocks until data, returns
+    None at end-of-stream), or pushed with :meth:`append`.  Consumed
+    data is trimmed (stream() calls :meth:`trim_before` as it advances),
+    so a 24/7 pod holds only a bounded tail per channel — the window
+    plus the relock search depth.
+
+    Wiring a live pod: one ``io.sources`` reader per channel (e.g.
+    ``UdpIqSource`` fed by ``tools/sdr_daemon.py``), converted to
+    complex64 (``runtime.stream.raw_to_complex_np``), handed here as
+    ``readers``; run blind acquisition on a recorded head and pass
+    ``lock.pos0 + lock.mu0`` as stream()'s ABSOLUTE ``mu0``.
+    """
+
+    def __init__(self, n_channels: int, readers=None):
+        self.n_ch = n_channels
+        self._bufs = [np.empty(0, np.complex64) for _ in range(n_channels)]
+        self._base = np.zeros(n_channels, np.int64)
+        self._eof = np.zeros(n_channels, bool)
+        self.readers = readers
+
+    def append(self, c: int, blk: np.ndarray) -> None:
+        self._bufs[c] = np.concatenate(
+            [self._bufs[c], np.asarray(blk, np.complex64)])
+
+    def end(self, c: int) -> int:
+        """Absolute position one past the last available sample."""
+        return int(self._base[c]) + len(self._bufs[c])
+
+    def base(self, c: int) -> int:
+        return int(self._base[c])
+
+    def ensure(self, c: int, abs_end: int) -> bool:
+        """Pull from the channel's reader until abs_end is available."""
+        while self.end(c) < abs_end:
+            if self._eof[c] or self.readers is None:
+                return False
+            blk = self.readers[c]()
+            if blk is None or len(blk) == 0:
+                self._eof[c] = True
+                return False
+            self.append(c, blk)
+        return True
+
+    def window(self, c: int, a: int, n: int) -> np.ndarray:
+        """n samples at absolute position a, clamped into availability."""
+        a = int(np.clip(a, self._base[c], max(self._base[c],
+                                              self.end(c) - n)))
+        off = a - int(self._base[c])
+        return self._bufs[c][off:off + n]
+
+    def available(self, c: int, a: int, n: int) -> np.ndarray:
+        """Up to n samples from absolute a (shorter near the end)."""
+        a = max(int(a), int(self._base[c]))
+        off = a - int(self._base[c])
+        return self._bufs[c][off:off + n]
+
+    def trim_before(self, c: int, abs_pos: int) -> None:
+        cut = int(abs_pos) - int(self._base[c])
+        if cut > 0:
+            self._bufs[c] = self._bufs[c][cut:]
+            self._base[c] += cut
+
+
+class _ArrayStore:
+    """ChannelStore interface over one in-memory [C, N] capture."""
+
+    def __init__(self, raw: np.ndarray):
+        self._raw = raw
+        self.n_ch = raw.shape[0]
+
+    def end(self, c):
+        return self._raw.shape[1]
+
+    def base(self, c):
+        return 0
+
+    def ensure(self, c, abs_end):
+        return abs_end <= self._raw.shape[1]
+
+    def window(self, c, a, n):
+        a = int(np.clip(a, 0, self._raw.shape[1] - n))
+        return self._raw[c, a:a + n]
+
+    def available(self, c, a, n):
+        a = max(int(a), 0)
+        return self._raw[c, a:a + n]
+
+    def trim_before(self, c, abs_pos):
+        pass
+
+
 class MultiChannelReceiver:
     """One ShardedReceiver instance serving C channels in lockstep.
 
@@ -210,7 +307,7 @@ class MultiChannelReceiver:
                 rx.replace_plp(i, sharding.PlpState(
                     st.plp, dyn.num_blocks, st.n_ti, dyn.start))
 
-    def _try_relock(self, raw: np.ndarray, c: int, r_lo: float,
+    def _try_relock(self, store, c: int, r_lo: float,
                     step_c: float, events: list):
         """Blind re-acquisition of one dark channel from its recent raw
         (P1 search + CFO + GI/L1 scan) while the rest of the pod keeps
@@ -225,8 +322,10 @@ class MultiChannelReceiver:
         depth_elem = 4 * rx.mode.frame_samples
         if rx.cfg.fef is not None:
             depth_elem += rx.cfg.fef[1]
-        lo = max(0, int(r_lo))
-        head = raw[c, lo:lo + int(depth_elem * 2.0 * step_c) + 64]
+        lo = max(store.base(c), int(r_lo))
+        depth_raw = int(depth_elem * 2.0 * step_c) + 64
+        store.ensure(c, lo + depth_raw)      # best effort (live feeds)
+        head = store.available(c, lo, depth_raw)
         if len(head) < 200_000:
             return None
         got = acquire._acquire_one(head, step_c, depth_elem,
@@ -251,7 +350,10 @@ class MultiChannelReceiver:
                dead_after: int = 3):
         """Generator over consecutive steps of a continuous capture.
 
-        raw: [C, N] complex64 (one continuous stream per channel);
+        raw: [C, N] complex64 (one continuous stream per channel) OR a
+        :class:`ChannelStore` for LIVE ingest (blocks pulled from
+        per-channel readers on demand, consumed raw trimmed as the pod
+        advances — a 24/7 deployment holds only a bounded tail).
         mu0: raw-domain position of the first frame start relative to
         raw[:, 0] — scalar or [C] (parallel.acquire derives it blind per
         channel), must be >= sharding.WINDOW_LEAD.  step/freq likewise
@@ -278,7 +380,8 @@ class MultiChannelReceiver:
         arithmetic seeded from ``frame_idx0``.
         """
         rx = self.rx
-        C = raw.shape[0]
+        store = raw if not isinstance(raw, np.ndarray) else _ArrayStore(raw)
+        C = store.n_ch
         mu = np.broadcast_to(np.asarray(mu0, np.float64), (C,)).copy()
         step = np.broadcast_to(np.asarray(step, np.float64), (C,)).copy()
         freq = np.broadcast_to(np.asarray(freq, np.float64), (C,)).copy()
@@ -305,25 +408,31 @@ class MultiChannelReceiver:
         inband_repaired = 0
         l1_dyn_errors = 0
         n = 0
-        buf = np.empty((C, self.n_time, win), raw.dtype)
+        buf = np.empty((C, self.n_time, win), np.complex64)
         while True:
             e_off, e_total, idx_next = self._frame_offsets(frame_idx)
             r0 = r_frame[:, None] + raw_per_elem0[:, None] * e_off
             w0, idx0, frac0, phase0 = rx.host_bases_windows(
                 r0, step, phase_origin, freq)
             live = alive if alive.any() else np.ones(C, bool)
-            if int(w0[live].max()) + win > raw.shape[1]:
-                return
-            # dark channels: clamp their windows into range (their output
-            # is flagged dead; the data is don't-care)
-            w0 = np.clip(w0, 0, raw.shape[1] - win)
+            # pull/verify availability per LIVE channel (a ChannelStore
+            # blocks in its readers; an array store just bounds-checks)
+            for c in np.nonzero(live)[0]:
+                if not store.ensure(c, int(w0[c].max()) + win):
+                    return
+            # dark channels get whatever is in range (their output is
+            # flagged dead; the data is don't-care — window() clamps)
             # per-(channel, shard) CONTIGUOUS slices into a reused buffer:
             # measured ~20x faster than one fancy-index gather at the
             # 64-channel 32K config (tools/bench_pod_host.py) — each copy
             # is a straight memcpy, the loop is C*n_time iterations
             for c in range(C):
                 for t in range(self.n_time):
-                    buf[c, t] = raw[c, w0[c, t]:w0[c, t] + win]
+                    blk = store.window(c, w0[c, t], win)
+                    if len(blk) == win:
+                        buf[c, t] = blk
+                    else:                       # dark channel, thin store
+                        buf[c, t] = 0
 
             plane = rx.plane_step_windows(buf, idx0, frac0, phase0,
                                           freq, step)
@@ -396,7 +505,7 @@ class MultiChannelReceiver:
                                       f"({dead_steps[c]} dirty steps)")
                     alive &= ~newly_dead
                 for c in np.nonzero(~alive)[0]:
-                    got = self._try_relock(raw, c, r_frame[c],
+                    got = self._try_relock(store, c, r_frame[c],
                                            float(step[c]), events)
                     if got is not None:
                         # fresh lock: this channel's r_frame now points at
@@ -469,3 +578,7 @@ class MultiChannelReceiver:
             r_frame = np.where(just_relocked, r_frame,
                                r_frame + 2.0 * step * e_total)
             frame_idx = np.where(just_relocked, frame_idx, idx_next)
+            # live stores: drop consumed raw, keeping a window of context
+            # (the next step's left lead plus relock look-back headroom)
+            for c in range(C):
+                store.trim_before(c, int(r_frame[c]) - 2 * win)

@@ -358,6 +358,58 @@ def test_mesh_inband_repair_survives_p2_erasure():
 
 
 @pytest.mark.slow
+def test_mesh_live_ingest_channel_store():
+    """LIVE pod ingest: raw arrives in small chunks through per-channel
+    readers (pod.ChannelStore) instead of one capture array; the pod
+    pulls on demand, trims consumed raw as it advances (bounded memory
+    for 24/7 operation), and decodes TS-exact with tracking on."""
+    mode, plp = _mode(), _plp()
+    mesh = sharding.make_mesh(2, 2)
+    tx = Transmitter(TxConfig(mode=mode, plp=plp, fec_blocks_per_frame=4,
+                              num_t2_frames=8))
+    ts = random_ts_stream(9 * 4 * (plp.k_bch // 8 - 10) // 188, seed=29)
+    raw = _channels(tx.modulate(ts), 2, [500, 1200], cfo_hz=3e3, seed=6)
+
+    # acquisition on a recorded head; the live stream then continues from
+    # absolute positions (pos0 + mu0), no alignment copy
+    lock = acquire.blind_acquire(raw[:, :1_000_000], DEVICE_RATE)
+    assert lock is not None
+    rx = pod.MultiChannelReceiver(lock.cfg, mesh)
+
+    chunk = 65536
+    pos = [0, 0]
+
+    def reader(c):
+        def read():
+            a = pos[c]
+            if a >= raw.shape[1]:
+                return None
+            pos[c] = a + chunk
+            return raw[c, a:a + chunk]
+        return read
+
+    store = pod.ChannelStore(2, readers=[reader(0), reader(1)])
+    parsers = [BBFrameParser() for _ in range(2)]
+    ts_out = [[] for _ in range(2)]
+    peak_held = 0
+    for hard, stats in rx.stream(store, lock.pos0 + lock.mu0, lock.step,
+                                 freq=lock.freq, max_steps=3, track=True):
+        assert stats["bch_dirty"] == 0, stats
+        for c, t in enumerate(_collect_ts(parsers, hard, plp.k_bch)):
+            ts_out[c].append(t)
+        peak_held = max(peak_held,
+                        max(len(store._bufs[c]) for c in range(2)))
+    # trimming keeps the held tail bounded by the step geometry (windows
+    # + lead/relock context + reader chunk slack), NOT by capture length
+    win = rx.rx.window_len(lock.step)
+    bound = (rx.n_time + 3) * win + 2 * chunk
+    assert peak_held <= bound, (peak_held, bound)
+    for c in range(2):
+        got = np.concatenate(ts_out[c]).tobytes()
+        _assert_ts_match(got, ts.tobytes(), 188 * 20, f"live ch{c}")
+
+
+@pytest.mark.slow
 def test_blind_acquire_partial_and_mismatch():
     """Cross-channel configuration trust at cold start: a channel locked
     to a DIFFERENT mux decodes its own valid L1, so only the pod-level
