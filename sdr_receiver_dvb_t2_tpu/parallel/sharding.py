@@ -385,10 +385,12 @@ class ShardedReceiver:
     def _plan_has_cir(self) -> bool:
         return self._probe_diag("cir_p")
 
-    @functools.lru_cache(maxsize=None)
-    def _probe_keys(self) -> frozenset:
+    @functools.cached_property
+    def _probe_keys_set(self) -> frozenset:
         """Trace one frame's eq abstractly to learn which diag keys this
-        plan emits (csi / cir_p are SFN-plan-only)."""
+        plan emits (csi / cir_p are SFN-plan-only).  cached_property (not
+        lru_cache on a method) so the cache dies with the instance —
+        long-running pods rebuild receivers."""
         shape = (1, self.mode.frame_samples)
         fr = C(jax.ShapeDtypeStruct(shape, jnp.float32),
                jax.ShapeDtypeStruct(shape, jnp.float32))
@@ -398,7 +400,7 @@ class ShardedReceiver:
         return frozenset(diag.keys())
 
     def _probe_diag(self, key: str) -> bool:
-        return key in self._probe_keys()
+        return key in self._probe_keys_set
 
     def _consts_with_sig(self, i: int):
         c = dict(self._consts[i])

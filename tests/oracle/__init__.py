@@ -330,18 +330,3 @@ def bb_parse(frames_bits: np.ndarray, plp_id: int = 0) -> np.ndarray:
                             plp_id, out.ctypes.data_as(u8), len(out))
     assert 0 <= n <= len(out), n
     return out[:n]
-
-
-def bb_parse(frames_bits: np.ndarray, plp_id: int = 0) -> np.ndarray:
-    """Run the reference bb_de_header on descrambled BB-frame bit arrays
-    ([n_frames, k_bch], one byte per bit) and return the TS bytes it
-    emits."""
-    lib = load()
-    f = np.ascontiguousarray(frames_bits, np.uint8)
-    n_frames, frame_bits = f.shape
-    u8 = ctypes.POINTER(ctypes.c_uint8)
-    out = np.zeros(n_frames * frame_bits // 8 + 4096, np.uint8)
-    n = lib.oracle_bb_parse(f.ctypes.data_as(u8), n_frames, frame_bits,
-                            plp_id, out.ctypes.data_as(u8), len(out))
-    assert 0 <= n <= len(out), n
-    return out[:n]
