@@ -87,21 +87,49 @@ class ChannelStore:
 
     def __init__(self, n_channels: int, readers=None):
         self.n_ch = n_channels
-        self._bufs = [np.empty(0, np.complex64) for _ in range(n_channels)]
+        # per-channel compacting ring: valid data is _store[c][_head:_head
+        # +_len] at absolute position _base.  append copies each sample
+        # ONCE into tail space; trim_before only moves _head/_base (no
+        # copy); the valid region is memmoved to the front only when the
+        # tail runs out — amortized O(1) copies/sample at steady state
+        # (measured: tools/bench_pod_host.py --live), vs the O(held)
+        # re-copy per append that np.concatenate would cost.
+        self._store = [np.empty(1 << 16, np.complex64)
+                       for _ in range(n_channels)]
+        self._head = np.zeros(n_channels, np.int64)
+        self._len = np.zeros(n_channels, np.int64)
         self._base = np.zeros(n_channels, np.int64)
         self._eof = np.zeros(n_channels, bool)
+        self.bytes_copied = 0          # diagnostics: host copy churn
         self.readers = readers
 
     def append(self, c: int, blk: np.ndarray) -> None:
-        self._bufs[c] = np.concatenate(
-            [self._bufs[c], np.asarray(blk, np.complex64)])
+        blk = np.asarray(blk, np.complex64)
+        buf, h, ln = self._store[c], int(self._head[c]), int(self._len[c])
+        if h + ln + len(blk) > len(buf):
+            need = ln + len(blk)
+            if need > len(buf):        # grow (doubling) + compact
+                nbuf = np.empty(max(need, 2 * len(buf)), np.complex64)
+                nbuf[:ln] = buf[h:h + ln]
+                self._store[c] = buf = nbuf
+            else:                      # compact in place
+                buf[:ln] = buf[h:h + ln]
+            self.bytes_copied += ln * 8
+            self._head[c] = h = 0
+        buf[h + ln:h + ln + len(blk)] = blk
+        self.bytes_copied += len(blk) * 8
+        self._len[c] = ln + len(blk)
 
     def end(self, c: int) -> int:
         """Absolute position one past the last available sample."""
-        return int(self._base[c]) + len(self._bufs[c])
+        return int(self._base[c] + self._len[c])
 
     def base(self, c: int) -> int:
         return int(self._base[c])
+
+    def held(self, c: int) -> int:
+        """Samples currently held (bounded-memory diagnostics)."""
+        return int(self._len[c])
 
     def ensure(self, c: int, abs_end: int) -> bool:
         """Pull from the channel's reader until abs_end is available."""
@@ -116,22 +144,24 @@ class ChannelStore:
         return True
 
     def window(self, c: int, a: int, n: int) -> np.ndarray:
-        """n samples at absolute position a, clamped into availability."""
+        """n samples at absolute position a, clamped into availability
+        (a contiguous zero-copy view into the ring)."""
         a = int(np.clip(a, self._base[c], max(self._base[c],
                                               self.end(c) - n)))
-        off = a - int(self._base[c])
-        return self._bufs[c][off:off + n]
+        off = int(self._head[c]) + a - int(self._base[c])
+        return self._store[c][off:off + n]
 
     def available(self, c: int, a: int, n: int) -> np.ndarray:
         """Up to n samples from absolute a (shorter near the end)."""
         a = max(int(a), int(self._base[c]))
-        off = a - int(self._base[c])
-        return self._bufs[c][off:off + n]
+        off = int(self._head[c]) + a - int(self._base[c])
+        return self._store[c][off:off + min(n, self.end(c) - a)]
 
     def trim_before(self, c: int, abs_pos: int) -> None:
-        cut = int(abs_pos) - int(self._base[c])
+        cut = min(int(abs_pos) - int(self._base[c]), int(self._len[c]))
         if cut > 0:
-            self._bufs[c] = self._bufs[c][cut:]
+            self._head[c] += cut
+            self._len[c] -= cut
             self._base[c] += cut
 
 
@@ -310,8 +340,12 @@ class MultiChannelReceiver:
     def _try_relock(self, store, c: int, r_lo: float,
                     step_c: float, events: list):
         """Blind re-acquisition of one dark channel from its recent raw
-        (P1 search + CFO + GI/L1 scan) while the rest of the pod keeps
-        decoding.  Returns (r_frame, freq, frame_idx) or None.
+        (a FULL blind search: P1 correlation + CFO + FFT/GI scan + L1
+        decode) while the rest of the pod keeps decoding.  Returns
+        ("ok", (r_frame, freq, frame_idx)), ("mismatch", None) when the
+        channel locked to a DIFFERENT configuration (the mux was
+        reconfigured or the tuner drifted onto another mux), or
+        ("nolock", None).
 
         The search depth is bounded (~4 frames + a FEF gap): the channel
         relocks within a few steps of signal appearing, and a channel
@@ -327,19 +361,35 @@ class MultiChannelReceiver:
         store.ensure(c, lo + depth_raw)      # best effort (live feeds)
         head = store.available(c, lo, depth_raw)
         if len(head) < 200_000:
-            return None
+            return "nolock", None
         got = acquire._acquire_one(head, step_c, depth_elem,
                                    self.rx.cfg.fir_preset)
         if got is None:
-            return None
+            return "nolock", None
         r0, freq_raw, acq = got
-        if acq.mode.fft_mode != self.rx.mode.fft_mode:
-            events.append(f"relock: ch{c} locked to a different mux "
-                          f"(fft {acq.mode.fft_mode}); staying dark")
-            return None
+        if acq.mode != rx.mode:
+            events.append(
+                f"relock: ch{c} CONFIG CHANGED — locked to a different "
+                f"mode ({acq.mode.fft_size // 1024}K GI "
+                f"{acq.mode.guard.name} vs pod "
+                f"{rx.mode.fft_size // 1024}K GI {rx.mode.guard.name}); "
+                "staying dark")
+            return "mismatch", None
+        from ..models.receiver import config_from_l1
+        new = config_from_l1(acq.mode, acq.l1_pre, acq.l1_post,
+                             min(rx.plps[0].plp.plp_id,
+                                 acq.l1_post.num_plp - 1))
+        if new.plp != rx.plps[0].plp:
+            events.append(
+                f"relock: ch{c} CONFIG CHANGED — same mode but different "
+                f"PLP configuration ({new.plp.constellation.name} "
+                f"r={new.plp.code_rate.name} vs pod "
+                f"{rx.plps[0].plp.constellation.name} "
+                f"r={rx.plps[0].plp.code_rate.name}); staying dark")
+            return "mismatch", None
         events.append(f"relock: ch{c} reacquired")
-        return (lo + r0, freq_raw,
-                acq.l1_post.dyn.frame_idx % max(1, self.rx.cfg.num_t2))
+        return "ok", (lo + r0, freq_raw,
+                      acq.l1_post.dyn.frame_idx % max(1, rx.cfg.num_t2))
 
     # ------------------------------------------------------------------
     def stream(self, raw: np.ndarray, mu0, step,
@@ -347,7 +397,7 @@ class MultiChannelReceiver:
                track: bool = False, cfo_gain: float = 0.3,
                sro_gain: float = 0.5, track_l1: bool = False,
                relock: bool = False, locked=None, frame_idx0=0,
-               dead_after: int = 3):
+               dead_after: int = 3, relock_exhausted: int = 8):
         """Generator over consecutive steps of a continuous capture.
 
         raw: [C, N] complex64 (one continuous stream per channel) OR a
@@ -378,6 +428,15 @@ class MultiChannelReceiver:
         re-acquires dark/dead channels mid-stream.  FEF-mixed streams
         (ShardedConfig.fef) hop the gaps by per-channel FRAME_IDX
         arithmetic seeded from ``frame_idx0``.
+
+        A dark channel is never silently dark forever: each relock
+        attempt is a FULL blind search, so a channel that came back
+        carrying a different mode or PLP configuration is reported as a
+        distinct "CONFIG CHANGED" event, and after ``relock_exhausted``
+        consecutive failed searches an "exhausted" event flags that the
+        channel's configuration may have changed in a way blind search
+        cannot resolve (repeated every ``relock_exhausted`` further
+        failures; ``stats["relock_fail"]`` carries the running count).
         """
         rx = self.rx
         store = raw if not isinstance(raw, np.ndarray) else _ArrayStore(raw)
@@ -401,6 +460,7 @@ class MultiChannelReceiver:
         phase_origin = np.zeros(C, np.float64)   # NCO phase at raw[:, 0]
         cfo_hz_applied = np.zeros(C, np.float64)
         dead_steps = np.zeros(C, np.int64)
+        relock_fail = np.zeros(C, np.int64)
         post_cache = None
         dyn_next = None
         inband_next = None
@@ -439,7 +499,14 @@ class MultiChannelReceiver:
             events: list = []
             post = None
             if track_l1:
-                got = self._decode_l1(plane, 0)
+                # decode from the first ALIVE channel, falling back across
+                # alive channels on erasure — a dark channel 0 must not
+                # blind the whole pod to schedule changes
+                got = None
+                for c in np.nonzero(alive)[0]:
+                    got = self._decode_l1(plane, int(c))
+                    if got is not None:
+                        break
                 if got is not None:
                     pre, post = got
                     post_cache = post
@@ -505,9 +572,18 @@ class MultiChannelReceiver:
                                       f"({dead_steps[c]} dirty steps)")
                     alive &= ~newly_dead
                 for c in np.nonzero(~alive)[0]:
-                    got = self._try_relock(store, c, r_frame[c],
-                                           float(step[c]), events)
-                    if got is not None:
+                    status, got = self._try_relock(store, c, r_frame[c],
+                                                   float(step[c]), events)
+                    if status != "ok":
+                        relock_fail[c] += 1
+                        if (status == "nolock"
+                                and relock_fail[c] % relock_exhausted == 0):
+                            events.append(
+                                f"relock: ch{c} exhausted "
+                                f"{relock_fail[c]} blind searches — "
+                                "channel config may have changed or "
+                                "signal lost")
+                    else:
                         # fresh lock: this channel's r_frame now points at
                         # its NEXT frame; don't advance it again below
                         r_frame[c], freq[c], frame_idx[c] = got
@@ -516,6 +592,7 @@ class MultiChannelReceiver:
                                              * step[c] / (2 * np.pi))
                         alive[c] = True
                         dead_steps[c] = 0
+                        relock_fail[c] = 0
                         just_relocked[c] = True
 
             stats = dict(
@@ -531,6 +608,7 @@ class MultiChannelReceiver:
                 l1_dyn_errors=l1_dyn_errors,
                 inband_a_blocks=inband_blocks,
                 inband_repaired=inband_repaired, events=events,
+                relock_fail=relock_fail.copy(),
                 plp_results=results,
                 l1_post=post if post is not None else post_cache,
                 frame_idx=frame_idx.copy())
@@ -561,7 +639,9 @@ class MultiChannelReceiver:
                 cir_p = diag.get("cir_p")
                 if cir_p is not None:
                     d = rx.plans[0].eq.cir_d
-                    for c in np.nonzero(alive)[0]:
+                    # just_relocked channels' cir_p came from pre-relock
+                    # (dark/zeroed) windows — never steer from it
+                    for c in np.nonzero(alive & ~just_relocked)[0]:
                         prof = cir_p[c]
                         first = int(d[int(np.argmax(
                             prof >= 0.08 * float(prof.max())))])

@@ -329,13 +329,16 @@ def test_mesh_inband_repair_survives_p2_erasure():
     lock = acquire.blind_acquire(raw, DEVICE_RATE)
     assert lock is not None
     rx = pod.MultiChannelReceiver(lock.cfg, mesh)
-    # knock out steps 2 and 3's L1 reads (erasure; step 1 arms in-band)
+    # knock out steps 2 and 3's L1 reads (erasure; step 1 arms in-band).
+    # On erasure the tracker falls back across alive channels (both must
+    # fail): step 1 = call 1 (ok), step 2 = calls 2-3 (both erased),
+    # step 3 = calls 4-5 (both erased), steps 4+ decode normally.
     orig = rx._decode_l1
     calls = {"n": 0}
 
     def flaky(plane, channel):
         calls["n"] += 1
-        return None if calls["n"] in (2, 3) else orig(plane, channel)
+        return None if calls["n"] in (2, 3, 4, 5) else orig(plane, channel)
 
     rx._decode_l1 = flaky
     aligned = lock.aligned(raw)
@@ -398,7 +401,7 @@ def test_mesh_live_ingest_channel_store():
         for c, t in enumerate(_collect_ts(parsers, hard, plp.k_bch)):
             ts_out[c].append(t)
         peak_held = max(peak_held,
-                        max(len(store._bufs[c]) for c in range(2)))
+                        max(store.held(c) for c in range(2)))
     # trimming keeps the held tail bounded by the step geometry (windows
     # + lead/relock context + reader chunk slack), NOT by capture length
     win = rx.rx.window_len(lock.step)
@@ -435,3 +438,75 @@ def test_blind_acquire_partial_and_mismatch():
     assert lock.mismatched == [2], lock.mismatched
     assert lock.locked.tolist() == [True, True, False]
     assert lock.cfg.plp.constellation == Constellation.QAM16
+
+
+@pytest.mark.slow
+def test_mesh_relock_config_change_and_exhaustion():
+    """A dark channel is never SILENTLY dark (VERDICT r4 next #7): each
+    relock attempt is a full blind search, so
+
+    * ch1, whose mux switches to a DIFFERENT mode mid-capture, is
+      reported as a distinct "CONFIG CHANGED" event (not retried into
+      garbage), and
+    * ch2, which drops to pure noise, emits a "exhausted N blind
+      searches" event after relock_exhausted consecutive failures,
+
+    while ch0 keeps decoding TS-exact throughout."""
+    mode, plp = _mode(), _plp()
+    mode_b = T2Mode(fft_mode=FftMode.FFT_2K, guard=GuardInterval.G1_4,
+                    pilot_pattern=PilotPattern.PP1,
+                    extended_carriers=False, n_data_symbols=30)
+    mesh = sharding.make_mesh(3, 1)
+    tx = Transmitter(TxConfig(mode=mode, plp=plp, fec_blocks_per_frame=4,
+                              num_t2_frames=10))
+    ts = random_ts_stream(11 * 4 * (plp.k_bch // 8 - 10) // 188, seed=41)
+    iq = tx.modulate(ts)
+    tx_b = Transmitter(TxConfig(mode=mode_b, plp=plp,
+                                fec_blocks_per_frame=4, num_t2_frames=8))
+    iq_b = tx_b.modulate(random_ts_stream(
+        9 * 4 * (plp.k_bch // 8 - 10) // 188, seed=42))
+    raw = _channels(iq, 3, [600, 600, 600], tail=60_000)
+    # mid-capture (after 4 frames): ch1 switches to mode B, ch2 to noise
+    dev_per_elem = DEVICE_RATE / SAMPLE_RATE
+    cut = 600 + int(4 * mode.frame_samples * dev_per_elem)
+    from sdr_receiver_dvb_t2_tpu.models.channel import ChannelConfig, impair
+    dev_b = impair(iq_b, ChannelConfig(device_rate=DEVICE_RATE,
+                                       snr_db=30.0, seed=43))
+    n_b = min(len(dev_b), raw.shape[1] - cut)
+    rng = np.random.default_rng(47)
+    pwr = np.sqrt(np.mean(np.abs(raw[0]) ** 2) / 400.0)
+    raw[1, cut:] = (rng.standard_normal(raw.shape[1] - cut)
+                    + 1j * rng.standard_normal(raw.shape[1] - cut)
+                    ).astype(np.complex64) * pwr
+    raw[1, cut:cut + n_b] += dev_b[:n_b]
+    raw[2, cut:] = (rng.standard_normal(raw.shape[1] - cut)
+                    + 1j * rng.standard_normal(raw.shape[1] - cut)
+                    ).astype(np.complex64) * pwr
+
+    lock = acquire.blind_acquire(raw[:, :cut], DEVICE_RATE)
+    assert lock is not None and lock.locked.all()
+    rx = pod.MultiChannelReceiver(lock.cfg, mesh)
+    parsers = [BBFrameParser() for _ in range(3)]
+    ts0 = []
+    events = []
+    last = None
+    for hard, stats in rx.stream(lock.aligned(raw), lock.mu0, lock.step,
+                                 freq=lock.freq, max_steps=8,
+                                 relock=True, dead_after=1,
+                                 relock_exhausted=2):
+        events += stats["events"]
+        if stats["alive"][0]:
+            ts0.append(_collect_ts(parsers, hard, plp.k_bch)[0])
+        last = stats
+    assert any("ch1 CONFIG CHANGED" in e and "different mode" in e
+               for e in events), events
+    assert any(e.startswith("relock: ch2 exhausted 2 blind searches")
+               for e in events), events
+    assert not any(e.startswith("relock: ch1 reacquired")
+                   for e in events), events
+    assert not any(e.startswith("relock: ch2 reacquired")
+                   for e in events), events
+    assert last["alive"].tolist() == [True, False, False]
+    assert last["relock_fail"][2] >= 2, last["relock_fail"]
+    got0 = np.concatenate(ts0).tobytes()
+    _assert_ts_match(got0, ts.tobytes(), 188 * 40, "ch0")
