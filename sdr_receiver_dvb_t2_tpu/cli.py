@@ -71,6 +71,16 @@ def build_parser() -> argparse.ArgumentParser:
     dbg = p.add_argument_group("diagnostics")
     dbg.add_argument("--stats", type=float, default=5.0,
                      help="statistics print interval in seconds (0=off)")
+    dbg.add_argument("--monitor", type=float, metavar="SECS", default=0.0,
+                     help="live in-run view refreshed every SECS: spectrum "
+                          "sparkline, constellation density grid, LDPC "
+                          "trials histogram, L1/PLP summary (the "
+                          "reference GUI's plot set, terminal-rendered; "
+                          "watch a running receiver converge)")
+    dbg.add_argument("--monitor-npz", metavar="NPZ", default=None,
+                     help="with --monitor: also refresh an .npz of the "
+                          "current views each interval (render with "
+                          "tools/plot_dumps.py)")
     dbg.add_argument("--dump-constellation", metavar="NPZ", default=None,
                      help="save diagnostics of the first locked frame to a "
                           ".npz: equalized constellation cells, spectrum, "
@@ -174,9 +184,11 @@ def run_pod(args) -> int:
     raw = np.stack([r[:n] for r in rows])
 
     relock = bool(cfg.get("relock", True))
+    plp = cfg.get("plp", 0)
+    all_plps = plp == "all"
     lock = acquire.blind_acquire(
-        raw, rate, plp_index=int(cfg.get("plp", 0)),
-        all_plps=cfg.get("plp") == "all", allow_partial=relock)
+        raw, rate, plp_index=0 if all_plps else int(plp),
+        all_plps=all_plps, allow_partial=relock)
     if lock is None:
         print("pod acquisition failed on every channel", file=sys.stderr)
         return 1
@@ -198,31 +210,52 @@ def run_pod(args) -> int:
         mesh = sharding.make_mesh(n_ch, 1)
     rx = pod.MultiChannelReceiver(lock.cfg, mesh)
 
-    out_sinks = [sinks.make_sink(ch.get("out", f"udp://127.0.0.1:{7654+c}"))
+    out_specs = [ch.get("out", f"udp://127.0.0.1:{7654 + c}")
                  for c, ch in enumerate(chans)]
-    parsers = [make_bb_parser() for _ in range(C)]   # native when built
-    kb = lock.cfg.plp.k_bch // 8
+    # single PLP: one sink per channel from its out spec.  plp = "all":
+    # every PLP gets its own per-channel sink from the same factory the
+    # single-channel CLI uses (UDP port+i / file -plp<id> suffix)
+    out_sinks: dict = {}                     # (channel, plp ordinal) -> sink
+    parsers: dict = {}                       # native when built
+
+    def sink_for(c: int, i: int, plp_id: int):
+        key = (c, i)
+        if key not in out_sinks:
+            out_sinks[key] = (sinks.make_sink(out_specs[c]) if not all_plps
+                              else _plp_sink_factory(out_specs[c])(i, plp_id))
+            parsers[key] = make_bb_parser()
+        return out_sinks[key], parsers[key]
+
     max_steps = int(cfg.get("max_steps", 0)) or None
     aligned = lock.aligned(raw)
     pkts = np.zeros(C, np.int64)
     t_last = time.monotonic()
     n_steps = 0
+    mon = None
+    if cfg.get("monitor"):
+        from .runtime.monitor import PodMonitor
+        mon = PodMonitor(interval=float(cfg["monitor"]))
     for hard, stats in rx.stream(
             aligned, lock.mu0, lock.step, freq=lock.freq,
             max_steps=max_steps, track=bool(cfg.get("track", True)),
             track_l1=bool(cfg.get("track_l1", True)), relock=relock,
             locked=lock.locked, frame_idx0=lock.frame_idx0):
+        if mon is not None:
+            mon.maybe_render(stats, pkts, n_steps)
         for e in stats["events"]:
             print(f"event: {e}", file=sys.stderr)
-        bb = stats["plp_results"][0].bb_bytes    # packed, device-packed 8x
-        for c in range(C):
-            if not stats["alive"][c]:
-                continue
-            ts = parsers[c].parse_batch(bb[c].reshape(-1, bb.shape[-1])
+        for i, res in enumerate(stats["plp_results"]):
+            bb = res.bb_bytes                # packed, device-packed 8x
+            kb = res.state.plp.k_bch // 8
+            for c in range(C):
+                if not stats["alive"][c]:
+                    continue
+                sink, parser = sink_for(c, i, res.state.plp.plp_id)
+                ts = parser.parse_batch(bb[c].reshape(-1, bb.shape[-1])
                                         [:, :kb])
-            if len(ts):
-                out_sinks[c].write(ts)
-                pkts[c] += len(ts) // 188
+                if len(ts):
+                    sink.write(ts)
+                    pkts[c] += len(ts) // 188
         n_steps += 1
         if time.monotonic() - t_last >= float(cfg.get("stats", 5.0)):
             line = " ".join(
@@ -232,7 +265,7 @@ def run_pod(args) -> int:
             print(f"step {n_steps} snr={stats['snr_db']:.1f}dB {line}",
                   file=sys.stderr)
             t_last = time.monotonic()
-    for s in out_sinks:
+    for s in out_sinks.values():
         s.close()
     print(f"done: {n_steps} steps, per-channel TS packets: "
           f"{pkts.tolist()}", file=sys.stderr)
@@ -326,10 +359,16 @@ def main(argv=None) -> int:
     if args.profile:
         import jax
         jax.profiler.start_trace(args.profile)
+    mon = None
+    if args.monitor:
+        from .runtime.monitor import Monitor
+        mon = Monitor(interval=args.monitor, npz_path=args.monitor_npz)
     t_last = time.monotonic()
     while args.max_frames is None or rx.stats.frames < args.max_frames:
         if not rx.step_batch():
             break
+        if mon is not None:
+            mon.maybe_render(rx)
         if args.stats and time.monotonic() - t_last >= args.stats:
             s = rx.stats
             print(f"frames={s.frames} ts_pkts={s.ts_packets} "

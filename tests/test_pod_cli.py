@@ -58,3 +58,53 @@ def test_pod_cli_four_channels(tmp_path, capfd):
         assert at >= 0, f"ch{c} TS not in transmitted stream"
         n = min(len(got), len(sync) - at)
         assert got[:n] == sync[at:at + n], f"ch{c}"
+
+
+@pytest.mark.slow
+def test_pod_cli_plp_all_with_monitor(tmp_path, capfd):
+    """plp = "all" in the pod TOML (ADVICE r4 #1): every PLP of the mux
+    decodes to its own per-channel sink (UDP port+i / file -plp<id>),
+    and monitor = SECS renders the per-channel pod panel in-run."""
+    mode = T2Mode(fft_mode=FftMode.FFT_2K, guard=GuardInterval.G1_8,
+                  pilot_pattern=PilotPattern.PP7, extended_carriers=False,
+                  n_data_symbols=30)
+    plp_a = PlpConfig(constellation=Constellation.QAM16, plp_id=0,
+                      code_rate=CodeRate.C1_2, fec_frame=FecFrame.SHORT,
+                      rotation=True, time_il_length=1)
+    plp_b = PlpConfig(constellation=Constellation.QAM64, plp_id=1,
+                      code_rate=CodeRate.C2_3, fec_frame=FecFrame.SHORT,
+                      rotation=False, time_il_length=1)
+    tx = Transmitter(TxConfig(mode=mode, plps=[plp_a, plp_b],
+                              fec_blocks=[3, 4], num_t2_frames=6))
+    ts_a = random_ts_stream(7 * 3 * (plp_a.k_bch // 8 - 10) // 188, seed=1)
+    ts_b = random_ts_stream(7 * 4 * (plp_b.k_bch // 8 - 10) // 188, seed=2)
+    iq = tx.modulate_multi([ts_a, ts_b])
+
+    lines = []
+    rng = np.random.default_rng(7)
+    for c in range(2):
+        dev = impair(iq, ChannelConfig(device_rate=10_000_000,
+                                       snr_db=29.0, seed=c))
+        off = int(rng.integers(300, 2000))
+        dev = np.concatenate([np.zeros(off, np.complex64), dev])
+        path = tmp_path / f"ch{c}_dvbt2_0_10000000_8.raw"
+        quantize(dev, "u8", scale=0.4).tofile(path)
+        out = tmp_path / f"ch{c}.ts"
+        lines.append(f"[[channel]]\ninput = \"{path}\"\nout = \"{out}\"\n")
+
+    toml = tmp_path / "channels.toml"
+    toml.write_text("plp = \"all\"\nrelock = false\nmax_steps = 2\n"
+                    "monitor = 0.01\nmesh = [2, 1]\n" + "\n".join(lines))
+    rc = cli.main(["--pod", str(toml), "--cpu"])
+    assert rc == 0
+    err = capfd.readouterr().err
+    assert "pod monitor" in err and "ch state" in err
+    for c in range(2):
+        for plp_id, ts in ((0, ts_a), (1, ts_b)):
+            got = (tmp_path / f"ch{c}-plp{plp_id}.ts").read_bytes()
+            assert len(got) >= 188 * 10, (c, plp_id, len(got))
+            sync = ts.tobytes()
+            at = sync.find(got[:376])
+            assert at >= 0, f"ch{c} plp{plp_id} TS not in stream"
+            n = min(len(got), len(sync) - at)
+            assert got[:n] == sync[at:at + n], (c, plp_id)
