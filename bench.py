@@ -176,26 +176,36 @@ def main():
 
     # TRUE end-to-end streaming rate: the full receiver surface including
     # the packed device->host transfer and native BB de-encapsulation to TS
-    # bytes (the compute-only headline excludes those).  On this tunnel
-    # runtime the d2h link (~30 MB/s) bounds it; on a directly-attached
-    # chip the 8x-packed transfer (~5.4 MB per 15.9M-sample batch) rides
-    # PCIe and the end-to-end rate tracks the compute rate.
+    # bytes (the compute-only headline excludes those).  The fetch is
+    # DOUBLE-BUFFERED (receive_stream): batch N+1's device work is
+    # dispatched before batch N's transfer synchronizes, so d2h overlaps
+    # compute.  On this tunnel runtime the d2h link (~2-30 MB/s) bounds
+    # the result either way; on a directly-attached chip the 8x-packed
+    # transfer (~5.4 MB per 15.9M-sample batch) rides PCIe and the
+    # end-to-end rate tracks the compute rate.
     from sdr_receiver_dvb_t2_tpu.models.receiver import TpuReceiver, RxConfig
     rx = TpuReceiver(RxConfig(mode=mode, plp=plp, n_fec_per_frame=n_fec,
                               n_ti=1, use_pallas=on_tpu))
     rx._l1_post_cells = l1_post_cells
     res = rx.receive(frames)                     # warm-up/compile
     e2e_reps = 6 if on_tpu else 1
+    # synchronous baseline first (the pre-overlap number), then overlapped
     t0 = time.perf_counter()
     ts_total = 0
     for _ in range(e2e_reps):
         res = rx.receive(frames)
         ts_total += len(res.ts_bytes)
+    sync_dt = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for res in rx.receive_stream(frames for _ in range(e2e_reps)):
+        pass
     e2e_dt = time.perf_counter() - t0
     e2e_msps = n_frames * mode.frame_samples * e2e_reps / e2e_dt / 1e6
+    sync_msps = n_frames * mode.frame_samples * e2e_reps / sync_dt / 1e6
     sys.stderr.write(
         f"secondary: end-to-end (incl. d2h + TS out) {e2e_msps:.1f} Msps = "
-        f"{e2e_msps * 1e6 / ELEM_RATE:.1f}x real time, "
+        f"{e2e_msps * 1e6 / ELEM_RATE:.1f}x real time double-buffered "
+        f"(synchronous: {sync_msps * 1e6 / ELEM_RATE:.1f}x), "
         f"{ts_total // 188 // e2e_reps} TS pkts/batch "
         f"(tunnel d2h-bound; see BENCH notes)\n")
 

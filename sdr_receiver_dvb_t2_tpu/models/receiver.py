@@ -230,6 +230,25 @@ class TpuReceiver:
         """[F, frame_samples] complex ndarray -> decoded TS + statistics."""
         return self.receive_plane(*self.compute_plane(frames_iq))
 
+    def receive_stream(self, batches):
+        """Double-buffered receive over an iterable of frame batches.
+
+        Dispatches batch N+1's DEVICE work (demod->equalize->demap->FEC,
+        all asynchronously enqueued) before synchronizing batch N's
+        device->host transfer and host TS assembly, so the d2h of one
+        batch overlaps the compute of the next (and the async transfer
+        start collapses the per-array round-trip latencies).  Yields one
+        FrameBatchResult per batch, in order.
+        """
+        pending = None
+        for frames in batches:
+            nxt = self.receive_plane_async(*self.compute_plane(frames))
+            if pending is not None:
+                yield self.finish(pending)
+            pending = nxt
+        if pending is not None:
+            yield self.finish(pending)
+
     def receive_plane(self, packed, diags) -> FrameBatchResult:
         """Decode this PLP from a shared packed eq plane (compute_plane).
 
@@ -237,6 +256,13 @@ class TpuReceiver:
         (runtime/stream.py:step_batch) — N PLPs cost one demod/equalize
         pass plus N cheap demap+FEC passes, not N full pipelines.
         """
+        return self.finish(self.receive_plane_async(packed, diags))
+
+    def receive_plane_async(self, packed, diags):
+        """Device half of receive_plane: enqueue demap+FEC and START the
+        device->host copies without blocking; finish() completes them.
+        (Starting every copy before the first read also collapses the
+        tunnel's per-array round-trip latencies into one.)"""
         llr_t, snr = self._demap_fn(packed, diags.get("csi"))
         diags = {k: v for k, v in diags.items() if k != "csi"}
         diags["snr_db"] = snr
@@ -262,7 +288,15 @@ class TpuReceiver:
         # k_bch so the rare dirty codewords can be BCH-corrected host-side
         # without a second device round trip)
         packed = bch_ops.pack_bits_t(hard_t[:self.plp.n_bch])
+        for a in (packed, clean, ok, iters, *diags.values()):
+            if hasattr(a, "copy_to_host_async"):
+                a.copy_to_host_async()
+        return packed, clean, ok, iters, diags
 
+    def finish(self, pending) -> FrameBatchResult:
+        """Host half: synchronize the transfers and assemble TS bytes."""
+        packed, clean, ok, iters, diags = pending
+        n_cw = int(packed.shape[1])
         packed_np = np.asarray(packed, dtype=np.uint8).T   # [n_cw, n_bch/8]
         clean_np = np.asarray(clean)
         corrected = np.zeros(n_cw, dtype=np.int64)

@@ -121,3 +121,29 @@ def test_near_threshold_bch_guard():
     got, sync = res.ts_bytes.tobytes(), ts.tobytes()
     at = sync.find(got[:376])
     assert at >= 0 and got == sync[at:at + len(got)]
+
+
+def test_receive_stream_double_buffered_matches_receive():
+    """receive_stream (async d2h overlap, VERDICT r4 next #5) yields the
+    same per-batch results as the synchronous receive(), in order."""
+    frames, ts_in = _make_frames(snr_db=24.0)
+    rx = TpuReceiver(RxConfig(mode=MODE, plp=PLP, n_fec_per_frame=6, n_ti=3,
+                              use_pallas=False)).prime(frames[0])
+    ref = rx.receive(frames)
+    # a second receiver with a fresh BB parser state (the stream parser
+    # is stateful across batches)
+    rx2 = TpuReceiver(RxConfig(mode=MODE, plp=PLP, n_fec_per_frame=6,
+                               n_ti=3, use_pallas=False)).prime(frames[0])
+    outs = list(rx2.receive_stream([frames, frames, frames]))
+    assert len(outs) == 3
+    for res in outs:
+        assert res.bch_clean.all()
+        assert np.array_equal(res.ldpc_ok, ref.ldpc_ok)
+    assert np.array_equal(outs[0].ts_bytes, ref.ts_bytes)
+    # batches 2/3 re-enter the same TS mid-stream; their bytes must
+    # appear contiguously in the transmitted stream
+    sync = ts_in.tobytes()
+    for res in outs[1:]:
+        got = res.ts_bytes.tobytes()
+        at = sync.find(got[:376])
+        assert at >= 0 and got == sync[at:at + len(got)]
