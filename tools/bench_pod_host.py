@@ -97,6 +97,44 @@ def main(n_ch: int = 64) -> None:
 
     t_parse = timeit(parse_all, n=3)
 
+    # LIVE ingest variant (VERDICT r4 next #4): the same per-step window
+    # reads through a ChannelStore fed by per-channel readers at the pod
+    # rate (win raw samples/channel/step arriving in SDR-sized chunks),
+    # with trim_before after every step — measures the ring's append +
+    # compaction churn and the steady-state held tail ON TOP of the
+    # capture-array numbers above.
+    store = pod.ChannelStore(n_ch)
+    feed = raw[:, :win].copy()
+    chunk = 65536
+    state = dict(pos=np.zeros(n_ch, np.int64), t_append=0.0)
+
+    def live_step():
+        # readers push one step of raw per channel in chunk-sized blocks
+        t0 = time.perf_counter()
+        for c in range(n_ch):
+            end = state["pos"][c] + win
+            while store.end(c) < end:
+                a = store.end(c) - state["pos"][c] + 0
+                blk = feed[c, a % win:(a % win) + chunk][:chunk]
+                store.append(c, blk if len(blk) else feed[c, :chunk])
+        state["t_append"] += time.perf_counter() - t0
+        for c in range(n_ch):
+            buf[c, 0] = store.window(c, int(state["pos"][c]), win)
+        for c in range(n_ch):
+            # stream()'s policy: keep 2*win of look-back (relock context)
+            store.trim_before(c, int(state["pos"][c]) - win)
+        state["pos"] += win
+
+    store.bytes_copied = 0
+    n_live = 5
+    live_step()                              # warm (ring growth)
+    store.bytes_copied = 0
+    state["t_append"] = 0.0
+    t_live = timeit(live_step, n=n_live)
+    held = max(store.held(c) for c in range(n_ch))
+    copied_per_step = store.bytes_copied / (n_live + 1) / 1e6
+    t_append = state["t_append"] / (n_live + 1) * 1e3
+
     total = t_off + t_bases + t_gather + t_parse
     print(f"pod host loop @ {n_ch} channels, 32K frame "
           f"({frame_time_ms:.1f} ms of air time per step/channel):")
@@ -110,6 +148,16 @@ def main(n_ch: int = 64) -> None:
     print(f"  TOTAL           {total:8.2f} ms/step vs {frame_time_ms:.1f} "
           f"ms budget -> host load {total / frame_time_ms:.2f}x of one "
           f"core")
+    live_total = total - t_gather + t_live
+    print(f"LIVE ingest (ChannelStore ring, {chunk} sample chunks):")
+    print(f"  append+window   {t_live:8.2f} ms/step (append share "
+          f"{t_append:.2f} ms, ring copies {copied_per_step:.0f} MB/step "
+          f"= {copied_per_step / (n_ch * win * 8 / 1e6):.2f}x the raw "
+          f"volume)")
+    print(f"  held tail       {held * 8 / 1e6:8.1f} MB/channel max "
+          f"({held} samples; bounded by window + relock context)")
+    print(f"  LIVE TOTAL      {live_total:8.2f} ms/step -> host load "
+          f"{live_total / frame_time_ms:.2f}x of one core")
 
 
 if __name__ == "__main__":
