@@ -380,6 +380,17 @@ class EqTables:
             psign[l, b] = -1.0
         self.pair_idx = pair.reshape(-1).astype(np.int32)
         self.pair_sign = psign
+        # the pairing is strictly LOCAL and in-row: payload partners are
+        # carrier-order neighbours (offset +-1, stretching to +-3 across
+        # skipped pilots), pilots self-map.  Ship the per-cell offset
+        # instead of a flat index: the partner planes then come from a
+        # handful of masked in-row shifts instead of two full-plane
+        # gathers (TPU gathers are element-count-bound at ~1.4 G elem/s;
+        # measured 19 ms -> ~1 ms on four 32K frames, tools/profile_sfn).
+        off = (pair - np.arange(L * K, dtype=np.int64).reshape(L, K))
+        self.pair_off = off.astype(np.int32)
+        self.pair_offsets = tuple(int(d) for d in np.unique(off) if d != 0)
+        assert all(abs(d) <= 8 for d in self.pair_offsets), self.pair_offsets
 
         # Common-phase derotation mask: the temporal pairing needs every
         # symbol phase-aligned, and the phase must be measured on the SAME
@@ -437,7 +448,7 @@ class EqTables:
             consts.update(
                 w_alt=dev_w(self.weights_alt),
                 o_sign=_jax.device_put(jnp.asarray(self.o_sign)),
-                pair_idx=_jax.device_put(jnp.asarray(self.pair_idx)),
+                pair_off=_jax.device_put(jnp.asarray(self.pair_off)),
                 pair_sign=_jax.device_put(jnp.asarray(self.pair_sign)),
             )
         _EQ_DEVICE_CONSTS[key] = consts
@@ -681,17 +692,23 @@ def equalize_plane(carriers: C, plan: ChainPlan, consts):
         o = consts["o_sign"]                                  # [L, 1]
         h1 = (h_d + h_alt) * 0.5
         h2 = (h_d - h_alt) * 0.5 * o
-        # partner values: pair_idx is a permutation of the plane (payload
-        # pairs swap, pilots self-map)
-        pidx = consts["pair_idx"].reshape(-1, 1)
-
-        def pgather(flat_u32):
-            g = jax.lax.gather(flat_u32, pidx, _FAST_GATHER, (1,),
-                               mode=jax.lax.GatherScatterMode
-                               .PROMISE_IN_BOUNDS, unique_indices=True)
-            return g.reshape(carriers.re.shape)
-        r_p = _unpack_bf16(pgather(packed))                   # r[partner]
-        h2_p = _unpack_bf16(pgather(_pack_bf16(h2).reshape(-1)))
+        # partner values: the pairing is a strictly local in-row
+        # permutation (payload pairs are carrier-order neighbours,
+        # pilots self-map), so the partner planes come from masked
+        # in-row shifts — same values the full-plane pair gather
+        # produced, at elementwise cost instead of ~1.4 G elem/s
+        # gather cost (EqTables._build_miso; tools/profile_sfn.py)
+        off = consts["pair_off"]                              # [L, K] i32
+        packed2 = packed.reshape(carriers.re.shape)
+        h2_packed = _pack_bf16(h2)
+        rp_sel, h2p_sel = packed2, h2_packed
+        for d in plan.eq.pair_offsets:                        # static set
+            m = off == d
+            rp_sel = jnp.where(m, jnp.roll(packed2, -d, axis=1), rp_sel)
+            h2p_sel = jnp.where(m, jnp.roll(h2_packed, -d, axis=1),
+                                h2p_sel)
+        r_p = _unpack_bf16(rp_sel)                            # r[partner]
+        h2_p = _unpack_bf16(h2p_sel)
         s = consts["pair_sign"]                               # [L, K]
         # out[x] = (h1[x]* r[x] + s_x h2[y] r[y]*) / (|h1[x]|^2+|h2[y]|^2)
         num = h1.conj() * carriers + (h2_p * r_p.conj()) * s
@@ -769,6 +786,15 @@ def packed_to_llr_t(packed, plan: ChainPlan, consts, csi=None):
     the chain; the packed plane is shared across PLPs.
     """
     f = packed.shape[0]
+
+    # materialize the eq plane before gathering: without the barrier XLA
+    # fuses the equalizer's producer chain INTO the gather and re-evaluates
+    # it per gathered element — measured +20 ms vs +8 ms on the MISO path
+    # (4x 32K frames; the shift-select chain is the worst producer, but the
+    # barrier is free when the plane is already materialized)
+    packed = jax.lax.optimization_barrier(packed)
+    if csi is not None:
+        csi = jax.lax.optimization_barrier(csi)
 
     # per-frame gather (XLA gather cost grows with SOURCE size — keep the
     # source at one frame's plane, vmap over frames); the index set is a
