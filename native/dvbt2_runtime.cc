@@ -76,9 +76,11 @@ struct BbParser {
   bool synced = false;
   int64_t header_errors = 0;
   int64_t crc_errors = 0;
-  int64_t unsupported = 0;          // frames rejected (ISSY / non-TS MATYPE)
+  int64_t unsupported = 0;          // frames rejected (non-TS / bad ISSY len)
   int64_t truncated = 0;            // packets dropped: caller buffer full
   int64_t null_reinserted = 0;      // null packets restored from DNP counts
+  int64_t issy_stripped = 0;        // ISSY values consumed (UPs in NM,
+  int64_t last_issy = -1;           //   frames in HEM) and the latest value
   int hem = -1;
   // last parsed MATYPE (reported like bb_de_header.cpp:110-155,497-510)
   int ts_gs = -1, sis_mis = -1, ccm_acm = -1, issyi = -1, npd = -1, isi = -1;
@@ -135,6 +137,8 @@ int64_t bb_parser_unsupported(const BbParser* p) { return p->unsupported; }
 int64_t bb_parser_null_reinserted(const BbParser* p) {
   return p->null_reinserted;
 }
+int64_t bb_parser_issy_stripped(const BbParser* p) { return p->issy_stripped; }
+int64_t bb_parser_last_issy(const BbParser* p) { return p->last_issy; }
 int64_t bb_parser_truncated(const BbParser* p) { return p->truncated; }
 int bb_parser_hem(const BbParser* p) { return p->hem; }
 // Last parsed MATYPE, packed: ts_gs<<8 | sis_mis<<7 | ccm_acm<<6 |
@@ -155,8 +159,11 @@ namespace {
 // MATYPE handling (parity+: reference only displays these fields,
 // bb_de_header.cpp:110-155,497-510): TS_GS/SIS_MIS/CCM_ACM/ISSYI/NPD/ISI
 // are parsed and exposed via accessors; NPD streams have their deleted
-// null packets re-inserted from the per-UP DNP count; ISSYI or non-TS
-// streams are rejected loudly (unsupported counter, no silent desync).
+// null packets re-inserted from the per-UP DNP count; ISSY timestamps are
+// stripped and counted (pass-through — NM appends 2-3 bytes per UP with
+// UPL giving the length, HEM carries a 3-byte value in the header's
+// UPL+SYNC fields, EN 302 755 clauses 5.1.8/5.2.2); non-TS streams and
+// malformed ISSY lengths are rejected loudly (unsupported counter).
 int64_t parse_frame_into(BbParser* p, const uint8_t* frame, int n_bytes) {
   std::vector<uint8_t> data_buf(n_bytes);
   const uint8_t* sc = p->prbs_bytes(n_bytes);
@@ -187,20 +194,41 @@ int64_t parse_frame_into(BbParser* p, const uint8_t* frame, int n_bytes) {
   p->issyi = (matype1 >> 3) & 1;
   p->npd = (matype1 >> 2) & 1;
   p->isi = p->sis_mis ? -1 : b[1];  // MATYPE-2 carries ISI when MIS
-  if (p->ts_gs != 0b11 || p->issyi) {
-    // generic streams / ISSY timestamps are not consumed by this TS
-    // output path — reject the frame loudly instead of desyncing
+  if (p->ts_gs != 0b11) {
+    // generic streams are not consumed by this TS output path — reject
+    // the frame loudly instead of desyncing
     p->unsupported++;
     p->synced = false;
     return 0;
+  }
+  int upl = (b[2] << 8) | b[3];
+  int issy_nm = 0;  // per-UP ISSY bytes in the data field (NM only)
+  if (p->issyi) {
+    if (hem) {
+      // HEM: the 3-byte ISSY rides in the header's UPL+SYNC fields
+      // (EN 302 755 clause 5.2.2) — the data field is unchanged
+      p->last_issy = (static_cast<int64_t>(b[2]) << 16) | (b[3] << 8) | b[6];
+      p->issy_stripped++;
+    } else {
+      // NM: 2- or 3-byte ISSY appended to each UP; UPL gives the length
+      // (some transmitters count the DNP byte in UPL, some don't)
+      int cand = upl / 8 - kTsLen - (p->npd ? 1 : 0);
+      if (cand != 2 && cand != 3) cand = upl / 8 - kTsLen;
+      if (cand != 2 && cand != 3) {
+        p->unsupported++;  // malformed ISSY length
+        p->synced = false;
+        return 0;
+      }
+      issy_nm = cand;
+    }
   }
 
   int dfl = (b[4] << 8) | b[5];
   int syncd = (b[7] << 8) | b[8];
   if (dfl <= 0 || kHeaderBits + dfl > n_bytes * 8) return 0;
 
-  // UP length in the data field: TS payload (+1 DNP byte when NPD)
-  int unit = (hem ? kTsLen - 1 : kTsLen) + (p->npd ? 1 : 0);
+  // UP length in the data field: TS payload (+ISSY in NM, +1 DNP when NPD)
+  int unit = (hem ? kTsLen - 1 : kTsLen) + issy_nm + (p->npd ? 1 : 0);
   const uint8_t* d = b + kHeaderBits / 8;
   int n = dfl / 8;
   if (syncd == 0xFFFF) {
@@ -242,15 +270,21 @@ int64_t parse_frame_into(BbParser* p, const uint8_t* frame, int n_bytes) {
   for (int u = 0; u < n_units; ++u) {
     const uint8_t* up = stream.data() + u * unit;
     if (p->npd) {
-      // DNP byte appended to each UP counts the null packets deleted
-      // immediately before it (EN 302 755 clause 5.1.5) — restore them
-      int dnp = up[payload];
+      // DNP byte appended to each UP (after any ISSY) counts the null
+      // packets deleted immediately before it (EN 302 755 clause 5.1.5)
+      int dnp = up[unit - 1];
       p->null_reinserted += dnp;
       for (int z = 0; z < dnp; ++z) {
         ob.resize(ob.size() + kTsLen);
         emit_null_packet(ob.data() + ob.size() - kTsLen);
         written += kTsLen;
       }
+    }
+    if (issy_nm) {
+      int64_t v = 0;
+      for (int k = 0; k < issy_nm; ++k) v = (v << 8) | up[payload + k];
+      p->last_issy = v;
+      p->issy_stripped++;
     }
     size_t at = ob.size();
     ob.resize(at + kTsLen);
@@ -259,11 +293,13 @@ int64_t parse_frame_into(BbParser* p, const uint8_t* frame, int n_bytes) {
       std::memcpy(ob.data() + at + 1, up, payload);
     } else {
       std::memcpy(ob.data() + at + 1, up + 1, payload - 1);
+      // the CRC-8 encoder runs after ISSY insertion and null deletion
+      // (clause 5.1 figure), so the chain covers ISSY/DNP suffixes too
       if (p->crc >= 0 && p->crc != up[0]) {
         p->crc_errors++;
         ob[at + 1] |= kTeiFlag;
       }
-      p->crc = crc8_bytes(up + 1, payload - 1);
+      p->crc = crc8_bytes(up + 1, unit - 1);
     }
     written += kTsLen;
   }

@@ -96,35 +96,56 @@ class BBFramePacker:
     hem: bool = True
     issyi: bool = False
     npd: bool = False
+    issy_len: int = 3            # NM ISSY field bytes (2 short / 3 long)
     padding_hook: object = None
 
     def __post_init__(self):
+        assert self.issy_len in (2, 3)
         self._pending = np.empty(0, dtype=np.uint8)   # unit-stream bytes
         self._offset_in_packet = 0                    # bytes already sent
+        # EN 302 755 clause 5.1 mode adaptation order: input stream
+        # synchronizer (appends ISSY to each UP) -> null-packet deletion
+        # (appends DNP) -> CRC-8 encoder.  So the NM unit on the wire is
+        # [CRC8][187][ISSY][DNP] and the CRC covers everything after the
+        # CRC byte.  HEM carries no per-UP ISSY: the 3-byte value rides in
+        # the header's UPL+SYNC fields instead (clause 5.2.2).
+        self._issy_nm = self.issy_len if (self.issyi and not self.hem) else 0
         self._unit = (TS_LEN - 1 if self.hem else TS_LEN) \
-            + (1 if self.npd else 0)
+            + self._issy_nm + (1 if self.npd else 0)
         self._last_crc = 0
         self._dnp = 0                                 # nulls deleted so far
         self._frame_counter = 0                       # BB frames built
+        self._iscr = 0                # fixture ISCR: input-packet counter
+
+    def _issy_bytes(self) -> np.ndarray:
+        v = self._iscr & ((1 << (8 * self.issy_len)) - 1)
+        return np.array([(v >> (8 * k)) & 0xFF
+                         for k in range(self.issy_len - 1, -1, -1)],
+                        dtype=np.uint8)
 
     def _push_packets(self, ts: np.ndarray):
         ts = np.asarray(ts, dtype=np.uint8).reshape(-1, TS_LEN)
         assert (ts[:, 0] == 0x47).all(), "TS packets must start with 0x47"
         units = []
         for pkt in ts:
+            self._iscr += 1          # ISCR ticks per input packet
             if self.npd and pkt[1] == 0x1F and pkt[2] == 0xFF \
                     and self._dnp < 255:
                 self._dnp += 1          # delete null packet, bump DNP count
                 continue
             body = pkt[1:] if self.hem else pkt.copy()
-            if not self.hem:
-                # replace sync byte with CRC-8 of previous packet payload
-                crc = crc8_bytes(body[1:])
-                body[0] = self._last_crc
-                self._last_crc = crc
+            if self._issy_nm:
+                body = np.concatenate([body, self._issy_bytes()])
             if self.npd:
                 body = np.concatenate([body, [np.uint8(self._dnp)]])
                 self._dnp = 0
+            if not self.hem:
+                # replace sync byte with the CRC-8 of the previous UP;
+                # the CRC-8 encoder runs after ISSY/DNP insertion, so it
+                # covers the whole UP after the CRC position
+                crc = crc8_bytes(body[1:])
+                body[0] = self._last_crc
+                self._last_crc = crc
             units.append(body)
         if units:
             self._pending = np.concatenate([self._pending] + units)
@@ -159,11 +180,17 @@ class BBFramePacker:
             | (int(self.npd) << 2)
         hdr[0:8] = np.unpackbits(np.uint8(matype1))
         hdr[8:16] = 0                                    # MATYPE-2 / ISI
-        upl = TS_LEN * 8 if not self.hem else 0
+        if self.hem and self.issyi:
+            # HEM reuses the UPL (2 bytes) + SYNC (1 byte) header fields to
+            # carry the 3-byte ISSY of the frame (EN 302 755 clause 5.2.2)
+            issy = self._iscr & 0xFFFFFF
+            upl, sync = issy >> 8, issy & 0xFF
+        else:
+            upl = self._unit * 8 if not self.hem else 0
+            sync = 0x47 if not self.hem else 0
         hdr[16:32] = np.unpackbits(np.array([upl >> 8, upl & 0xFF], dtype=np.uint8))
         dfl = len(data) * 8
         hdr[32:48] = np.unpackbits(np.array([dfl >> 8, dfl & 0xFF], dtype=np.uint8))
-        sync = 0x47 if not self.hem else 0
         hdr[48:56] = np.unpackbits(np.uint8(sync))
         hdr[56:72] = np.unpackbits(np.array([syncd >> 8, syncd & 0xFF], dtype=np.uint8))
         mode = _mode_field(hdr, self.hem)
@@ -199,8 +226,12 @@ class BBFrameParser:
     MATYPE fields (TS_GS/SIS_MIS/CCM_ACM/ISSYI/NPD/ISI,
     bb_de_header.cpp:110-155) are parsed and exposed via ``matype``;
     NPD streams get their deleted null packets re-inserted from the DNP
-    byte appended to each UP; ISSY or non-TS streams are rejected loudly
-    (``unsupported`` counter) rather than silently desyncing.
+    byte appended to each UP; ISSY timestamps are stripped and counted
+    (pass-through — ``issy_stripped`` / ``last_issy``; the reference only
+    displays the ISSYI flag and would mis-parse the stream,
+    bb_de_header.cpp:501-503); non-TS streams and malformed ISSY lengths
+    are rejected loudly (``unsupported`` counter) rather than silently
+    desyncing.
     """
 
     def __init__(self):
@@ -211,6 +242,8 @@ class BBFrameParser:
         self.unsupported = 0
         self.null_reinserted = 0
         self.truncated = 0
+        self.issy_stripped = 0       # ISSY values consumed (UPs in NM,
+        self.last_issy = -1          # frames in HEM) and the latest value
         self.matype: dict | None = None
 
     def parse(self, frame_bits: np.ndarray) -> np.ndarray:
@@ -244,17 +277,38 @@ class BBFrameParser:
             ccm_acm=(matype1 >> 4) & 1, issyi=(matype1 >> 3) & 1,
             npd=(matype1 >> 2) & 1,
             isi=-1 if (matype1 >> 5) & 1 else int(by[1]))
-        if self.matype["ts_gs"] != 0b11 or self.matype["issyi"]:
+        if self.matype["ts_gs"] != 0b11:
             self.unsupported += 1
             self.state.synced = False
             return np.empty(0, dtype=np.uint8)
         npd = bool(self.matype["npd"])
+        upl = int(by[2]) << 8 | int(by[3])
+        issy_nm = 0
+        if self.matype["issyi"]:
+            if hem:
+                # HEM: the 3-byte ISSY rides in the header's UPL+SYNC
+                # fields (EN 302 755 clause 5.2.2) — data field unchanged
+                self.last_issy = (int(by[2]) << 16) | (int(by[3]) << 8) \
+                    | int(by[6])
+                self.issy_stripped += 1
+            else:
+                # NM: a 2- or 3-byte ISSY is appended to each UP; UPL
+                # tells which (some transmitters count the DNP byte in
+                # UPL, some don't — accept either)
+                cand = upl // 8 - TS_LEN - (1 if npd else 0)
+                if cand not in (2, 3):
+                    cand = upl // 8 - TS_LEN
+                if cand not in (2, 3):
+                    self.unsupported += 1       # malformed ISSY length
+                    self.state.synced = False
+                    return np.empty(0, dtype=np.uint8)
+                issy_nm = cand
         dfl = int(by[4]) << 8 | int(by[5])
         syncd = int(by[7]) << 8 | int(by[8])
         if dfl <= 0 or HEADER_BITS + dfl > len(raw) * 8:
             return np.empty(0, dtype=np.uint8)
         data = by[HEADER_BITS // 8:HEADER_BITS // 8 + dfl // 8]
-        unit = (TS_LEN - 1 if hem else TS_LEN) + (1 if npd else 0)
+        unit = (TS_LEN - 1 if hem else TS_LEN) + issy_nm + (1 if npd else 0)
         st = self.state
         out = []
         if syncd == 65535:
@@ -283,24 +337,31 @@ class BBFrameParser:
         payload_len = TS_LEN - 1 if hem else TS_LEN
         for u in units:
             if npd:
-                # DNP byte appended to each UP: deleted null packets
-                # immediately before it (EN 302 755 clause 5.1.5)
-                dnp = int(u[payload_len])
+                # DNP byte appended to each UP (after any ISSY): deleted
+                # null packets immediately before it (EN 302 755 5.1.5)
+                dnp = int(u[-1])
                 self.null_reinserted += dnp
                 out.extend([_NULL_PACKET] * dnp)
-                u = u[:payload_len]
+            if issy_nm:
+                self.last_issy = int.from_bytes(
+                    bytes(u[payload_len:payload_len + issy_nm]), "big")
+                self.issy_stripped += 1
             if hem:
-                pkt = np.concatenate([[0x47], u]).astype(np.uint8)
+                pkt = np.concatenate([[0x47], u[:payload_len]]) \
+                    .astype(np.uint8)
             else:
-                payload = u[1:]
-                pkt = np.concatenate([[0x47], payload]).astype(np.uint8)
-                # CRC of this packet's payload arrives as next packet's first
-                # byte; full inter-packet checking requires lookahead, so we
-                # validate against the embedded previous-CRC chain instead.
+                pkt = np.concatenate([[0x47], u[1:payload_len]]) \
+                    .astype(np.uint8)
+                # CRC of this UP arrives as the next UP's first byte; full
+                # inter-packet checking requires lookahead, so we validate
+                # against the embedded previous-CRC chain instead.  The
+                # CRC-8 encoder runs after ISSY insertion and null
+                # deletion (clause 5.1 figure), so the chain covers the
+                # ISSY and DNP suffixes too.
                 if st.crc >= 0 and st.crc != int(u[0]):
                     self.crc_errors += 1
                     pkt[1] |= TEI_FLAG
-                st.crc = crc8_bytes(payload)
+                st.crc = crc8_bytes(u[1:])
             out.append(pkt)
         if out:
             return np.concatenate(out)

@@ -61,7 +61,8 @@ def load():
     lib.bb_parser_out_size.restype = ctypes.c_int64
     lib.bb_parser_out_size.argtypes = [ctypes.c_void_p]
     for name in ("header_errors", "crc_errors", "unsupported",
-                 "null_reinserted", "truncated"):
+                 "null_reinserted", "truncated", "issy_stripped",
+                 "last_issy"):
         fn = getattr(lib, f"bb_parser_{name}")
         fn.restype = ctypes.c_int64
         fn.argtypes = [ctypes.c_void_p]
@@ -164,6 +165,16 @@ class NativeBBFrameParser:
     @property
     def truncated(self) -> int:
         return self._lib.bb_parser_truncated(self._h)
+
+    @property
+    def issy_stripped(self) -> int:
+        """ISSY values consumed: per UP in NM, per frame in HEM."""
+        return self._lib.bb_parser_issy_stripped(self._h)
+
+    @property
+    def last_issy(self) -> int:
+        """Most recent ISSY value (opaque 2-3 byte ISCR), -1 if none."""
+        return self._lib.bb_parser_last_issy(self._h)
 
     @property
     def matype(self) -> dict | None:

@@ -28,6 +28,8 @@ class TxConfig:
     mode: T2Mode
     plp: PlpConfig | None = None
     hem: bool = True
+    issyi: bool = False           # carry ISSY timestamps (clause 5.1.8)
+    npd: bool = False             # null-packet deletion with DNP counts
     l1_post_mod: int = 1          # QPSK
     fec_blocks_per_frame: int = 9  # PLP_NUM_BLOCKS per interleaving frame
     num_t2_frames: int = 2
@@ -66,8 +68,10 @@ class Transmitter:
         self.cfg = cfg
         self.mode = cfg.mode.validate()
         self.plp = cfg.plp
-        self.packer = BBFramePacker(k_bch=self.plp.k_bch, hem=cfg.hem)
-        self.packers = [BBFramePacker(k_bch=p.k_bch, hem=cfg.hem)
+        self.packer = BBFramePacker(k_bch=self.plp.k_bch, hem=cfg.hem,
+                                    issyi=cfg.issyi, npd=cfg.npd)
+        self.packers = [BBFramePacker(k_bch=p.k_bch, hem=cfg.hem,
+                                      issyi=cfg.issyi, npd=cfg.npd)
                         for p in cfg.plps]
         self.code = ldpc.get_code(self.plp.ldpc_table_name)
         self._bch_m = self.plp.bch_m

@@ -188,17 +188,78 @@ def test_npd_roundtrip_reinserts_nulls(hem):
         assert parser.null_reinserted > 0
 
 
-def test_issy_frames_rejected_loudly():
-    """ISSYI streams are not consumed — both parsers must refuse them and
-    count the rejection instead of desyncing silently."""
+@pytest.mark.parametrize("issy_len,npd", [(2, False), (3, False), (3, True)])
+def test_issy_nm_passthrough(issy_len, npd):
+    """NM ISSY streams decode TS-exactly with the per-UP ISSY field
+    stripped and counted — EN 302 755 clauses 5.1.8 (ISSY appended to each
+    UP, UPL extended) and 5.1.4 (the CRC-8 chain covers the ISSY/DNP
+    suffixes).  The reference only displays the ISSYI flag and would
+    mis-parse these streams (bb_de_header.cpp:501-503)."""
+    from sdr_receiver_dvb_t2_tpu.models.transmitter import random_ts_stream
+    ts = _null_ts_mix(60, null_every=6) if npd else \
+        random_ts_stream(60, seed=1)
+    packer = bbframe.BBFramePacker(k_bch=7032, hem=False, issyi=True,
+                                   npd=npd, issy_len=issy_len)
+    frames = packer.pack(ts)
+    assert len(frames) > 2
+    for parser in (bbframe.BBFrameParser(), native.NativeBBFrameParser()):
+        got = np.concatenate([parser.parse(f) for f in frames])
+        sync, raw = got.tobytes(), ts.tobytes()
+        idx = raw.find(sync[:376])
+        assert idx >= 0 and sync == raw[idx:idx + len(sync)]
+        assert parser.matype["issyi"] == 1
+        assert parser.unsupported == 0
+        assert parser.crc_errors == 0          # chain covers ISSY+DNP
+        assert parser.issy_stripped == len(got) // 188 \
+            - parser.null_reinserted
+        assert parser.last_issy >= 0           # fixture ISCR, opaque value
+        if npd:
+            assert parser.null_reinserted > 0
+
+
+def test_issy_hem_passthrough():
+    """HEM ISSY rides in the header's UPL+SYNC fields (clause 5.2.2): the
+    data field is unchanged, the value is exposed per frame."""
     from sdr_receiver_dvb_t2_tpu.models.transmitter import random_ts_stream
     ts = random_ts_stream(60, seed=1)
     packer = bbframe.BBFramePacker(k_bch=7032, hem=True, issyi=True)
     frames = packer.pack(ts)
     for parser in (bbframe.BBFrameParser(), native.NativeBBFrameParser()):
-        out = [parser.parse(f) for f in frames]
+        got = np.concatenate([parser.parse(f) for f in frames])
+        sync, raw = got.tobytes(), ts.tobytes()
+        idx = raw.find(sync[:376])
+        assert idx >= 0 and sync == raw[idx:idx + len(sync)]
+        assert parser.matype["issyi"] == 1
+        assert parser.unsupported == 0
+        assert parser.issy_stripped == len(frames)
+        # fixture ISCR counts input packets; the last frame's header
+        # carries the counter at build time
+        assert parser.last_issy == 60
+
+
+def test_issy_malformed_upl_rejected():
+    """An NM ISSYI frame whose UPL leaves no legal 2-3 byte ISSY length is
+    rejected loudly (unsupported), not silently desynced."""
+    from sdr_receiver_dvb_t2_tpu.models.transmitter import random_ts_stream
+    ts = random_ts_stream(60, seed=1)
+    # pack WITHOUT issy fields, then flip the ISSYI header bit: UPL stays
+    # 188 bytes -> no room for an ISSY field
+    packer = bbframe.BBFramePacker(k_bch=7032, hem=False, issyi=False)
+    frames = packer.pack(ts)
+    from sdr_receiver_dvb_t2_tpu.params import prbs
+    sc = prbs.bb_scrambler(7032)
+    bad = []
+    for f in frames:
+        bits = (np.asarray(f) ^ sc).astype(np.uint8)
+        bits[4] = 1                            # MATYPE-1 ISSYI bit
+        hdr = bits[:72]
+        mode = bbframe._mode_field(hdr, hem=False)
+        bits[72:80] = np.unpackbits(np.uint8(mode))
+        bad.append(bits ^ sc)
+    for parser in (bbframe.BBFrameParser(), native.NativeBBFrameParser()):
+        out = [parser.parse(f) for f in bad]
         assert all(len(o) == 0 for o in out)
-        assert parser.unsupported == len(frames)
+        assert parser.unsupported == len(bad)
         assert parser.matype["issyi"] == 1
 
 

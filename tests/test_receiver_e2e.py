@@ -45,6 +45,28 @@ def test_receiver_clean_channel_bit_exact():
     assert len(res.ts_bytes) > 50000
 
 
+@pytest.mark.parametrize("hem", [True, False])
+def test_receiver_issy_mux_full_chain(hem):
+    """An ISSY-carrying mux decodes TS-exactly through the FULL chain with
+    the timestamps stripped and counted (VERDICT r4 #8) — the reference
+    would mis-parse these streams (it only displays the ISSYI flag,
+    bb_de_header.cpp:501-503)."""
+    tx = Transmitter(TxConfig(mode=MODE, plp=PLP, fec_blocks_per_frame=6,
+                              hem=hem, issyi=True))
+    ts_in = random_ts_stream(400)
+    iq = tx.modulate(ts_in)
+    F = len(iq) // MODE.frame_samples
+    frames = iq[:F * MODE.frame_samples].reshape(F, MODE.frame_samples)
+    rx = TpuReceiver(RxConfig(mode=MODE, plp=PLP, n_fec_per_frame=6, n_ti=3,
+                              use_pallas=False)).prime(frames[0])
+    res = rx.receive(frames)
+    assert res.ldpc_ok.all() and res.bch_clean.all()
+    assert np.array_equal(res.ts_bytes, ts_in[:len(res.ts_bytes)])
+    assert rx.bb.matype["issyi"] == 1
+    assert rx.bb.issy_stripped > 0
+    assert rx.bb.unsupported == 0
+
+
 def test_receiver_awgn_and_phase():
     # 25 dB SNR plus a constant 30-degree channel phase: the pilot-based
     # equalizer must absorb the rotation, LDPC must converge.
