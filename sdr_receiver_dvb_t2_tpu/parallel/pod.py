@@ -37,6 +37,8 @@ dryrun path.
 """
 from __future__ import annotations
 
+import bisect
+
 import numpy as np
 import jax
 
@@ -76,7 +78,9 @@ class ChannelStore:
     None at end-of-stream), or pushed with :meth:`append`.  Consumed
     data is trimmed (stream() calls :meth:`trim_before` as it advances),
     so a 24/7 pod holds only a bounded tail per channel — the window
-    plus the relock search depth.
+    plus the relock search depth.  Appended blocks are held by
+    reference: a reader must hand over a fresh array each call (all
+    ``io.sources`` readers do), never a reused receive buffer.
 
     Wiring a live pod: one ``io.sources`` reader per channel (e.g.
     ``UdpIqSource`` fed by ``tools/sdr_daemon.py``), converted to
@@ -87,49 +91,46 @@ class ChannelStore:
 
     def __init__(self, n_channels: int, readers=None):
         self.n_ch = n_channels
-        # per-channel compacting ring: valid data is _store[c][_head:_head
-        # +_len] at absolute position _base.  append copies each sample
-        # ONCE into tail space; trim_before only moves _head/_base (no
-        # copy); the valid region is memmoved to the front only when the
-        # tail runs out — amortized O(1) copies/sample at steady state
-        # (measured: tools/bench_pod_host.py --live), vs the O(held)
-        # re-copy per append that np.concatenate would cost.
-        self._store = [np.empty(1 << 16, np.complex64)
-                       for _ in range(n_channels)]
-        self._head = np.zeros(n_channels, np.int64)
-        self._len = np.zeros(n_channels, np.int64)
-        self._base = np.zeros(n_channels, np.int64)
+        # Per-channel block list: arriving blocks are kept AS-IS — append
+        # never copies a sample (the store takes ownership; callers must
+        # not mutate a block after handing it over).  window_into()
+        # copies the spanning block slices straight into the caller's
+        # staging buffer — the ONLY per-sample copy on the live path, and
+        # the same one the capture-array path pays.  trim_before drops
+        # whole expired blocks (no copy).  A compacting ring was measured
+        # 3.2x the raw volume in steady-state churn at the 64-channel
+        # config (the buffer converges near the held size, so each small
+        # append triggers a full-tail memmove) — see BENCH.md round 5.
+        self._blocks: list[list[np.ndarray]] = [[] for _ in
+                                                range(n_channels)]
+        self._starts: list[list[int]] = [[] for _ in range(n_channels)]
+        self._end = np.zeros(n_channels, np.int64)
         self._eof = np.zeros(n_channels, bool)
         self.bytes_copied = 0          # diagnostics: host copy churn
         self.readers = readers
 
     def append(self, c: int, blk: np.ndarray) -> None:
-        blk = np.asarray(blk, np.complex64)
-        buf, h, ln = self._store[c], int(self._head[c]), int(self._len[c])
-        if h + ln + len(blk) > len(buf):
-            need = ln + len(blk)
-            if need > len(buf):        # grow (doubling) + compact
-                nbuf = np.empty(max(need, 2 * len(buf)), np.complex64)
-                nbuf[:ln] = buf[h:h + ln]
-                self._store[c] = buf = nbuf
-            else:                      # compact in place
-                buf[:ln] = buf[h:h + ln]
-            self.bytes_copied += ln * 8
-            self._head[c] = h = 0
-        buf[h + ln:h + ln + len(blk)] = blk
-        self.bytes_copied += len(blk) * 8
-        self._len[c] = ln + len(blk)
+        blk = np.asarray(blk)
+        if blk.dtype != np.complex64:
+            blk = blk.astype(np.complex64)
+            self.bytes_copied += blk.nbytes
+        if len(blk) == 0:
+            return
+        self._blocks[c].append(blk)
+        self._starts[c].append(int(self._end[c]))
+        self._end[c] += len(blk)
 
     def end(self, c: int) -> int:
         """Absolute position one past the last available sample."""
-        return int(self._base[c] + self._len[c])
+        return int(self._end[c])
 
     def base(self, c: int) -> int:
-        return int(self._base[c])
+        starts = self._starts[c]
+        return starts[0] if starts else int(self._end[c])
 
     def held(self, c: int) -> int:
         """Samples currently held (bounded-memory diagnostics)."""
-        return int(self._len[c])
+        return int(self._end[c]) - self.base(c)
 
     def ensure(self, c: int, abs_end: int) -> bool:
         """Pull from the channel's reader until abs_end is available."""
@@ -143,26 +144,72 @@ class ChannelStore:
             self.append(c, blk)
         return True
 
+    def _copy_span(self, c: int, a: int, m: int, out: np.ndarray) -> None:
+        """Copy m held samples starting at absolute a into out[:m]."""
+        blocks, starts = self._blocks[c], self._starts[c]
+        i = bisect.bisect_right(starts, a) - 1
+        done = 0
+        while done < m:
+            b = blocks[i]
+            off = a + done - starts[i]
+            take = min(m - done, len(b) - off)
+            out[done:done + take] = b[off:off + take]
+            done += take
+            i += 1
+        self.bytes_copied += m * 8
+
+    def _clamp(self, c: int, a: int, n: int) -> tuple[int, int]:
+        base = self.base(c)
+        a = int(np.clip(a, base, max(base, self.end(c) - n)))
+        return a, max(0, min(n, self.end(c) - a))
+
+    def window_into(self, c: int, a: int, n: int, out: np.ndarray) -> int:
+        """n samples at absolute a (clamped into availability) copied
+        into out[:n]; zero-fills past availability, returns the count
+        actually copied."""
+        a, m = self._clamp(c, a, n)
+        self._copy_span(c, a, m, out)
+        if m < n:
+            out[m:n] = 0
+        return m
+
     def window(self, c: int, a: int, n: int) -> np.ndarray:
         """n samples at absolute position a, clamped into availability
-        (a contiguous zero-copy view into the ring)."""
-        a = int(np.clip(a, self._base[c], max(self._base[c],
-                                              self.end(c) - n)))
-        off = int(self._head[c]) + a - int(self._base[c])
-        return self._store[c][off:off + n]
+        (shorter when fewer are held; a zero-copy view when one arrival
+        block spans the request)."""
+        a, m = self._clamp(c, a, n)
+        blocks, starts = self._blocks[c], self._starts[c]
+        if m:
+            i = bisect.bisect_right(starts, a) - 1
+            off = a - starts[i]
+            if off + m <= len(blocks[i]):
+                return blocks[i][off:off + m]
+        out = np.empty(m, np.complex64)
+        self._copy_span(c, a, m, out)
+        return out
 
     def available(self, c: int, a: int, n: int) -> np.ndarray:
         """Up to n samples from absolute a (shorter near the end)."""
-        a = max(int(a), int(self._base[c]))
-        off = int(self._head[c]) + a - int(self._base[c])
-        return self._store[c][off:off + min(n, self.end(c) - a)]
+        a = max(int(a), self.base(c))
+        m = max(0, min(n, self.end(c) - a))
+        blocks, starts = self._blocks[c], self._starts[c]
+        if m:
+            i = bisect.bisect_right(starts, a) - 1
+            off = a - starts[i]
+            if off + m <= len(blocks[i]):
+                return blocks[i][off:off + m]
+        out = np.empty(m, np.complex64)
+        self._copy_span(c, a, m, out)
+        return out
 
     def trim_before(self, c: int, abs_pos: int) -> None:
-        cut = min(int(abs_pos) - int(self._base[c]), int(self._len[c]))
-        if cut > 0:
-            self._head[c] += cut
-            self._len[c] -= cut
-            self._base[c] += cut
+        blocks, starts = self._blocks[c], self._starts[c]
+        k = 0
+        while k < len(blocks) and starts[k] + len(blocks[k]) <= abs_pos:
+            k += 1
+        if k:
+            del blocks[:k]
+            del starts[:k]
 
 
 class _ArrayStore:
@@ -184,6 +231,13 @@ class _ArrayStore:
     def window(self, c, a, n):
         a = int(np.clip(a, 0, self._raw.shape[1] - n))
         return self._raw[c, a:a + n]
+
+    def window_into(self, c, a, n, out):
+        blk = self.window(c, a, n)
+        out[:len(blk)] = blk
+        if len(blk) < n:
+            out[len(blk):n] = 0
+        return len(blk)
 
     def available(self, c, a, n):
         a = max(int(a), 0)
@@ -488,10 +542,9 @@ class MultiChannelReceiver:
             # is a straight memcpy, the loop is C*n_time iterations
             for c in range(C):
                 for t in range(self.n_time):
-                    blk = store.window(c, w0[c, t], win)
-                    if len(blk) == win:
-                        buf[c, t] = blk
-                    else:                       # dark channel, thin store
+                    got = store.window_into(c, int(w0[c, t]), win,
+                                            buf[c, t])
+                    if got < win:               # dark channel, thin store
                         buf[c, t] = 0
 
             plane = rx.plane_step_windows(buf, idx0, frac0, phase0,

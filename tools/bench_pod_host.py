@@ -100,9 +100,10 @@ def main(n_ch: int = 64) -> None:
     # LIVE ingest variant (VERDICT r4 next #4): the same per-step window
     # reads through a ChannelStore fed by per-channel readers at the pod
     # rate (win raw samples/channel/step arriving in SDR-sized chunks),
-    # with trim_before after every step — measures the ring's append +
-    # compaction churn and the steady-state held tail ON TOP of the
-    # capture-array numbers above.
+    # with trim_before after every step — measures the store's append +
+    # window-assembly cost and the steady-state held tail against the
+    # capture-array window-copy line above (which it REPLACES: stream()
+    # stages windows via window_into either way).
     store = pod.ChannelStore(n_ch)
     feed = raw[:, :win].copy()
     chunk = 65536
@@ -110,16 +111,19 @@ def main(n_ch: int = 64) -> None:
 
     def live_step():
         # readers push one step of raw per channel in chunk-sized blocks
+        # (fresh arrays, as real readers hand over — the store keeps them
+        # by reference)
         t0 = time.perf_counter()
         for c in range(n_ch):
             end = state["pos"][c] + win
             while store.end(c) < end:
                 a = store.end(c) - state["pos"][c] + 0
                 blk = feed[c, a % win:(a % win) + chunk][:chunk]
-                store.append(c, blk if len(blk) else feed[c, :chunk])
+                store.append(c, (blk if len(blk)
+                                 else feed[c, :chunk]).copy())
         state["t_append"] += time.perf_counter() - t0
         for c in range(n_ch):
-            buf[c, 0] = store.window(c, int(state["pos"][c]), win)
+            store.window_into(c, int(state["pos"][c]), win, buf[c, 0])
         for c in range(n_ch):
             # stream()'s policy: keep 2*win of look-back (relock context)
             store.trim_before(c, int(state["pos"][c]) - win)
@@ -127,7 +131,7 @@ def main(n_ch: int = 64) -> None:
 
     store.bytes_copied = 0
     n_live = 5
-    live_step()                              # warm (ring growth)
+    live_step()                              # warm
     store.bytes_copied = 0
     state["t_append"] = 0.0
     t_live = timeit(live_step, n=n_live)
@@ -149,11 +153,13 @@ def main(n_ch: int = 64) -> None:
           f"ms budget -> host load {total / frame_time_ms:.2f}x of one "
           f"core")
     live_total = total - t_gather + t_live
-    print(f"LIVE ingest (ChannelStore ring, {chunk} sample chunks):")
+    raw_mb = n_ch * win * 8 / 1e6
+    print(f"LIVE ingest (ChannelStore block store, {chunk} sample "
+          f"chunks):")
     print(f"  append+window   {t_live:8.2f} ms/step (append share "
-          f"{t_append:.2f} ms, ring copies {copied_per_step:.0f} MB/step "
-          f"= {copied_per_step / (n_ch * win * 8 / 1e6):.2f}x the raw "
-          f"volume)")
+          f"{t_append:.2f} ms — by-reference, no copy; window assembly "
+          f"{copied_per_step:.0f} MB/step = {copied_per_step / raw_mb:.2f}x"
+          f" the raw volume)")
     print(f"  held tail       {held * 8 / 1e6:8.1f} MB/channel max "
           f"({held} samples; bounded by window + relock context)")
     print(f"  LIVE TOTAL      {live_total:8.2f} ms/step -> host load "
