@@ -78,9 +78,13 @@ class ChannelStore:
     None at end-of-stream), or pushed with :meth:`append`.  Consumed
     data is trimmed (stream() calls :meth:`trim_before` as it advances),
     so a 24/7 pod holds only a bounded tail per channel — the window
-    plus the relock search depth.  Appended blocks are held by
-    reference: a reader must hand over a fresh array each call (all
-    ``io.sources`` readers do), never a reused receive buffer.
+    plus the relock search depth.  Arriving data is copied into RECYCLED
+    pool granules (callers keep ownership of what they pass in), so the
+    store's working set stays page-warm: at the 64-channel pod rate a
+    warm memcpy measured ~5 GB/s while holding arriving blocks by
+    reference ran ~1 GB/s — every fresh 512 KB allocation is mmap'd,
+    returned to the OS on free, and first-touch page-faulted again on
+    the next arrival (tools/bench_pod_host.py, BENCH.md round 5).
 
     Wiring a live pod: one ``io.sources`` reader per channel (e.g.
     ``UdpIqSource`` fed by ``tools/sdr_daemon.py``), converted to
@@ -89,36 +93,79 @@ class ChannelStore:
     ``lock.pos0 + lock.mu0`` as stream()'s ABSOLUTE ``mu0``.
     """
 
+    # pool granule, samples (1 MB): >= the common SDR block size, small
+    # enough that trim granularity stays a fraction of a window
+    POOL_BLK = 1 << 17
+
     def __init__(self, n_channels: int, readers=None):
         self.n_ch = n_channels
-        # Per-channel block list: arriving blocks are kept AS-IS — append
-        # never copies a sample (the store takes ownership; callers must
-        # not mutate a block after handing it over).  window_into()
-        # copies the spanning block slices straight into the caller's
-        # staging buffer — the ONLY per-sample copy on the live path, and
-        # the same one the capture-array path pays.  trim_before drops
-        # whole expired blocks (no copy).  A compacting ring was measured
-        # 3.2x the raw volume in steady-state churn at the 64-channel
-        # config (the buffer converges near the held size, so each small
-        # append triggers a full-tail memmove) — see BENCH.md round 5.
+        # Per-channel block list: each entry is a filled view of a pool
+        # granule (the tail view grows in place as data arrives).
+        # window_into() copies the spanning slices straight into the
+        # caller's staging buffer — the same copy the capture-array path
+        # pays.  trim_before drops whole expired granules back onto the
+        # free list (no copy), so steady state touches only warm pages.
+        # History (measured, BENCH.md round 5): a compacting ring cost
+        # 3.2x the raw volume in memmove churn; by-reference custody of
+        # caller blocks cost ~10x of one core in page faults at the
+        # 64-channel rate.
         self._blocks: list[list[np.ndarray]] = [[] for _ in
                                                 range(n_channels)]
         self._starts: list[list[int]] = [[] for _ in range(n_channels)]
+        self._fill = np.zeros(n_channels, np.int64)  # tail granule fill
         self._end = np.zeros(n_channels, np.int64)
         self._eof = np.zeros(n_channels, bool)
+        self._free: list[np.ndarray] = []  # recycled granules (all chans)
         self.bytes_copied = 0          # diagnostics: host copy churn
         self.readers = readers
 
+    def _tail_space(self, c: int) -> tuple[np.ndarray, int]:
+        """(tail granule, fill) with at least one writable sample, opening
+        a fresh granule from the free list when the tail is full."""
+        blocks, starts = self._blocks[c], self._starts[c]
+        fill = int(self._fill[c])
+        if not blocks or fill == self.POOL_BLK:
+            buf = (self._free.pop() if self._free
+                   else np.empty(self.POOL_BLK, np.complex64))
+            blocks.append(buf[:0])
+            starts.append(int(self._end[c]))
+            self._fill[c] = fill = 0
+        return blocks[-1].base, fill
+
     def append(self, c: int, blk: np.ndarray) -> None:
         blk = np.asarray(blk)
-        if blk.dtype != np.complex64:
-            blk = blk.astype(np.complex64)
-            self.bytes_copied += blk.nbytes
-        if len(blk) == 0:
+        n, done = len(blk), 0
+        while done < n:
+            base, fill = self._tail_space(c)
+            take = min(n - done, self.POOL_BLK - fill)
+            base[fill:fill + take] = blk[done:done + take]
+            self.commit(c, take)
+            done += take
+        self.bytes_copied += n * 8
+
+    def borrow(self, c: int) -> np.ndarray:
+        """Writable complex64 scratch at the channel's tail (page-warm
+        recycled pool memory).  Fill a prefix, then :meth:`commit` the
+        count actually written — the zero-copy ingest path: a reader
+        that supports ``read_into`` (e.g. ``sock.recv_into`` /
+        ``file.readinto`` + in-place conversion) lands samples directly
+        in the store, and the only remaining per-sample host copy is
+        the window assembly every path pays.  Between borrow and commit
+        no other store call may touch channel c."""
+        base, fill = self._tail_space(c)
+        return base[fill:]
+
+    def commit(self, c: int, n: int) -> None:
+        """Publish n samples written into :meth:`borrow` space."""
+        if n == 0:
             return
-        self._blocks[c].append(blk)
-        self._starts[c].append(int(self._end[c]))
-        self._end[c] += len(blk)
+        blocks = self._blocks[c]
+        fill = len(blocks[-1])      # filled view length == tail fill
+        base = blocks[-1].base
+        assert fill + n <= len(base), "commit exceeds borrowed space"
+        blocks[-1] = base[:fill + n]
+        self._fill[c] = fill + n
+        self._end[c] += n
 
     def end(self, c: int) -> int:
         """Absolute position one past the last available sample."""
@@ -133,10 +180,22 @@ class ChannelStore:
         return int(self._end[c]) - self.base(c)
 
     def ensure(self, c: int, abs_end: int) -> bool:
-        """Pull from the channel's reader until abs_end is available."""
+        """Pull from the channel's reader until abs_end is available.
+
+        A plain callable reader returns a block (copied into the pool);
+        a reader exposing ``read_into(buf) -> count | None`` writes
+        straight into borrowed pool space — zero store-added copies."""
         while self.end(c) < abs_end:
             if self._eof[c] or self.readers is None:
                 return False
+            into = getattr(self.readers[c], "read_into", None)
+            if into is not None:
+                got = into(self.borrow(c))
+                if not got:
+                    self._eof[c] = True
+                    return False
+                self.commit(c, got)
+                continue
             blk = self.readers[c]()
             if blk is None or len(blk) == 0:
                 self._eof[c] = True
@@ -175,8 +234,8 @@ class ChannelStore:
 
     def window(self, c: int, a: int, n: int) -> np.ndarray:
         """n samples at absolute position a, clamped into availability
-        (shorter when fewer are held; a zero-copy view when one arrival
-        block spans the request)."""
+        (shorter when fewer are held; a zero-copy view when one granule
+        spans the request — valid until the next trim_before)."""
         a, m = self._clamp(c, a, n)
         blocks, starts = self._blocks[c], self._starts[c]
         if m:
@@ -189,7 +248,9 @@ class ChannelStore:
         return out
 
     def available(self, c: int, a: int, n: int) -> np.ndarray:
-        """Up to n samples from absolute a (shorter near the end)."""
+        """Up to n samples from absolute a (shorter near the end; a
+        zero-copy view when one granule spans the request — valid until
+        the next trim_before)."""
         a = max(int(a), self.base(c))
         m = max(0, min(n, self.end(c) - a))
         blocks, starts = self._blocks[c], self._starts[c]
@@ -203,13 +264,26 @@ class ChannelStore:
         return out
 
     def trim_before(self, c: int, abs_pos: int) -> None:
+        """Drop whole granules that end at or before abs_pos, recycling
+        them onto the free list (invalidates views handed out by
+        window()/available() before this call)."""
         blocks, starts = self._blocks[c], self._starts[c]
         k = 0
         while k < len(blocks) and starts[k] + len(blocks[k]) <= abs_pos:
             k += 1
         if k:
+            # a partially-filled tail granule can only be dropped when
+            # it holds everything up to end(); appends then start fresh
+            if k == len(blocks):
+                self._fill[c] = 0
+            self._free.extend(b.base for b in blocks[:k])
             del blocks[:k]
             del starts[:k]
+            # steady state self-bounds (appends drain the free list);
+            # cap it so a config change that SHRINKS usage releases the
+            # now-oversized pool back to the OS
+            cap = max(64, sum(len(b) for b in self._blocks))
+            del self._free[cap:]
 
 
 class _ArrayStore:

@@ -98,46 +98,53 @@ def main(n_ch: int = 64) -> None:
     t_parse = timeit(parse_all, n=3)
 
     # LIVE ingest variant (VERDICT r4 next #4): the same per-step window
-    # reads through a ChannelStore fed by per-channel readers at the pod
-    # rate (win raw samples/channel/step arriving in SDR-sized chunks),
-    # with trim_before after every step — measures the store's append +
-    # window-assembly cost and the steady-state held tail against the
-    # capture-array window-copy line above (which it REPLACES: stream()
-    # stages windows via window_into either way).
+    # reads through a ChannelStore fed at the pod rate (win raw samples
+    # per channel per step, arriving in SDR-sized chunks written straight
+    # into borrowed pool granules — the read_into path), with trim_before
+    # after every step.  Splits the cost into the INGEST WRITE (the
+    # NIC/convert pass any live receiver pays, simulated as a memcpy
+    # into the borrowed space) and the WINDOW ASSEMBLY (granule-source
+    # twin of the capture-array window-copies line above, which it
+    # REPLACES); the store itself adds no other per-sample work.
     store = pod.ChannelStore(n_ch)
     feed = raw[:, :win].copy()
     chunk = 65536
-    state = dict(pos=np.zeros(n_ch, np.int64), t_append=0.0)
+    state = dict(pos=np.zeros(n_ch, np.int64), t_append=0.0,
+                 t_window=0.0)
 
     def live_step():
-        # readers push one step of raw per channel in chunk-sized blocks
-        # (fresh arrays, as real readers hand over — the store keeps them
-        # by reference)
         t0 = time.perf_counter()
         for c in range(n_ch):
             end = state["pos"][c] + win
             while store.end(c) < end:
-                a = store.end(c) - state["pos"][c] + 0
-                blk = feed[c, a % win:(a % win) + chunk][:chunk]
-                store.append(c, (blk if len(blk)
-                                 else feed[c, :chunk]).copy())
-        state["t_append"] += time.perf_counter() - t0
+                dst = store.borrow(c)
+                a = int(store.end(c) - state["pos"][c]) % win
+                take = min(len(dst), chunk, win - a)
+                dst[:take] = feed[c, a:a + take]   # the NIC/convert write
+                store.commit(c, take)
+        t1 = time.perf_counter()
+        state["t_append"] += t1 - t0
         for c in range(n_ch):
             store.window_into(c, int(state["pos"][c]), win, buf[c, 0])
+        state["t_window"] += time.perf_counter() - t1
         for c in range(n_ch):
             # stream()'s policy: keep 2*win of look-back (relock context)
             store.trim_before(c, int(state["pos"][c]) - win)
         state["pos"] += win
 
-    store.bytes_copied = 0
     n_live = 5
-    live_step()                              # warm
+    for _ in range(3):          # pool reaches steady state at step 3
+        live_step()             # (first touches + THP collapse settle)
     store.bytes_copied = 0
-    state["t_append"] = 0.0
-    t_live = timeit(live_step, n=n_live)
+    state["t_append"] = state["t_window"] = 0.0
+    t0 = time.perf_counter()
+    for _ in range(n_live):
+        live_step()
+    t_live = (time.perf_counter() - t0) / n_live * 1e3
     held = max(store.held(c) for c in range(n_ch))
-    copied_per_step = store.bytes_copied / (n_live + 1) / 1e6
-    t_append = state["t_append"] / (n_live + 1) * 1e3
+    copied_per_step = store.bytes_copied / n_live / 1e6
+    t_append = state["t_append"] / n_live * 1e3
+    t_window = state["t_window"] / n_live * 1e3
 
     total = t_off + t_bases + t_gather + t_parse
     print(f"pod host loop @ {n_ch} channels, 32K frame "
@@ -154,16 +161,21 @@ def main(n_ch: int = 64) -> None:
           f"core")
     live_total = total - t_gather + t_live
     raw_mb = n_ch * win * 8 / 1e6
-    print(f"LIVE ingest (ChannelStore block store, {chunk} sample "
-          f"chunks):")
-    print(f"  append+window   {t_live:8.2f} ms/step (append share "
-          f"{t_append:.2f} ms — by-reference, no copy; window assembly "
-          f"{copied_per_step:.0f} MB/step = {copied_per_step / raw_mb:.2f}x"
-          f" the raw volume)")
+    print(f"LIVE ingest (ChannelStore pooled granules, read_into path, "
+          f"{chunk}-sample chunks):")
+    print(f"  ingest write    {t_append:8.2f} ms/step ({raw_mb:.0f} MB "
+          f"into borrowed pool space — the NIC/convert pass any live "
+          f"receiver pays)")
+    print(f"  window assembly {t_window:8.2f} ms/step (granule-source "
+          f"twin of the {t_gather:.0f} ms capture-array line; store "
+          f"copies {copied_per_step:.0f} MB/step = "
+          f"{copied_per_step / raw_mb:.2f}x the raw volume)")
     print(f"  held tail       {held * 8 / 1e6:8.1f} MB/channel max "
           f"({held} samples; bounded by window + relock context)")
     print(f"  LIVE TOTAL      {live_total:8.2f} ms/step -> host load "
-          f"{live_total / frame_time_ms:.2f}x of one core")
+          f"{live_total / frame_time_ms:.2f}x of one core "
+          f"({live_total / frame_time_ms / 8:.2f} cores/host on an "
+          f"8-host pod)")
 
 
 if __name__ == "__main__":
