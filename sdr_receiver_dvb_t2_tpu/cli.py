@@ -137,14 +137,24 @@ def run_pod(args) -> int:
         track_l1 = true      # per-step dynamic-L1 tracking
         relock = true        # partial acquisition + mid-stream relock
         max_steps = 0        # 0 = until the captures run out
+        live = false         # stream via ChannelStore (bounded memory);
+                             # auto-on when any input is udp://
+        acquire_samples = 3000000   # blind-acquisition head (live mode)
 
         [[channel]]
         input = "ch0_10000000_8.raw"
         out = "udp://127.0.0.1:7654"
 
         [[channel]]
-        input = "ch1.raw"
+        input = "udp://:4950"       # live daemon feed (needs rate/format)
         out = "ch1.ts"
+
+    Live mode pulls each channel chunk-wise through a
+    ``pod.ChannelStore`` (recycled-granule pool, consumed raw trimmed —
+    a 24/7 pod holds only a bounded tail even on endless feeds), runs
+    blind acquisition on a recorded head, and streams from absolute
+    positions.  udp:// inputs use the daemon's seq-framed datagrams so
+    drops are zero-filled, not time-shifting.
     """
     import tomllib
     import numpy as np
@@ -164,24 +174,87 @@ def run_pod(args) -> int:
     rate = float(cfg.get("rate", 0)) or None
     fmt = cfg.get("format")
 
-    # load per-channel captures (the pod CLI drives recorded captures;
-    # live multi-SDR ingest feeds pod.stream chunk-wise from daemons)
-    rows = []
+    live = bool(cfg.get("live", False)) or any(
+        str(ch["input"]).startswith("udp://") for ch in chans)
+    store = None
+    srcs: list = []
     import os
-    for ch in chans:
-        src = sources.RawFileSource(ch["input"], sample_rate=rate, fmt=fmt)
-        item = {"u8": 1, "s8": 1, "s16": 2, "f32": 4}[src.info.fmt]
-        n_samp = os.path.getsize(ch["input"]) // (2 * item)
-        blk = src.read(n_samp)
-        src.close()
-        if blk is None or n_samp == 0:
-            print(f"empty capture: {ch['input']}", file=sys.stderr)
-            return 2
-        rows.append(blk if blk.dtype == np.complex64
-                    else raw_to_complex_np(blk, src.info.fmt))
-        rate = src.info.sample_rate
-    n = min(len(r) for r in rows)
-    raw = np.stack([r[:n] for r in rows])
+    if live:
+        # LIVE ingest: per-channel chunked readers through a pooled
+        # ChannelStore — bounded memory on endless feeds; blind
+        # acquisition runs on a recorded head kept in the store
+        chunk = 65536
+
+        class _PoolReader:
+            """Chunked read_into adapter: raw ints from an io.sources
+            reader are scale-converted STRAIGHT into borrowed pool
+            space (ChannelStore.ensure) — live ingest costs exactly one
+            write pass per sample."""
+
+            def __init__(self, src):
+                self.src, self.fmt = src, src.info.fmt
+
+            def read_into(self, buf):
+                blk = self.src.read(min(len(buf), chunk))
+                if blk is None or len(blk) == 0:
+                    return None
+                if blk.dtype == np.complex64:
+                    buf[:len(blk)] = blk
+                    return len(blk)
+                return raw_to_complex_np(blk, self.fmt, out=buf)
+
+        readers = []
+        for ch in chans:
+            inp = str(ch["input"])
+            if inp.startswith("udp://"):
+                if rate is None:
+                    print("udp:// pod channels need rate = in the TOML",
+                          file=sys.stderr)
+                    return 2
+                body = inp[6:]
+                host, _, port = body.rpartition(":")
+                src = sources.UdpIqSource(int(port), rate,
+                                          fmt or "s16",
+                                          host=host or "0.0.0.0",
+                                          seq=True)
+            else:
+                src = sources.RawFileSource(inp, sample_rate=rate,
+                                            fmt=fmt)
+            rate = src.info.sample_rate
+            srcs.append(src)
+            readers.append(_PoolReader(src))
+        store = pod.ChannelStore(C, readers=readers)
+        acq_n = int(cfg.get("acquire_samples", 3_000_000))
+        for c in range(C):
+            store.ensure(c, acq_n)           # best effort on live feeds
+        # acquire on what the readers actually delivered (a short
+        # capture must not be padded with fabricated zeros)
+        acq_n = min(acq_n, min(store.end(c) for c in range(C)))
+        if acq_n < 200_000:
+            print("not enough samples for blind acquisition",
+                  file=sys.stderr)
+            return 1
+        raw = np.zeros((C, acq_n), np.complex64)
+        for c in range(C):
+            store.window_into(c, 0, acq_n, raw[c])
+    else:
+        # recorded captures loaded whole (simplest path for short files)
+        rows = []
+        for ch in chans:
+            src = sources.RawFileSource(ch["input"], sample_rate=rate,
+                                        fmt=fmt)
+            item = {"u8": 1, "s8": 1, "s16": 2, "f32": 4}[src.info.fmt]
+            n_samp = os.path.getsize(ch["input"]) // (2 * item)
+            blk = src.read(n_samp)
+            src.close()
+            if blk is None or n_samp == 0:
+                print(f"empty capture: {ch['input']}", file=sys.stderr)
+                return 2
+            rows.append(blk if blk.dtype == np.complex64
+                        else raw_to_complex_np(blk, src.info.fmt))
+            rate = src.info.sample_rate
+        n = min(len(r) for r in rows)
+        raw = np.stack([r[:n] for r in rows])
 
     relock = bool(cfg.get("relock", True))
     plp = cfg.get("plp", 0)
@@ -227,7 +300,10 @@ def run_pod(args) -> int:
         return out_sinks[key], parsers[key]
 
     max_steps = int(cfg.get("max_steps", 0)) or None
-    aligned = lock.aligned(raw)
+    if live:
+        stream_src, mu0 = store, lock.pos0 + lock.mu0   # ABSOLUTE
+    else:
+        stream_src, mu0 = lock.aligned(raw), lock.mu0
     pkts = np.zeros(C, np.int64)
     t_last = time.monotonic()
     n_steps = 0
@@ -236,7 +312,7 @@ def run_pod(args) -> int:
         from .runtime.monitor import PodMonitor
         mon = PodMonitor(interval=float(cfg["monitor"]))
     for hard, stats in rx.stream(
-            aligned, lock.mu0, lock.step, freq=lock.freq,
+            stream_src, mu0, lock.step, freq=lock.freq,
             max_steps=max_steps, track=bool(cfg.get("track", True)),
             track_l1=bool(cfg.get("track_l1", True)), relock=relock,
             locked=lock.locked, frame_idx0=lock.frame_idx0):
@@ -266,6 +342,8 @@ def run_pod(args) -> int:
                   file=sys.stderr)
             t_last = time.monotonic()
     for s in out_sinks.values():
+        s.close()
+    for s in srcs:
         s.close()
     print(f"done: {n_steps} steps, per-channel TS packets: "
           f"{pkts.tolist()}", file=sys.stderr)

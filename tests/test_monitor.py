@@ -95,6 +95,6 @@ def test_monitor_live_receiver(tmp_path):
     z = np.load(npz)
     assert {"spectrum_db", "constellation", "ldpc_hist"} <= set(z.files)
     assert len(z["constellation"]) > 100
-    got = sink.data().tobytes()
+    got = sink.data.tobytes()
     at = ts_in.tobytes().find(got[:376])
     assert at >= 0 and got == ts_in.tobytes()[at:at + len(got)]

@@ -108,3 +108,51 @@ def test_pod_cli_plp_all_with_monitor(tmp_path, capfd):
             assert at >= 0, f"ch{c} plp{plp_id} TS not in stream"
             n = min(len(got), len(sync) - at)
             assert got[:n] == sync[at:at + n], (c, plp_id)
+
+
+@pytest.mark.slow
+def test_pod_cli_live_channel_store(tmp_path, capfd):
+    """live = true streams the captures chunk-wise through a pooled
+    ChannelStore (bounded memory on endless feeds — the 24/7 path)
+    instead of loading them whole: blind acquisition on the recorded
+    head, absolute-position streaming, same TS-exact output."""
+    mode = T2Mode(fft_mode=FftMode.FFT_2K, guard=GuardInterval.G1_8,
+                  pilot_pattern=PilotPattern.PP7, extended_carriers=False,
+                  n_data_symbols=30)
+    plp = PlpConfig(constellation=Constellation.QAM16,
+                    code_rate=CodeRate.C1_2, fec_frame=FecFrame.SHORT,
+                    rotation=True, time_il_length=1)
+    tx = Transmitter(TxConfig(mode=mode, plp=plp, fec_blocks_per_frame=4,
+                              num_t2_frames=6))
+    ts = random_ts_stream(7 * 4 * (plp.k_bch // 8 - 10) // 188, seed=13)
+    iq = tx.modulate(ts)
+
+    lines = []
+    rng = np.random.default_rng(7)
+    for c in range(2):
+        dev = impair(iq, ChannelConfig(device_rate=10_000_000,
+                                       cfo_hz=float(rng.uniform(-4e3, 4e3)),
+                                       snr_db=29.0, seed=10 + c))
+        off = int(rng.integers(300, 2000))
+        dev = np.concatenate([np.zeros(off, np.complex64), dev])
+        path = tmp_path / f"ch{c}_dvbt2_0_10000000_8.raw"
+        quantize(dev, "u8", scale=0.4).tofile(path)
+        out = tmp_path / f"ch{c}.ts"
+        lines.append(f"[[channel]]\ninput = \"{path}\"\nout = \"{out}\"\n")
+
+    toml = tmp_path / "channels.toml"
+    toml.write_text("track = true\ntrack_l1 = true\nrelock = false\n"
+                    "live = true\nacquire_samples = 1500000\n"
+                    "max_steps = 3\nmesh = [2, 1]\n" + "\n".join(lines))
+    rc = cli.main(["--pod", str(toml), "--cpu"])
+    assert rc == 0
+    err = capfd.readouterr().err
+    assert "pod config: 2K FFT" in err
+    sync = ts.tobytes()
+    for c in range(2):
+        got = (tmp_path / f"ch{c}.ts").read_bytes()
+        assert len(got) >= 188 * 30, (c, len(got))
+        at = sync.find(got[:376])
+        assert at >= 0, f"ch{c} TS not in transmitted stream"
+        n = min(len(got), len(sync) - at)
+        assert got[:n] == sync[at:at + n], f"ch{c}"
