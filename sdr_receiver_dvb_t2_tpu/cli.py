@@ -140,6 +140,11 @@ def run_pod(args) -> int:
         live = false         # stream via ChannelStore (bounded memory);
                              # auto-on when any input is udp://
         acquire_samples = 3000000   # blind-acquisition head (live mode)
+        threaded_ingest = true      # per-channel ingest threads (live):
+                                    # a silent antenna goes through the
+                                    # relock path instead of stalling
+        ingest_timeout = 2.0        # s to wait for a channel's data
+                                    # before zero-filling its window
 
         [[channel]]
         input = "ch0_10000000_8.raw"
@@ -223,7 +228,18 @@ def run_pod(args) -> int:
             rate = src.info.sample_rate
             srcs.append(src)
             readers.append(_PoolReader(src))
-        store = pod.ChannelStore(C, readers=readers)
+        if bool(cfg.get("threaded_ingest", True)):
+            # per-channel ingest threads: one silent antenna must not
+            # stall (or terminate) the other channels — its blocking
+            # reads are absorbed and the shortfall goes through the
+            # dead-channel relock machinery instead
+            store = pod.ThreadedIngest(
+                srcs, fmts=[s.info.fmt for s in srcs],
+                eof_on_none=[not str(ch["input"]).startswith("udp://")
+                             for ch in chans],
+                timeout=float(cfg.get("ingest_timeout", 2.0)))
+        else:
+            store = pod.ChannelStore(C, readers=readers)
         acq_n = int(cfg.get("acquire_samples", 3_000_000))
         for c in range(C):
             store.ensure(c, acq_n)           # best effort on live feeds
@@ -343,6 +359,8 @@ def run_pod(args) -> int:
             t_last = time.monotonic()
     for s in out_sinks.values():
         s.close()
+    if hasattr(store, "close"):
+        store.close()
     for s in srcs:
         s.close()
     print(f"done: {n_steps} steps, per-channel TS packets: "

@@ -286,6 +286,157 @@ class ChannelStore:
             del self._free[cap:]
 
 
+class ThreadedIngest:
+    """Per-channel ingest threads in front of a :class:`ChannelStore`
+    (the reference dedicates an ingest QThread per receiver,
+    rx_base.h:44-45; at pod scale this is what keeps one dead antenna
+    from stalling the other 63).
+
+    Each thread loops over its blocking reader and queues raw blocks
+    (bounded queue = backpressure, like the reference's 128-1024-block
+    ingest ring); the CONSUMER thread drains queues inside
+    :meth:`ensure`, scale-converting straight into borrowed pool space
+    — the store itself stays single-threaded, so no locking is needed
+    anywhere.
+
+    Semantics per channel: ``eof_on_none=True`` (files/captures)
+    treats a None read as end-of-stream — ensure() then reports False
+    once drained, ending stream() like the unthreaded path.  With
+    ``eof_on_none=False`` (live sockets: a None read is just a receive
+    timeout) the thread keeps trying and ensure() instead returns True
+    after ``timeout`` with a data SHORTFALL — stream() zero-fills the
+    window, the channel decodes dirty, and the dead-channel relock
+    machinery owns it from there; the pod never terminates because one
+    antenna went quiet.
+
+    Presents the ChannelStore interface stream() consumes (ensure /
+    window_into / window / available / base / end / held /
+    trim_before).
+    """
+
+    def __init__(self, readers, fmts=None, eof_on_none=True,
+                 timeout: float = 2.0, queue_blocks: int = 128,
+                 chunk: int = 65536):
+        import queue as queue_mod
+        import threading
+        C = len(readers)
+        self.n_ch = C
+        self.store = ChannelStore(C)
+        self._fmts = (fmts if fmts is not None else ["c64"] * C)
+        self._eof_on_none = (list(eof_on_none)
+                             if not isinstance(eof_on_none, bool)
+                             else [eof_on_none] * C)
+        self.timeout = timeout
+        self._q = [queue_mod.Queue(maxsize=queue_blocks)
+                   for _ in range(C)]
+        self._eof = [False] * C
+        self._stop = False
+        self._threads = []
+        for c in range(C):
+            t = threading.Thread(target=self._pull, name=f"ingest-ch{c}",
+                                 args=(c, readers[c], chunk), daemon=True)
+            t.start()
+            self._threads.append(t)
+
+    def _pull(self, c: int, reader, chunk: int) -> None:
+        while not self._stop:
+            try:
+                blk = reader(chunk) if callable(reader) \
+                    else reader.read(chunk)
+            except Exception:
+                blk = None              # source died -> EOF
+                self._eof_on_none[c] = True
+            if blk is None or len(blk) == 0:
+                if self._eof_on_none[c]:
+                    self._q[c].put(None)
+                    return
+                # receive timeout: keep trying (sockets block in read;
+                # the sleep only guards a misbehaved instant-None source
+                # from spinning a core)
+                import time as time_mod
+                time_mod.sleep(0.01)
+                continue
+            self._q[c].put(blk)
+
+    def _drain(self, c: int, block_s: float) -> None:
+        """Move queued raw blocks into the store, converting into
+        borrowed pool space (one write pass); optionally wait up to
+        block_s for the first block."""
+        import queue as queue_mod
+        q, st = self._q[c], self.store
+        while True:
+            try:
+                blk = q.get(timeout=block_s) if block_s > 0 else \
+                    q.get_nowait()
+            except queue_mod.Empty:
+                return
+            block_s = 0.0
+            if blk is None:
+                self._eof[c] = True
+                return
+            fmt = self._fmts[c]
+            if fmt == "c64" or getattr(blk, "dtype", None) == np.complex64:
+                st.append(c, blk)
+                continue
+            done = 0
+            while done < len(blk) // 2 * 2:
+                dst = st.borrow(c)
+                got = _stream_mod().raw_to_complex_np(
+                    blk[done:done + 2 * len(dst)], fmt, out=dst)
+                st.commit(c, got)
+                done += 2 * got
+
+    def ensure(self, c: int, abs_end: int) -> bool:
+        import time as time_mod
+        deadline = time_mod.monotonic() + self.timeout
+        while True:
+            self._drain(c, 0.0)
+            if self.store.end(c) >= abs_end:
+                return True
+            if self._eof[c]:
+                return False
+            wait = deadline - time_mod.monotonic()
+            if wait <= 0:
+                # live shortfall: the caller zero-fills and the relock
+                # machinery owns the channel from here
+                return True
+            self._drain(c, min(wait, 0.1))
+
+    def close(self) -> None:
+        self._stop = True
+
+    # ---- store interface passthrough ---------------------------------
+    def window_into(self, c, a, n, out):
+        return self.store.window_into(c, a, n, out)
+
+    def window(self, c, a, n):
+        return self.store.window(c, a, n)
+
+    def available(self, c, a, n):
+        return self.store.available(c, a, n)
+
+    def base(self, c):
+        return self.store.base(c)
+
+    def end(self, c):
+        return self.store.end(c)
+
+    def held(self, c):
+        return self.store.held(c)
+
+    def trim_before(self, c, abs_pos):
+        self.store.trim_before(c, abs_pos)
+
+    @property
+    def bytes_copied(self):
+        return self.store.bytes_copied
+
+
+def _stream_mod():
+    from ..runtime import stream as stream_mod
+    return stream_mod
+
+
 class _ArrayStore:
     """ChannelStore interface over one in-memory [C, N] capture."""
 

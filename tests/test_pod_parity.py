@@ -9,6 +9,8 @@ raw windows at host-chosen float64 positions, which is what lets the pod
 hop FEF gaps and re-seed relocked channels without any device-shape
 change.
 """
+import time
+
 import numpy as np
 import pytest
 
@@ -607,3 +609,74 @@ def test_mesh_live_soak_dropout_recovery():
                      prefix_only=True)
     post = np.concatenate([b for s in segs[1][1:] for b in s]).tobytes()
     _assert_ts_match(post, ts.tobytes(), 188 * 10, "soak ch1 recovered")
+
+
+@pytest.mark.slow
+def test_mesh_threaded_ingest_silent_channel():
+    """ThreadedIngest: a channel whose reader goes SILENT (returns None
+    = receive timeout, not EOF) must not stall or terminate the pod —
+    its ensure() times out into a data shortfall, the channel decodes
+    dirty, is declared dead, and relocks when delivery resumes, while
+    the other channel streams TS-exact throughout (reference analogue:
+    the per-receiver ingest QThread, rx_base.h:44-45)."""
+    import threading
+
+    mode, plp = _mode(), _plp()
+    mesh = sharding.make_mesh(2, 1)
+    tx = Transmitter(TxConfig(mode=mode, plp=plp, fec_blocks_per_frame=4,
+                              num_t2_frames=16))
+    ts = random_ts_stream(17 * 4 * (plp.k_bch // 8 - 10) // 188, seed=61)
+    iq = tx.modulate(ts)
+    fs = mode.frame_samples
+    raw = _channels(iq, 2, [600, 900], tail=60_000)
+    dev_per_elem = DEVICE_RATE / SAMPLE_RATE
+
+    lock = acquire.blind_acquire(raw[:, :3 * int(fs * dev_per_elem)],
+                                 DEVICE_RATE)
+    assert lock is not None
+    rx = pod.MultiChannelReceiver(lock.cfg, mesh)
+
+    # ch1 delivers 8 frames' worth, then goes silent until the test
+    # flips `resume` (after the pod has declared it dead)
+    silent_at = int(8 * fs * dev_per_elem)
+    resume = threading.Event()
+    pos = [0, 0]
+
+    def reader(c):
+        def read(n):
+            a = pos[c]
+            if a >= raw.shape[1]:
+                return None                      # true EOF
+            if c == 1 and a >= silent_at and not resume.is_set():
+                time.sleep(0.05)                 # like a socket timeout
+                return None
+            pos[c] = a + n
+            return raw[c, a:a + n]
+        return read
+
+    store = pod.ThreadedIngest([reader(0), reader(1)],
+                               fmts=["c64", "c64"],
+                               eof_on_none=[True, False], timeout=0.3)
+    parsers = [BBFrameParser() for _ in range(2)]
+    ts0 = []
+    alive_hist, events = [], []
+    went_dead = False
+    for hard, stats in rx.stream(store, lock.pos0 + lock.mu0, lock.step,
+                                 freq=lock.freq, relock=True,
+                                 dead_after=2):
+        alive_hist.append(stats["alive"].tolist())
+        events += stats["events"]
+        if stats["alive"][0]:
+            ts0.append(_collect_ts(parsers, hard, plp.k_bch)[0])
+        if not stats["alive"][1] and not went_dead:
+            went_dead = True
+            resume.set()             # antenna comes back
+    store.close()
+    assert went_dead, alive_hist
+    assert all(a[0] for a in alive_hist), "live channel stalled"
+    assert any(e.startswith("relock: ch1 dead") for e in events), events
+    assert any(e.startswith("relock: ch1 reacquired")
+               for e in events), events
+    assert alive_hist[-1][1], alive_hist
+    got0 = np.concatenate(ts0).tobytes()
+    _assert_ts_match(got0, ts.tobytes(), 188 * 60, "threaded ch0")
